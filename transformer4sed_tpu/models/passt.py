@@ -1,0 +1,172 @@
+"""PaSST backbone: ViT on log-mel "images" with disentangled time/freq
+positional embeddings and Patchout.
+
+Behavioural parity targets (``src/models/passt/passt.py:366-612``):
+  * 16x16 patches at stride 10 over a [128, T<=998] mel, cls + dist
+    tokens with their own ``new_pos_embed``;
+  * separate ``time_new_pos_embed`` [1, D, 1, 99] / ``freq_new_pos_embed``
+    [1, D, 12, 1] added to the patch grid — with a *random time offset
+    crop* when the input is shorter than the nominal grid (training);
+  * structured patchout: randomly drop ``s_patchout_f`` freq rows /
+    ``s_patchout_t`` time columns (training only), then unstructured
+    patchout of ``u_patchout`` tokens;
+  * token sequence [cls, dist, patches(f-major)] through ``depth``
+    pre-norm blocks + final LayerNorm.
+
+TPU redesign: instead of materialising all 12 per-layer outputs in a
+dict (12 x [B, 770, 768] live tensors in the reference,
+``passt.py:574-576``), the caller names the tap layers it needs
+(``tap_layers``) and only those activations are kept. Patchout keeps
+shapes static: dropped rows/columns/tokens are selected with a sorted
+random permutation under jit, so each (training, input-width) pair is
+one compiled program.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from transformer4sed_tpu.models.vit import Block, PatchEmbed, trunc_normal_init
+
+
+class PaSST(nn.Module):
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    img_size: Tuple[int, int] = (128, 998)
+    patch_size: Tuple[int, int] = (16, 16)
+    stride: Tuple[int, int] = (10, 10)
+    in_chans: int = 1
+    u_patchout: int = 0
+    s_patchout_t: int = 0
+    s_patchout_f: int = 0
+    distilled: bool = True
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    tap_layers: Tuple[int, ...] = (10,)  # 1-based block indices to expose
+    lora_rank: int = 0
+    lora_alpha: float = 1.0
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def grid_size(self) -> Tuple[int, int]:
+        # conv output grid (the reference's img_size // stride coincides
+        # with this for its 128x998 nominal size)
+        return (
+            (self.img_size[0] - self.patch_size[0]) // self.stride[0] + 1,
+            (self.img_size[1] - self.patch_size[1]) // self.stride[1] + 1,
+        )
+
+    @property
+    def num_tokens(self) -> int:
+        return 2 if self.distilled else 1
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        train: bool = False,
+    ) -> Dict[str, jnp.ndarray]:
+        """x: [B, 1, F, T] normalised log-mel. Returns a dict with
+        ``layer{k}_out`` [B, P+tok, D] for each tap layer, ``frame``
+        (final-norm tokens) [B, P+tok, D], and static ``f_dim``/``t_dim``.
+        """
+        out: Dict[str, jnp.ndarray] = {}
+        patches = PatchEmbed(
+            embed_dim=self.embed_dim,
+            patch_size=self.patch_size,
+            stride=self.stride,
+            dtype=self.dtype,
+            name="patch_embed",
+        )(x)  # [B, D, F', T']
+        b, d, f_dim, t_dim = patches.shape
+
+        time_pos = self.param(
+            "time_new_pos_embed", trunc_normal_init(), (1, self.embed_dim, 1, self.grid_size[1])
+        )
+        freq_pos = self.param(
+            "freq_new_pos_embed", trunc_normal_init(), (1, self.embed_dim, self.grid_size[0], 1)
+        )
+        token_pos = self.param("new_pos_embed", trunc_normal_init(), (1, self.num_tokens, self.embed_dim))
+        cls_token = self.param("cls_token", trunc_normal_init(), (1, 1, self.embed_dim))
+
+        # --- time positional embedding, with training-time random crop offset
+        nominal_t = self.grid_size[1]
+        if t_dim < nominal_t:
+            if train:
+                rng = self.make_rng("patchout")
+                offset = jax.random.randint(rng, (), 0, nominal_t - t_dim + 1)
+                time_pos_c = jax.lax.dynamic_slice(
+                    time_pos, (0, 0, 0, offset), (1, self.embed_dim, 1, t_dim)
+                )
+            else:
+                time_pos_c = time_pos[:, :, :, :t_dim]
+        elif t_dim > nominal_t:
+            patches = patches[:, :, :, :nominal_t]
+            t_dim = nominal_t
+            time_pos_c = time_pos
+        else:
+            time_pos_c = time_pos
+        patches = patches + time_pos_c
+        patches = patches + freq_pos
+
+        # --- structured patchout (training only; static output shapes)
+        if train and self.s_patchout_t:
+            rng = self.make_rng("patchout")
+            keep = jnp.sort(jax.random.permutation(rng, t_dim)[: t_dim - self.s_patchout_t])
+            patches = jnp.take(patches, keep, axis=3)
+            t_dim = t_dim - self.s_patchout_t
+        if train and self.s_patchout_f:
+            rng = self.make_rng("patchout")
+            keep = jnp.sort(jax.random.permutation(rng, f_dim)[: f_dim - self.s_patchout_f])
+            patches = jnp.take(patches, keep, axis=2)
+            f_dim = f_dim - self.s_patchout_f
+
+        # flatten f-major: [B, D, F', T'] -> [B, F'*T', D]
+        seq = patches.reshape(b, d, f_dim * t_dim).transpose(0, 2, 1)
+
+        # --- unstructured patchout
+        if train and self.u_patchout:
+            rng = self.make_rng("patchout")
+            n = seq.shape[1]
+            keep = jnp.sort(jax.random.permutation(rng, n)[: n - self.u_patchout])
+            seq = jnp.take(seq, keep, axis=1)
+
+        # --- prepend cls (+ dist) tokens with their positional embedding
+        cls = jnp.tile(cls_token + token_pos[:, :1], (b, 1, 1))
+        if self.distilled:
+            dist_token = self.param("dist_token", trunc_normal_init(), (1, 1, self.embed_dim))
+            dist = jnp.tile(dist_token + token_pos[:, 1:], (b, 1, 1))
+            seq = jnp.concatenate([cls, dist, seq], axis=1)
+        else:
+            seq = jnp.concatenate([cls, seq], axis=1)
+
+        seq = nn.Dropout(self.drop_rate)(seq, deterministic=not train)
+
+        # --- transformer stack with named taps
+        taps = set(self.tap_layers)
+        h = seq.astype(self.dtype)
+        for i in range(self.depth):
+            h = Block(
+                num_heads=self.num_heads,
+                mlp_ratio=self.mlp_ratio,
+                qkv_bias=self.qkv_bias,
+                drop=self.drop_rate,
+                attn_drop=self.attn_drop_rate,
+                dtype=self.dtype,
+                name=f"blocks_{i}",
+            )(h, deterministic=not train)
+            if (i + 1) in taps:
+                out[f"layer{i + 1}_out"] = h.astype(jnp.float32)
+
+        h = nn.LayerNorm(epsilon=1e-6, name="norm")(h.astype(jnp.float32))
+        out["frame"] = h
+        out["f_dim"] = f_dim
+        out["t_dim"] = t_dim
+        return out

@@ -1,0 +1,164 @@
+"""ViT building blocks in flax.linen, tuned for TPU.
+
+Reproduces the computation of the timm-style blocks the reference
+models are built from (``src/models/passt/passt.py:257-363`` — Mlp,
+Attention with optional bool mask, pre-norm Block, PatchEmbed) with a
+TPU-friendly layout: attention is a pair of batched einsums that XLA
+maps straight onto the MXU, masks are additive ``-inf`` biases, and a
+``dtype`` knob runs the matmuls in bfloat16 while keeping params and
+layer norms in float32.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = jnp.dtype
+
+LAYERNORM_EPS = 1e-6
+
+
+def trunc_normal_init(std: float = 0.02):
+    return nn.initializers.truncated_normal(stddev=std, lower=-2.0, upper=2.0)
+
+
+class Mlp(nn.Module):
+    """Two-layer GELU MLP (timm Mlp parity)."""
+
+    hidden_features: int
+    out_features: Optional[int] = None
+    dropout: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        out_features = self.out_features or x.shape[-1]
+        x = nn.Dense(self.hidden_features, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = nn.Dense(out_features, dtype=self.dtype, name="fc2")(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return x
+
+
+class Attention(nn.Module):
+    """Multi-head self-attention with optional boolean mask.
+
+    Mask semantics match the reference (``passt.py:330-344``): ``True``
+    positions are *blocked* (filled with -inf before softmax). The mask
+    may be [L, S], [B, L, S] or [B, H, L, S].
+    """
+
+    num_heads: int
+    qkv_bias: bool = True
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[jnp.ndarray] = None, deterministic: bool = True):
+        b, n, c = x.shape
+        head_dim = c // self.num_heads
+        scale = head_dim ** -0.5
+
+        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, H, hd]
+
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
+        if mask is not None:
+            while mask.ndim < 4:
+                mask = mask[None]
+            attn = jnp.where(mask, jnp.finfo(attn.dtype).min, attn)
+        attn = jax.nn.softmax(attn, axis=-1)
+        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn.astype(self.dtype), v)
+        out = out.reshape(b, n, c)
+        out = nn.Dense(c, dtype=self.dtype, name="proj")(out)
+        out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+        return out
+
+
+class DropPath(nn.Module):
+    """Stochastic depth: drop the residual branch per sample."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if self.rate == 0.0 or deterministic:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return jnp.where(mask, x / keep, 0.0)
+
+
+class Block(nn.Module):
+    """Pre-norm transformer block (timm Block parity)."""
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_path: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask: Optional[jnp.ndarray] = None, deterministic: bool = True):
+        c = x.shape[-1]
+        h = nn.LayerNorm(epsilon=LAYERNORM_EPS, name="norm1")(x)
+        h = Attention(
+            num_heads=self.num_heads,
+            qkv_bias=self.qkv_bias,
+            attn_drop=self.attn_drop,
+            proj_drop=self.drop,
+            dtype=self.dtype,
+            name="attn",
+        )(h, mask=mask, deterministic=deterministic)
+        x = x + DropPath(self.drop_path, name="drop_path1")(h, deterministic)
+
+        h = nn.LayerNorm(epsilon=LAYERNORM_EPS, name="norm2")(x)
+        h = Mlp(
+            hidden_features=int(c * self.mlp_ratio),
+            dropout=self.drop,
+            dtype=self.dtype,
+            name="mlp",
+        )(h, deterministic=deterministic)
+        x = x + DropPath(self.drop_path, name="drop_path2")(h, deterministic)
+        return x
+
+
+class PatchEmbed(nn.Module):
+    """Overlapping conv patch embedding ([B, 1, F, T] -> [B, D, F', T']).
+
+    kernel=patch_size, stride=stride, VALID padding — PaSST uses
+    16x16 patches at stride 10 (``passt.py:282-315``).
+    """
+
+    embed_dim: int = 768
+    patch_size: Tuple[int, int] = (16, 16)
+    stride: Tuple[int, int] = (10, 10)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        # x: [B, C_in, F, T] -> NHWC for flax conv
+        x = jnp.transpose(x, (0, 2, 3, 1))
+        x = nn.Conv(
+            features=self.embed_dim,
+            kernel_size=self.patch_size,
+            strides=self.stride,
+            padding="VALID",
+            dtype=self.dtype,
+            name="proj",
+        )(x)
+        # -> [B, D, F', T']
+        return jnp.transpose(x, (0, 3, 1, 2))

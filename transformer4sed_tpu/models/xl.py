@@ -1,0 +1,342 @@
+"""Context networks: TransformerXL rel-pos attention, Conformer, vanilla
+Transformer and BiGRU decoders over the 1000-frame grid.
+
+Parity targets in the reference:
+  * ``RelPositionalEncoding`` (``src/models/transformer/transformerXL.py:40-127``):
+    sinusoidal table covering positive and negative offsets
+    ([+T-1 .. 0 .. -(T-1)]), input scaled by sqrt(d).
+  * ``RelPositionMultiheadAttention`` (``transformerXL.py:129-560``):
+    Transformer-XL Section 3.3 scoring — content term (q + u)·k plus
+    position term (q + v)·R with the rel-shift trick.
+  * ``TransformerXL`` block (``transformerXL.py:23-35``): the slightly
+    unusual residual wiring ``x = norm1(x); x = x + attn(x); x = x +
+    mlp(norm2(x))`` is preserved exactly.
+  * ``ConformerEncoderLayer`` (``src/models/transformer/conformer.py:10-145``):
+    macaron FFN (0.5x) -> rel-pos MHA -> GLU/depthwise conv module ->
+    FFN (0.5x) -> final norm.
+  * Band-diagonal attention masks (``src/models/transformer/mask.py:7-23``).
+
+TPU notes: the rel-shift is a static gather; attention is einsum
+batched over heads on the MXU; masks are additive biases. Layout is
+[B, T, D] throughout (the reference's [T, B, D] permutes disappear).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple, Union
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from transformer4sed_tpu.models.vit import Mlp
+
+
+# -- masks --------------------------------------------------------------------
+
+def diagonal_mask(seq_len: int, mask_width: int) -> np.ndarray:
+    """Boolean [L, L] band mask: True = blocked, False = attendable.
+
+    Row i allows columns [i - w//2, i + w//2) (reference
+    ``mask.py:7-23`` keeps exactly that asymmetric band).
+    """
+    i = np.arange(seq_len)[:, None]
+    j = np.arange(seq_len)[None, :]
+    half = mask_width // 2
+    allowed = (j >= i - half) & (j < i + half)
+    # reference: row band is [max(0, i - w//2), i + w//2) — always allow j == i
+    allowed |= j == i
+    return ~allowed
+
+
+def build_band_mask(seq_len: int, window_len) -> Optional[np.ndarray]:
+    """None | int | per-head sequence -> None | [L, L] | [H, L, L] bool mask."""
+    if window_len is None:
+        return None
+    if isinstance(window_len, int):
+        return diagonal_mask(seq_len, window_len)
+    return np.stack([diagonal_mask(seq_len, w) for w in window_len])
+
+
+# -- relative positional encoding ----------------------------------------------
+
+def rel_positional_encoding(seq_len: int, d_model: int) -> np.ndarray:
+    """[1, 2*seq_len - 1, d] sinusoidal table for offsets [T-1 .. -(T-1)]."""
+    pos = np.arange(seq_len, dtype=np.float64)[:, None]
+    div = np.exp(np.arange(0, d_model, 2, dtype=np.float64) * -(math.log(10000.0) / d_model))
+    pe_pos = np.zeros((seq_len, d_model))
+    pe_neg = np.zeros((seq_len, d_model))
+    pe_pos[:, 0::2] = np.sin(pos * div)
+    pe_pos[:, 1::2] = np.cos(pos * div)
+    pe_neg[:, 0::2] = np.sin(-pos * div)
+    pe_neg[:, 1::2] = np.cos(-pos * div)
+    pe = np.concatenate([pe_pos[::-1], pe_neg[1:]], axis=0)  # [2T-1, d]
+    return pe[None].astype(np.float32)
+
+
+def _rel_shift(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, T, 2T-1] position scores -> [B, H, T, T] aligned scores.
+
+    out[..., i, j] = x[..., i, (T-1) - i + j] (Transformer-XL shift)."""
+    t = x.shape[2]
+    rows = jnp.arange(t)[:, None]
+    cols = jnp.arange(t)[None, :]
+    idx = (t - 1) - rows + cols  # [T, T]
+    return jnp.take_along_axis(x, idx[None, None], axis=3)
+
+
+class RelPositionMultiheadAttention(nn.Module):
+    """Transformer-XL multi-head self-attention with relative positions."""
+
+    num_heads: int
+    attn_drop: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,  # [B, T, D] (already scaled by sqrt(d) by the pos encoder)
+        pos_emb: jnp.ndarray,  # [1, 2T-1, D]
+        mask: Optional[jnp.ndarray] = None,  # bool, [T,T] | [H,T,T] | [B,H,T,T]; True = blocked
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        b, t, d = x.shape
+        h = self.num_heads
+        hd = d // h
+        scale = hd ** -0.5
+
+        qkv = nn.Dense(3 * d, use_bias=True, dtype=self.dtype, name="in_proj")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, t, h, hd)
+        k = k.reshape(b, t, h, hd)
+        v = v.reshape(b, t, h, hd)
+
+        p = nn.Dense(d, use_bias=False, dtype=self.dtype, name="linear_pos")(pos_emb)
+        p = p.reshape(1, -1, h, hd)  # [1, 2T-1, H, hd]
+
+        bias_u = self.param("pos_bias_u", nn.initializers.xavier_uniform(), (h, hd))
+        bias_v = self.param("pos_bias_v", nn.initializers.xavier_uniform(), (h, hd))
+
+        content = jnp.einsum(
+            "bqhd,bkhd->bhqk", q + bias_u, k, preferred_element_type=jnp.float32
+        )
+        position = jnp.einsum(
+            "bqhd,xphd->bhqp", q + bias_v, p, preferred_element_type=jnp.float32
+        )  # [B, H, T, 2T-1]
+        scores = (content + _rel_shift(position)) * scale
+
+        if mask is not None:
+            m = mask
+            while m.ndim < 4:
+                m = m[None]
+            scores = jnp.where(m, jnp.finfo(scores.dtype).min, scores)
+
+        attn = jax.nn.softmax(scores, axis=-1)
+        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn.astype(self.dtype), v).reshape(b, t, d)
+        return nn.Dense(d, use_bias=True, dtype=self.dtype, name="out_proj")(out)
+
+
+class TransformerXLBlock(nn.Module):
+    """XL block with the reference's residual wiring (``transformerXL.py:31-35``)."""
+
+    num_heads: int
+    mlp_ratio: float = 1.0
+    attn_drop: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, pos_emb, mask=None, deterministic: bool = True):
+        d = x.shape[-1]
+        x = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
+        x = x + RelPositionMultiheadAttention(
+            num_heads=self.num_heads, attn_drop=self.attn_drop, dtype=self.dtype, name="attn"
+        )(x, pos_emb, mask=mask, deterministic=deterministic)
+        h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
+        x = x + Mlp(hidden_features=int(d * self.mlp_ratio), dtype=self.dtype, name="mlp")(
+            h, deterministic=deterministic
+        )
+        return x
+
+
+class TransformerXLDecoder(nn.Module):
+    """Stack of XL blocks with optional band-diagonal attention masks."""
+
+    decoder_layer_num: int = 2
+    num_heads: int = 12
+    mlp_ratio: float = 1.0
+    attn_drop: float = 0.0
+    seq_len: int = 1000
+    window_len: Optional[Union[int, Sequence[int]]] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        b, t, d = x.shape
+        pe = jnp.asarray(rel_positional_encoding(self.seq_len, d))
+        center = pe.shape[1] // 2
+        pos_emb = jax.lax.dynamic_slice(pe, (0, center - t + 1, 0), (1, 2 * t - 1, d))
+        x = x * math.sqrt(d)
+        mask = build_band_mask(t, self.window_len)
+        mask = None if mask is None else jnp.asarray(mask)
+        for i in range(self.decoder_layer_num):
+            x = TransformerXLBlock(
+                num_heads=self.num_heads,
+                mlp_ratio=self.mlp_ratio,
+                attn_drop=self.attn_drop,
+                dtype=self.dtype,
+                name=f"encoder_blocks_{i}",
+            )(x, pos_emb, mask=mask, deterministic=deterministic)
+        return x
+
+
+class ConvolutionModule(nn.Module):
+    """Conformer convolution module: pointwise-GLU -> depthwise -> LN -> swish -> pointwise."""
+
+    kernel_size: int = 31
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # [B, T, D]
+        d = x.shape[-1]
+        h = nn.Dense(2 * d, dtype=self.dtype, name="pointwise_conv1")(x)
+        a, g = jnp.split(h, 2, axis=-1)
+        h = a * jax.nn.sigmoid(g)  # GLU
+        h = nn.Conv(
+            features=d,
+            kernel_size=(self.kernel_size,),
+            padding="SAME",
+            feature_group_count=d,
+            dtype=self.dtype,
+            name="depthwise_conv",
+        )(h)
+        h = nn.LayerNorm(epsilon=1e-6, name="norm")(h)
+        h = h * jax.nn.sigmoid(h)  # swish
+        return nn.Dense(d, dtype=self.dtype, name="pointwise_conv2")(h)
+
+
+class ConformerBlock(nn.Module):
+    num_heads: int
+    mlp_ratio: float = 1.0
+    kernel_size: int = 31
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, pos_emb, mask=None, deterministic: bool = True):
+        d = x.shape[-1]
+        ff_dim = int(d * self.mlp_ratio)
+
+        def ff(name, h):
+            h = nn.Dense(ff_dim, dtype=self.dtype, name=f"{name}_1")(h)
+            h = h * jax.nn.sigmoid(h)
+            h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
+            return nn.Dense(d, dtype=self.dtype, name=f"{name}_2")(h)
+
+        x = x + 0.5 * ff("feed_forward_macaron", nn.LayerNorm(epsilon=1e-6, name="norm_ff_macaron")(x))
+        h = nn.LayerNorm(epsilon=1e-6, name="norm_mha")(x)
+        x = x + RelPositionMultiheadAttention(
+            num_heads=self.num_heads, dtype=self.dtype, name="self_attn"
+        )(h, pos_emb, mask=mask, deterministic=deterministic)
+        h = nn.LayerNorm(epsilon=1e-6, name="norm_conv")(x)
+        x = x + ConvolutionModule(kernel_size=self.kernel_size, dtype=self.dtype, name="conv_module")(h)
+        x = x + 0.5 * ff("feed_forward", nn.LayerNorm(epsilon=1e-6, name="norm_ff")(x))
+        return nn.LayerNorm(epsilon=1e-6, name="norm_final")(x)
+
+
+class ConformerDecoder(nn.Module):
+    decoder_layer_num: int = 2
+    num_heads: int = 12
+    mlp_ratio: float = 1.0
+    kernel_size: int = 31
+    seq_len: int = 1000
+    window_len: Optional[int] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        b, t, d = x.shape
+        pe = jnp.asarray(rel_positional_encoding(self.seq_len, d))
+        center = pe.shape[1] // 2
+        pos_emb = jax.lax.dynamic_slice(pe, (0, center - t + 1, 0), (1, 2 * t - 1, d))
+        x = x * math.sqrt(d)
+        mask = build_band_mask(t, self.window_len)
+        mask = None if mask is None else jnp.asarray(mask)
+        for i in range(self.decoder_layer_num):
+            x = ConformerBlock(
+                num_heads=self.num_heads,
+                mlp_ratio=self.mlp_ratio,
+                kernel_size=self.kernel_size,
+                dtype=self.dtype,
+                name=f"blocks_{i}",
+            )(x, pos_emb, mask=mask, deterministic=deterministic)
+        return x
+
+
+class TransformerDecoder(nn.Module):
+    """Vanilla ViT-block decoder with (unused-in-forward) abs pos table.
+
+    The reference computes a sincos/learnable table but never adds it in
+    ``forward`` (``src/models/transformer_decoder.py:46-51``); we keep
+    an ``add_pos_embed`` switch, default False for parity.
+    """
+
+    decoder_layer_num: int = 2
+    num_heads: int = 12
+    mlp_ratio: float = 1.0
+    seq_len: int = 1000
+    attn_drop: float = 0.0
+    add_pos_embed: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        from transformer4sed_tpu.models.vit import Block
+
+        if self.add_pos_embed:
+            t, d = x.shape[1], x.shape[2]
+            pos = jnp.asarray(_sincos_1d(self.seq_len, d))[:t]
+            x = x + pos[None]
+        for i in range(self.decoder_layer_num):
+            x = Block(
+                num_heads=self.num_heads,
+                mlp_ratio=self.mlp_ratio,
+                attn_drop=self.attn_drop,
+                dtype=self.dtype,
+                name=f"blocks_{i}",
+            )(x, deterministic=deterministic)
+        return x
+
+
+def _sincos_1d(seq_len: int, d: int) -> np.ndarray:
+    omega = np.arange(d // 2, dtype=np.float64) / (d / 2.0)
+    omega = 1.0 / 10000 ** omega
+    pos = np.arange(seq_len, dtype=np.float64)
+    out = np.einsum("m,d->md", pos, omega)
+    return np.concatenate([np.sin(out), np.cos(out)], axis=1).astype(np.float32)
+
+
+class BiGRUDecoder(nn.Module):
+    """Bidirectional multi-layer GRU decoder (reference 'gru' option).
+
+    Implemented with ``nn.RNN`` over a GRUCell per direction; output dim
+    is 2*D like torch's bidirectional GRU.
+    """
+
+    hidden_dim: int
+    num_layers: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        h = x
+        for i in range(self.num_layers):
+            fwd = nn.RNN(nn.GRUCell(self.hidden_dim, dtype=self.dtype), name=f"gru_fwd_{i}")(h)
+            bwd = nn.RNN(
+                nn.GRUCell(self.hidden_dim, dtype=self.dtype), reverse=True, keep_order=True,
+                name=f"gru_bwd_{i}",
+            )(h)
+            h = jnp.concatenate([fwd, bwd], axis=-1)
+        return h
