@@ -1,0 +1,251 @@
+"""Training-layer tests: param grouping, optimizer, mean-teacher step
+(loss goes down, EMA tracks), MLM step, and the 8-device CPU mesh path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from transformer4sed_tpu.core import schedules
+from transformer4sed_tpu.frontend import PasstFrontend
+from transformer4sed_tpu.models.passt_sed import PaSST_SED
+from transformer4sed_tpu.parallel import make_mesh, put_batch, shard_train_step
+from transformer4sed_tpu.train.mean_teacher import (
+    MeanTeacherConfig,
+    consistency_weight,
+    create_mean_teacher_state,
+    make_mean_teacher_step,
+    pool_strong_labels,
+)
+from transformer4sed_tpu.train.mlm import MLMConfig, create_mlm_state, make_mlm_step, mlm_loss
+from transformer4sed_tpu.train.optim import (
+    GroupSpec,
+    ParamGroupConfig,
+    build_optimizer,
+    child_tuning,
+    label_params,
+)
+
+KEY = jax.random.PRNGKey(0)
+
+
+def tiny_model(**kw):
+    cfg = dict(
+        class_num=3,
+        embed_dim=32,
+        decoder_dim=32,
+        backbone_depth=2,
+        backbone_num_heads=4,
+        decoder_num_heads=4,
+        at_adapter_heads=4,
+        passt_feature_layer=2,
+        decoder="transformerXL",
+        decoder_layer_num=1,
+        decoder_pos_emd_len=120,
+        at_adapter=True,
+    )
+    cfg.update(kw)
+    return PaSST_SED(**cfg)
+
+
+def tiny_frontend():
+    # 1-second clips at 3.2 kHz -> small mel for CPU tests (frames: (3200-1)//320+1 = 10? -> 10*... )
+    return PasstFrontend(n_mels=128, sr=32000, win_length=800, hop_length=320, n_fft=1024)
+
+
+class TestParamLabels:
+    def setup_method(self):
+        model = tiny_model()
+        mel = jnp.zeros((1, 128, 120))
+        self.params = model.init({"params": KEY}, mel)["params"]
+
+    def test_groups_cover_all(self):
+        cfg = ParamGroupConfig(backbone_depth=2)
+        labels = label_params(self.params, cfg)
+        import flax
+
+        flat = flax.traverse_util.flatten_dict(labels, sep="/")
+        assert set(flat.values()) <= {"encoder_low", "encoder_high", "decoder", "head", "frozen"}
+        # backbone -> encoder, decoder module -> decoder, classifier -> head
+        assert any(k.startswith("backbone/") and v == "encoder_low" for k, v in flat.items())
+        assert any("decoder_module" in k and v == "decoder" for k, v in flat.items())
+        assert flat["classifier/kernel"] == "head"
+
+    def test_step_lr_and_freeze(self):
+        cfg = ParamGroupConfig(
+            encoder=GroupSpec(lr=1e-5, step_lr=1, freeze_layer=1), backbone_depth=2
+        )
+        import flax
+
+        flat = flax.traverse_util.flatten_dict(label_params(self.params, cfg), sep="/")
+        # block 0 frozen (freeze_layer=1), block 1 is top -> encoder_high
+        assert flat["backbone/blocks_0/attn/qkv/kernel"] == "frozen"
+        assert flat["backbone/blocks_1/attn/qkv/kernel"] == "encoder_high"
+        assert flat["backbone/norm/scale"] == "encoder_high"
+
+    def test_frozen_params_not_updated(self):
+        cfg = ParamGroupConfig(
+            encoder=GroupSpec(lr=0.0), decoder=GroupSpec(lr=1e-3), head=GroupSpec(lr=1e-3),
+            backbone_depth=2,
+        )
+        tx, _ = build_optimizer(self.params, cfg)
+        opt_state = tx.init(self.params)
+        grads = jax.tree_util.tree_map(jnp.ones_like, self.params)
+        updates, _ = tx.update(grads, opt_state, self.params)
+        import flax
+
+        flat = flax.traverse_util.flatten_dict(updates, sep="/")
+        assert float(jnp.abs(flat["backbone/blocks_0/attn/qkv/kernel"]).max()) == 0.0
+        assert float(jnp.abs(flat["classifier/kernel"]).max()) > 0.0
+
+
+class TestChildTuning:
+    def test_masks_and_rescales(self):
+        tx = child_tuning(p=0.5, seed=0)
+        grads = {"w": jnp.ones((1000,))}
+        state = tx.init(grads)
+        out, _ = tx.update(grads, state)
+        vals = np.asarray(out["w"])
+        kept = vals[vals != 0]
+        assert abs(len(kept) / 1000 - 0.5) < 0.1
+        np.testing.assert_allclose(kept, 2.0)
+
+
+class TestConsistencyWeight:
+    def test_ramp(self):
+        cfg = MeanTeacherConfig(w_cons_max=40.0, self_loss_warmup_steps=100, cons_scheduler="Linear")
+        assert float(consistency_weight(0, cfg)) == 0.0
+        assert float(consistency_weight(50, cfg)) == pytest.approx(20.0)
+        assert float(consistency_weight(1000, cfg)) == pytest.approx(40.0)
+
+    def test_sigmoid(self):
+        cfg = MeanTeacherConfig(w_cons_max=1.0, self_loss_warmup_steps=100, cons_scheduler="Sigmoid")
+        assert float(consistency_weight(50, cfg)) == pytest.approx(0.5)
+        assert float(consistency_weight(100, cfg)) == pytest.approx(1.0)
+
+    def test_pool_strong_labels(self):
+        lab = jnp.zeros((2, 3, 10)).at[0, 1, :5].set(1.0)
+        out = np.asarray(pool_strong_labels(lab))
+        assert out[0, 1] > 0.9
+        assert out[0, 0] < 1e-4
+
+
+def build_mt_setup(batch=6, t_mel=120):
+    model = tiny_model()
+    frontend = tiny_frontend()
+    cfg = MeanTeacherConfig(
+        strong_num=2,
+        weak_num=2,
+        unlabel_num=2,
+        net_pooling=1,
+        self_loss_warmup_steps=10,
+        w_cons_max=2.0,
+        stu_kwargs={},
+        tch_kwargs={},
+    )
+    n_samples = (t_mel - 1) * 320 + 1  # -> t_mel mel frames after preemphasis
+    wav = np.random.RandomState(0).randn(batch, n_samples).astype(np.float32)
+    t_out = (((t_mel - 16) // 10 + 1) + 1) * 10
+    labels = (np.random.RandomState(1).rand(batch, 3, t_out) > 0.8).astype(np.float32)
+    batch_dict = {"wav": jnp.asarray(wav), "labels": jnp.asarray(labels)}
+
+    mel = frontend(batch_dict["wav"][:1])
+    variables = model.init({"params": KEY}, frontend.normalize(mel))
+
+    def model_apply(params, mel_in, train=False, rngs=None, **kw):
+        return model.apply({"params": params}, mel_in, train=train, rngs=rngs, **kw)
+
+    pg = ParamGroupConfig(
+        encoder=GroupSpec(lr=1e-4),
+        decoder=GroupSpec(lr=1e-3),
+        head=GroupSpec(lr=1e-3),
+        backbone_depth=2,
+    )
+    tx, _ = build_optimizer(variables["params"], pg, schedule=schedules.exponential_down(50, 100))
+    return model_apply, frontend, tx, cfg, variables["params"], batch_dict
+
+
+class TestMeanTeacherStep:
+    def test_step_runs_and_learns(self):
+        model_apply, frontend, tx, cfg, params, batch = build_mt_setup()
+        state = create_mean_teacher_state(params, tx)
+        step = jax.jit(make_mean_teacher_step(model_apply, frontend, tx, cfg))
+        losses = []
+        for i in range(4):
+            state, metrics = step(state, batch, jax.random.PRNGKey(i))
+            losses.append(float(metrics["loss_total"]))
+            assert np.isfinite(losses[-1])
+        assert int(state.step) == 4
+        # teacher must move toward student but stay distinct early
+        diff = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).max()), state.params, state.teacher_params
+        )
+        max_diff = max(jax.tree_util.tree_leaves(diff))
+        assert max_diff > 0
+
+    def test_metrics_keys(self):
+        model_apply, frontend, tx, cfg, params, batch = build_mt_setup()
+        state = create_mean_teacher_state(params, tx)
+        step = jax.jit(make_mean_teacher_step(model_apply, frontend, tx, cfg))
+        _, metrics = step(state, batch, KEY)
+        for k in (
+            "loss_total",
+            "loss_class_strong",
+            "loss_class_weak",
+            "loss_cons_strong",
+            "loss_cons_weak",
+            "loss_cons_at_specific",
+            "w_cons",
+            "grad_norm",
+        ):
+            assert k in metrics
+
+
+class TestMLMStep:
+    def test_mlm_loss_masked_only(self):
+        pred = jnp.ones((2, 10, 4))
+        target = jnp.zeros((2, 10, 4))
+        mask = jnp.zeros((2, 10)).at[:, :5].set(1.0)
+        assert float(mlm_loss(pred, target, mask)) == pytest.approx(1.0)
+        # unmasked diff does not count
+        pred2 = pred.at[:, 5:].set(100.0)
+        assert float(mlm_loss(pred2, target, mask)) == pytest.approx(1.0)
+
+    def test_mlm_step_runs(self):
+        model = tiny_model(mlm=True, mlm_dict={"mask_rate": 0.5, "block_width": 10, "out_dim": 32})
+        frontend = tiny_frontend()
+        t_mel = 120
+        n_samples = (t_mel - 1) * 320 + 1
+        wav = jnp.asarray(np.random.RandomState(0).randn(2, n_samples).astype(np.float32))
+        mel = frontend.normalize(frontend(wav))
+        variables = model.init({"params": KEY, "mlm": KEY}, mel)
+
+        def model_apply(params, mel_in, train=False, rngs=None, **kw):
+            return model.apply({"params": params}, mel_in, train=train, rngs=rngs, **kw)
+
+        tx = optax.adamw(1e-3)
+        from transformer4sed_tpu.train.mlm import MLMState
+
+        state = MLMState(params=variables["params"], opt_state=tx.init(variables["params"]), step=jnp.zeros((), jnp.int32))
+        step = jax.jit(make_mlm_step(model_apply, frontend, tx))
+        state, metrics = step(state, {"wav": wav}, KEY)
+        assert np.isfinite(float(metrics["loss_mlm"]))
+        assert int(state.step) == 1
+
+
+class TestMeshPath:
+    def test_eight_device_mesh_step(self):
+        assert jax.device_count() >= 8, "conftest must provide 8 CPU devices"
+        mesh = make_mesh(8)
+        model_apply, frontend, tx, cfg, params, batch = build_mt_setup(batch=8)
+        # rebuild cfg for batch 8: [4 strong | 2 weak | 2 unlabeled]
+        cfg = MeanTeacherConfig(
+            strong_num=4, weak_num=2, unlabel_num=2, net_pooling=1, self_loss_warmup_steps=10
+        )
+        state = create_mean_teacher_state(params, tx)
+        step = shard_train_step(make_mean_teacher_step(model_apply, frontend, tx, cfg), mesh)
+        sharded_batch = put_batch(batch, mesh)
+        state, metrics = step(state, sharded_batch, KEY)
+        assert np.isfinite(float(metrics["loss_total"]))
+        assert int(state.step) == 1

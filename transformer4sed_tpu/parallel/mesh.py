@@ -1,0 +1,76 @@
+"""SPMD scale-out: device mesh + sharding rules.
+
+The reference's entire parallelism story is single-process
+``nn.DataParallel`` with replicate/scatter/gather per forward and a
+pile of workarounds (attribute-forwarding wrapper, per-GPU query
+expansion, batch divisibility asserts — SURVEY.md §2.4/§5.8). The
+TPU-native replacement is one jitted SPMD program over a
+``jax.sharding.Mesh``:
+
+  * batch axis sharded over 'data' (gradients all-reduced over ICI by
+    XLA automatically);
+  * params/optimizer/EMA trees replicated (the model zoo tops out at
+    ~90 M params — far below per-chip HBM) — a 'model' axis is left in
+    the mesh signature for tensor-parallel extension;
+  * the mean-teacher EMA is a local tree-map: student and teacher carry
+    identical shardings, so no collective is emitted for it.
+
+This removes every DataParallel workaround class. Eval metric
+gathering stays host-side (scores are tiny).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    axis_names: Sequence[str] = ("data",),
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """1-D data mesh by default; pass axis_names=('data', 'model') for 2-D."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    return Mesh(np.array(devices).reshape(shape), axis_names)
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dimension over the data axis."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_train_step(
+    train_step: Callable,
+    mesh: Mesh,
+    donate_state: bool = True,
+) -> Callable:
+    """jit a ``(state, batch, key) -> (state, metrics)`` step over the mesh.
+
+    State/key replicated, batch sharded on its leading dim. XLA inserts
+    the gradient all-reduce over ICI.
+    """
+    repl = replicated_sharding(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, data, repl),  # pytree prefixes: state, batch, key
+        out_shardings=(repl, repl),
+        donate_argnums=(0,) if donate_state else (),
+    )
+
+
+def put_batch(batch: Any, mesh: Mesh) -> Any:
+    """Device-put a host batch with the data sharding."""
+    sharding = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)

@@ -1,0 +1,231 @@
+"""Mean-teacher semi-supervised training — the MAT-SED hot loop as ONE
+jitted program.
+
+The reference epoch body (``recipes/desed/finetune/train.py:129-213``)
+spans the mel frontend, augmentation, student forward, teacher forward
+(no grad), six losses, backward, AdamW step, LR scheduler and EMA
+update, each as separate eager calls. Here the entire body is a single
+pure function of (state, batch, key): XLA fuses frontend+augmentation
+into the backbone's first matmuls, the teacher forward runs under
+``stop_gradient``, and the EMA update is a tree-map on identically
+sharded student/teacher trees (zero extra communication under pjit).
+
+Batch layout is the fixed multi-source composition
+[strong | weak | unlabeled] (``ConcatDatasetBatchSampler`` semantics,
+``src/preprocess/dataset.py:156-195``), so the reference's boolean
+index masks become *static slices*.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from transformer4sed_tpu.core import losses as L
+from transformer4sed_tpu.core.ema import ema_update
+from transformer4sed_tpu.frontend import augment
+
+
+@dataclass(frozen=True)
+class MeanTeacherConfig:
+    # batch composition (strong includes synth, as the reference folds them)
+    strong_num: int = 4
+    weak_num: int = 4
+    unlabel_num: int = 4
+    net_pooling: int = 1
+    # loss weights (config/mat-sed/base/finetune1.yaml 'training' section)
+    w_weak: float = 0.5
+    w_weak_cons: float = 1.0
+    w_at: float = 0.2
+    w_cons_max: float = 40.0
+    w_cons_min: float = 0.0
+    self_loss_warmup_steps: int = 1000
+    cons_scheduler: str = "Sigmoid"  # or "Linear"
+    ema_factor: float = 0.999
+    # augmentation
+    mixup_prob: float = 0.5
+    mixup_alpha: float = 10.0
+    mixup_beta: float = 0.5
+    max_shift_frame: int = 90
+    transform_choice: Tuple[int, int, int, int] = (1, 0, 0, 0)
+    filter_db_range: Tuple[float, float] = (-0.5, 0.5)
+    filter_bands: Tuple[int, int] = (3, 6)
+    filter_minimum_bandwidth: int = 6
+    filter_type: str = "step"
+    freq_mask_ratio: Optional[int] = None
+    noise_snrs: Optional[Tuple[float, float]] = None
+    # model forward kwargs
+    stu_kwargs: Dict[str, Any] = field(default_factory=dict)
+    tch_kwargs: Dict[str, Any] = field(default_factory=dict)
+
+    @property
+    def batch_size(self) -> int:
+        return self.strong_num + self.weak_num + self.unlabel_num
+
+
+@flax.struct.dataclass
+class MeanTeacherState:
+    params: Any
+    teacher_params: Any
+    opt_state: Any
+    step: jnp.ndarray  # int32 scalar, number of completed optimizer steps
+
+
+def consistency_weight(step, cfg: MeanTeacherConfig):
+    """w_cons ramp (reference ``get_self_weight``, ``finetune/train.py:96-115``)."""
+    warm = jnp.clip(step / max(cfg.self_loss_warmup_steps, 1), 0.0, 1.0)
+    if cfg.cons_scheduler == "Sigmoid":
+        warm = jnp.where(warm < 1.0, jax.nn.sigmoid(10.0 * (warm - 0.5)), 1.0)
+    elif cfg.cons_scheduler != "Linear":
+        raise ValueError(f"unknown cons scheduler {cfg.cons_scheduler!r}")
+    return jnp.maximum(cfg.w_cons_max * warm, cfg.w_cons_min)
+
+
+def pool_strong_labels(labels: jnp.ndarray) -> jnp.ndarray:
+    """[N, C, T] strong grid -> [N, C] weak labels via linear-softmax pooling
+    (reference ``pool_strong_labels``, ``finetune/train.py:26-29``)."""
+    x = jnp.clip(labels, 1e-5, 1.0)
+    return jnp.clip(jnp.sum(x * x, axis=-1) / jnp.sum(x, axis=-1), 1e-7, 1.0)
+
+
+def create_mean_teacher_state(params, optimizer: optax.GradientTransformation) -> MeanTeacherState:
+    return MeanTeacherState(
+        params=params,
+        teacher_params=jax.tree_util.tree_map(jnp.copy, params),
+        opt_state=optimizer.init(params),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_mean_teacher_step(
+    model_apply: Callable,
+    frontend,
+    optimizer: optax.GradientTransformation,
+    cfg: MeanTeacherConfig,
+):
+    """Build the jittable train step.
+
+    ``model_apply(params, mel, train, rngs, **kwargs) -> SEDOutput``.
+    ``batch`` = dict(wav=[B, S], labels=[B, C, T_lab]) in
+    [strong | weak | unlabeled] order.
+    """
+    s, w = cfg.strong_num, cfg.weak_num
+
+    def preprocess(batch, key):
+        kmel, kshift, kmix, kmixp, ktrans = jax.random.split(key, 5)
+        mel = frontend(batch["wav"], key=kmel, training=True)
+        mel = frontend.normalize(mel)
+        labels = batch["labels"]
+
+        mel, labels = augment.frame_shift(
+            kshift, mel, labels, net_pooling=cfg.net_pooling, max_shift_frame=cfg.max_shift_frame
+        )
+
+        # mixup within the strong and weak subsets, one shared coefficient,
+        # applied with prob mixup_prob (reference preprocess, train.py:77-80)
+        kc, kps, kpw = jax.random.split(kmix, 3)
+        c = jax.random.beta(kc, cfg.mixup_alpha, cfg.mixup_beta)
+        do_mix = jax.random.uniform(kmixp) < cfg.mixup_prob
+
+        def mix_span(m, lab, key, lo, hi):
+            perm = lo + jax.random.permutation(key, hi - lo)
+            full = jnp.arange(m.shape[0])
+            perm_full = jnp.where((full >= lo) & (full < hi), perm[jnp.clip(full - lo, 0, hi - lo - 1)], full)
+            mixed_m = c * m + (1 - c) * m[perm_full]
+            mixed_l = jnp.clip(c * lab + (1 - c) * lab[perm_full], 0.0, 1.0)
+            span = ((full >= lo) & (full < hi))[:, None, None]
+            return (
+                jnp.where(span & do_mix, mixed_m, m),
+                jnp.where(span & do_mix, mixed_l, lab),
+            )
+
+        mel, labels = mix_span(mel, labels, kps, 0, s)
+        mel, labels = mix_span(mel, labels, kpw, s, s + w)
+
+        stu_mel, tch_mel = augment.feature_transformation(
+            ktrans,
+            mel,
+            n_transform=2,
+            choice=cfg.transform_choice,
+            filter_db_range=cfg.filter_db_range,
+            filter_bands=cfg.filter_bands,
+            filter_minimum_bandwidth=cfg.filter_minimum_bandwidth,
+            filter_type=cfg.filter_type,
+            freq_mask_ratio=cfg.freq_mask_ratio,
+            noise_snrs=cfg.noise_snrs,
+            norm_std=5.0,
+        )
+
+        # weak labels: tag-sum for weak rows, pooled strong grid for strong rows
+        weak_from_strong = pool_strong_labels(labels[:s])
+        weak_from_tags = jnp.sum(labels[s : s + w], axis=-1)
+        return stu_mel, tch_mel, labels, weak_from_strong, weak_from_tags
+
+    def loss_fn(params, teacher_params, batch, key, step):
+        kpre, kstu, ktch = jax.random.split(key, 3)
+        stu_mel, tch_mel, labels, weak_strong, weak_tags = preprocess(batch, kpre)
+
+        stu_rngs = {k: jax.random.fold_in(kstu, i) for i, k in enumerate(("patchout", "dropout", "mlm"))}
+        tch_rngs = {k: jax.random.fold_in(ktch, i) for i, k in enumerate(("patchout", "dropout", "mlm"))}
+
+        stu = model_apply(params, stu_mel, train=True, rngs=stu_rngs, **cfg.stu_kwargs)
+        tch = model_apply(teacher_params, tch_mel, train=True, rngs=tch_rngs, **cfg.tch_kwargs)
+        tch = jax.tree_util.tree_map(jax.lax.stop_gradient, tch)
+
+        # supervised
+        loss_class_strong = L.bce(stu.strong[:s], labels[:s])
+        loss_class_weak = L.bce(stu.weak[s : s + w], weak_tags)
+        loss_class_at = L.bce(stu.at_out[s : s + w], weak_tags)
+        # consistency (teacher targets already stop-gradiented)
+        loss_cons_strong = L.mse(stu.strong, tch.strong)
+        loss_cons_weak = L.mse(stu.weak, tch.at_out)
+        loss_cons_at = L.mse(stu.at_out, tch.at_out)
+
+        w_cons = consistency_weight(step, cfg)
+        self_loss = (
+            loss_cons_strong + cfg.w_weak_cons * loss_cons_weak + cfg.w_at * loss_cons_at
+        ) * w_cons
+        total = (
+            loss_class_strong
+            + cfg.w_weak * loss_class_weak
+            + self_loss
+            + cfg.w_at * loss_class_at
+        )
+        metrics = {
+            "loss_total": total,
+            "loss_class_strong": loss_class_strong,
+            "loss_class_weak": loss_class_weak,
+            "loss_class_at_specific": loss_class_at,
+            "loss_cons_strong": loss_cons_strong,
+            "loss_cons_weak": loss_cons_weak,
+            "loss_cons_at_specific": loss_cons_at,
+            "w_cons": w_cons,
+        }
+        return total, metrics
+
+    def train_step(state: MeanTeacherState, batch, key):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.teacher_params, batch, key, state.step
+        )
+        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        # reference EMA step counter: scheduler.step_num = completed steps + 1,
+        # stepped before the EMA update -> first update sees step_num = 2
+        new_teacher = ema_update(
+            new_params, state.teacher_params, state.step + 2, cfg.ema_factor
+        )
+        new_state = MeanTeacherState(
+            params=new_params,
+            teacher_params=new_teacher,
+            opt_state=new_opt_state,
+            step=state.step + 1,
+        )
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return new_state, metrics
+
+    return train_step

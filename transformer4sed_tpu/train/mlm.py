@@ -1,0 +1,87 @@
+"""Masked-reconstruction (MLM) pretraining step (MAT-SED stage 1).
+
+Loss = MSE between the pre-mask decoder input and the reconstruction at
+masked positions only (``recipes/desed/mlm/mlm_passt/train.py:36-38``),
+implemented as a mask-weighted mean so shapes stay static. Augmentation
+mirrors the reference MLM trainer: frame shift + one
+feature_transformation view (``mlm_passt/train.py:24-33``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from transformer4sed_tpu.frontend import augment
+
+
+def mlm_loss(pred: jnp.ndarray, target: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Mean squared error over masked frames only. pred/target [B,T,C], mask [B,T]."""
+    sq = jnp.sum((pred - target) ** 2, axis=-1)  # [B, T]
+    denom = jnp.maximum(jnp.sum(mask), 1.0) * pred.shape[-1]
+    return jnp.sum(sq * mask) / denom
+
+
+@dataclass(frozen=True)
+class MLMConfig:
+    max_shift_frame: int = 90
+    transform_choice: Tuple[int, int, int, int] = (1, 0, 0, 0)
+    filter_db_range: Tuple[float, float] = (-0.5, 0.5)
+    filter_bands: Tuple[int, int] = (3, 6)
+    filter_minimum_bandwidth: int = 6
+    filter_type: str = "step"
+    freq_mask_ratio: Optional[int] = None
+    noise_snrs: Optional[Tuple[float, float]] = None
+    model_kwargs: Dict[str, Any] = field(default_factory=dict)
+
+
+@flax.struct.dataclass
+class MLMState:
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def create_mlm_state(params, optimizer: optax.GradientTransformation) -> MLMState:
+    return MLMState(params=params, opt_state=optimizer.init(params), step=jnp.zeros((), jnp.int32))
+
+
+def make_mlm_step(model_apply: Callable, frontend, optimizer, cfg: MLMConfig = MLMConfig()):
+    """model_apply(params, mel, train, rngs, **kw) -> SEDOutput with mlm fields."""
+
+    def loss_fn(params, batch, key):
+        kmel, kshift, ktrans, kfwd = jax.random.split(key, 4)
+        mel = frontend(batch["wav"], key=kmel, training=True)
+        mel = frontend.normalize(mel)
+        mel = augment.frame_shift(kshift, mel, max_shift_frame=cfg.max_shift_frame)
+        mel = augment.feature_transformation(
+            ktrans,
+            mel,
+            n_transform=1,
+            choice=cfg.transform_choice,
+            filter_db_range=cfg.filter_db_range,
+            filter_bands=cfg.filter_bands,
+            filter_minimum_bandwidth=cfg.filter_minimum_bandwidth,
+            filter_type=cfg.filter_type,
+            freq_mask_ratio=cfg.freq_mask_ratio,
+            noise_snrs=cfg.noise_snrs,
+            norm_std=5.0,
+        )
+        rngs = {k: jax.random.fold_in(kfwd, i) for i, k in enumerate(("patchout", "dropout", "mlm"))}
+        out = model_apply(params, mel, train=True, rngs=rngs, **cfg.model_kwargs)
+        target = jax.lax.stop_gradient(out.frame_before_mask)
+        loss = mlm_loss(out.mlm_pred, target, out.mask_id_seq.astype(jnp.float32))
+        return loss, {"loss_mlm": loss}
+
+    def train_step(state: MLMState, batch, key):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params, batch, key)
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return MLMState(params=new_params, opt_state=new_opt, step=state.step + 1), metrics
+
+    return train_step

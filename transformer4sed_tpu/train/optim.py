@@ -1,0 +1,153 @@
+"""Optimizer construction: per-module param groups on top of optax.
+
+Reproduces the reference recipes' optimisation policy
+(``recipes/desed/finetune/passt/setting.py:28-103`` +
+``recipes/desed/setting.py:254-278``) as a label tree + multi-transform:
+
+  * 'encoder' (backbone) with optional *step-LR*: the top-N blocks and
+    the final backbone norm train at 2x the encoder LR;
+  * 'decoder' (decoder / f-pool / projector modules);
+  * 'head' (everything else);
+  * lr <= 0 or freeze_layer -> the group label 'frozen'
+    (``optax.set_to_zero``), mirroring requires_grad=False.
+
+Each live group is AdamW(betas=(0.9, 0.999), eps=1e-8) at its own base
+LR scaled by one shared schedule (the reference steps one scheduler
+over all groups). Global-norm clipping runs before the transforms
+(note: the reference calls clip_grad_norm *before* backward, i.e. on
+zeroed grads — a no-op; here clipping is real and on by default).
+
+Also provides ChildTuning-style Bernoulli gradient masking
+(``src/optimizer.py:9-107``, mode-D) as a composable transform.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+
+@dataclass(frozen=True)
+class GroupSpec:
+    lr: float = 1e-4
+    weight_decay: float = 1e-8
+    step_lr: int = 0  # encoder only: top-N blocks at 2x lr
+    freeze_layer: int = 0  # encoder only: freeze blocks [0, k)
+
+
+@dataclass(frozen=True)
+class ParamGroupConfig:
+    encoder: GroupSpec = field(default_factory=GroupSpec)
+    decoder: GroupSpec = field(default_factory=GroupSpec)
+    head: GroupSpec = field(default_factory=GroupSpec)
+    backbone_depth: int = 12
+    clip_grad: float = 20.0
+
+
+_DECODER_KEYWORDS = ("decoder", "f_pool_module", "transformer_projector")
+
+
+def _path_str(path) -> str:
+    return "/".join(str(k.key) if hasattr(k, "key") else str(k) for k in path)
+
+
+def label_params(params, cfg: ParamGroupConfig):
+    """Assign each leaf a group label following the reference policy."""
+
+    def label_of(path, _):
+        name = _path_str(path)
+        if name.startswith("backbone/") or "/backbone/" in name:
+            m = re.search(r"blocks_(\d+)", name)
+            block_idx = int(m.group(1)) if m else None
+            is_final_norm = re.search(r"backbone/norm/", name + "/") is not None
+            # freeze policy: blocks below freeze_layer frozen; final norm always live.
+            # (lr <= 0 freezes the whole backbone: the reference leaves the final
+            # norm 'trainable' but at lr 0, which updates nothing.)
+            if cfg.encoder.lr <= 0:
+                return "frozen"
+            if cfg.encoder.freeze_layer > 0:
+                trainable = (
+                    (block_idx is not None and block_idx + 1 > cfg.encoder.freeze_layer)
+                    or is_final_norm
+                )
+                if not trainable:
+                    return "frozen"
+            if cfg.encoder.step_lr:
+                high = (
+                    block_idx is not None
+                    and cfg.backbone_depth - block_idx <= cfg.encoder.step_lr
+                ) or is_final_norm
+                return "encoder_high" if high else "encoder_low"
+            return "encoder_low"
+        for kw in _DECODER_KEYWORDS:
+            if kw in name:
+                return "frozen" if cfg.decoder.lr <= 0 else "decoder"
+        return "frozen" if cfg.head.lr <= 0 else "head"
+
+    flat = flax.traverse_util.flatten_dict(params, sep=None)
+    labels = {k: label_of(k, v) for k, v in flat.items()}
+    return flax.traverse_util.unflatten_dict(labels)
+
+
+def _adamw(lr: float, weight_decay: float, schedule: Optional[Callable]) -> optax.GradientTransformation:
+    chain = [
+        optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+        optax.add_decayed_weights(weight_decay),
+    ]
+    if schedule is not None:
+        chain.append(optax.scale_by_schedule(lambda step: -lr * schedule(step)))
+    else:
+        chain.append(optax.scale(-lr))
+    return optax.chain(*chain)
+
+
+def build_optimizer(
+    params,
+    cfg: ParamGroupConfig,
+    schedule: Optional[Callable] = None,
+) -> Tuple[optax.GradientTransformation, Any]:
+    """Return (optimizer, label_tree). ``schedule`` maps step -> LR scale."""
+    labels = label_params(params, cfg)
+    transforms = {
+        "encoder_low": _adamw(cfg.encoder.lr, cfg.encoder.weight_decay, schedule),
+        "encoder_high": _adamw(cfg.encoder.lr * 2, cfg.encoder.weight_decay, schedule),
+        "decoder": _adamw(cfg.decoder.lr, cfg.decoder.weight_decay, schedule),
+        "head": _adamw(cfg.head.lr, cfg.head.weight_decay, schedule),
+        "frozen": optax.set_to_zero(),
+    }
+    tx = optax.multi_transform(transforms, labels)
+    if cfg.clip_grad:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.clip_grad), tx)
+    return tx, labels
+
+
+def child_tuning(p: float = 0.3, seed: int = 0) -> optax.GradientTransformation:
+    """ChildTuning-D: keep each gradient coordinate with prob ``p`` (scaled 1/p).
+
+    Functional equivalent of the reference's ``ChildTuningAdamW`` task-free
+    mode (``src/optimizer.py:34-55``): a fresh Bernoulli mask per step,
+    gradients rescaled by 1/p. Compose before the optimizer:
+    ``optax.chain(child_tuning(0.3), adamw)``.
+    """
+
+    def init_fn(params):
+        return {"key": jax.random.PRNGKey(seed)}
+
+    def update_fn(updates, state, params=None):
+        key = state["key"]
+        new_key, sub = jax.random.split(key)
+        leaves, treedef = jax.tree_util.tree_flatten(updates)
+        subkeys = jax.random.split(sub, len(leaves))
+        masked = [
+            g * jax.random.bernoulli(k, p, g.shape).astype(g.dtype) / p
+            for g, k in zip(leaves, subkeys)
+        ]
+        return jax.tree_util.tree_unflatten(treedef, masked), {"key": new_key}
+
+    return optax.GradientTransformation(init_fn, update_fn)
