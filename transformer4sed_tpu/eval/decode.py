@@ -1,0 +1,110 @@
+"""Batch prediction decoding: device score post-processing -> host
+containers / event lists.
+
+Equivalent of ``batched_decode_preds`` / ``decode_pred_batch_fast``
+(``src/codec/decoder.py:15-103``) with the device/host split inverted
+for TPU: weak-prediction masking and per-class median/max filtering run
+*on device* for the whole batch (one fused op instead of a scipy loop
+per class per clip), then a single transfer hands the filtered scores
+to the host for ragged event decoding.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from transformer4sed_tpu.core.codec import LabelCodec
+from transformer4sed_tpu.core.filters import apply_class_filter
+from transformer4sed_tpu.eval.scores import ClipScores
+
+
+def _postprocess_on_device(
+    strong_preds: jnp.ndarray,  # [B, C, T]
+    widths: Union[int, Sequence[int]],
+    filter_type: str,
+    weak_preds: Optional[jnp.ndarray],
+    need_weak_mask: bool,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    scores = jnp.transpose(strong_preds, (0, 2, 1))  # [B, T, C]
+    if need_weak_mask and weak_preds is not None:
+        scores = scores * weak_preds[:, None, :]  # soft mask (decoder.py:80)
+    filtered = apply_class_filter(scores, widths, kind=filter_type)
+    return scores, filtered
+
+
+_postprocess_jit = jax.jit(
+    _postprocess_on_device, static_argnames=("widths", "filter_type", "need_weak_mask")
+)
+
+
+def batched_decode_preds(
+    strong_preds,
+    filenames: Sequence[str],
+    codec: LabelCodec,
+    filter: Union[int, Sequence[int], None] = 7,
+    filter_type: str = "median",
+    pad_idx=None,
+    weak_preds=None,
+    need_weak_mask: bool = False,
+) -> Tuple[Dict[str, ClipScores], Dict[str, ClipScores]]:
+    """[B, C, T] score batch -> per-clip (raw, postprocessed) containers."""
+    widths = filter if filter else 1
+    if isinstance(widths, list):
+        widths = tuple(widths)
+    raw_dev, filt_dev = _postprocess_jit(
+        jnp.asarray(strong_preds),
+        widths,
+        filter_type,
+        None if weak_preds is None else jnp.asarray(weak_preds),
+        bool(need_weak_mask and weak_preds is not None),
+    )
+    raw = np.asarray(raw_dev)
+    filtered = np.asarray(filt_dev)
+
+    scores_raw: Dict[str, ClipScores] = {}
+    scores_post: Dict[str, ClipScores] = {}
+    for j, name in enumerate(filenames):
+        audio_id = Path(name).stem
+        r, f = raw[j], filtered[j]
+        if pad_idx is not None:
+            true_len = int(r.shape[0] * float(pad_idx[j]))
+            r, f = r[:true_len], f[:true_len]
+        ts = codec.frame_to_time(np.arange(len(r) + 1))
+        scores_raw[audio_id] = ClipScores(r, ts, codec.labels)
+        scores_post[audio_id] = ClipScores(f, ts, codec.labels) if filter else scores_raw[audio_id]
+    return scores_raw, scores_post
+
+
+def decode_pred_batch(
+    strong_preds,
+    weak_preds,
+    filenames: Sequence[str],
+    codec: LabelCodec,
+    thresholds: Sequence[float],
+    median_filter: Union[int, Sequence[int]] = 7,
+) -> Dict[float, List[Tuple[str, str, float, float]]]:
+    """Thresholded event decoding (reference ``decode_pred_batch_fast``):
+    hard weak masking (weak < thr -> class zeroed), median filter,
+    binarise, decode to (filename, label, onset, offset) rows."""
+    widths = tuple(median_filter) if isinstance(median_filter, (list, tuple)) else median_filter
+    scores = jnp.transpose(jnp.asarray(strong_preds), (0, 2, 1))  # [B, T, C]
+    out: Dict[float, List] = {}
+    weak = None if weak_preds is None else np.asarray(weak_preds)
+    for thr in thresholds:
+        s = scores
+        if weak is not None:
+            s = s * jnp.asarray(weak >= thr)[:, None, :]
+        s = apply_class_filter(s, widths, kind="median")
+        binary = np.asarray(s > thr).astype(np.float32)
+        rows = []
+        for j, name in enumerate(filenames):
+            fname = Path(name).stem + ".wav"
+            for label, onset, offset in codec.decode_strong(binary[j]):
+                rows.append((fname, label, onset, offset))
+        out[thr] = rows
+    return out

@@ -79,12 +79,19 @@ def rel_positional_encoding(seq_len: int, d_model: int) -> np.ndarray:
 def _rel_shift(x: jnp.ndarray) -> jnp.ndarray:
     """[B, H, T, 2T-1] position scores -> [B, H, T, T] aligned scores.
 
-    out[..., i, j] = x[..., i, (T-1) - i + j] (Transformer-XL shift)."""
-    t = x.shape[2]
-    rows = jnp.arange(t)[:, None]
-    cols = jnp.arange(t)[None, :]
-    idx = (t - 1) - rows + cols  # [T, T]
-    return jnp.take_along_axis(x, idx[None, None], axis=3)
+    out[..., i, j] = x[..., i, (T-1) - i + j] (Transformer-XL shift),
+    realised with the pad/reshape *skew trick* (Music-Transformer style)
+    instead of a gather: on TPU a [B,H,1000,1999] take_along_axis
+    materialises multi-GB scratch (observed 2.7x padded copies + a 7.6G
+    gather buffer); the skew is pure layout manipulation XLA folds into
+    the surrounding fusion.
+    """
+    b, h, t, n = x.shape
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (1, 0)))  # [B,H,T,2T]
+    x = x.reshape(b, h, 2 * t, t)
+    x = x[:, :, 1:, :]  # drop the first T-length row
+    x = x.reshape(b, h, t, 2 * t - 1)
+    return x[..., :t]
 
 
 class RelPositionMultiheadAttention(nn.Module):
