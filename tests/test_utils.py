@@ -1,0 +1,191 @@
+"""Utils tests: YAML include, checkpoint roundtrip, partial load, torch import."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import yaml
+
+from transformer4sed_tpu.utils.checkpoint import (
+    load_partial,
+    restore_checkpoint,
+    restore_params,
+    save_checkpoint,
+    save_params,
+)
+from transformer4sed_tpu.utils.config import load_yaml_with_include, save_config
+from transformer4sed_tpu.utils.torch_import import (
+    check_tree_compatible,
+    convert_passt_sed,
+)
+
+KEY = jax.random.PRNGKey(0)
+
+
+class TestConfig:
+    def test_include(self, tmp_path):
+        base = {"training": {"lr": 1}, "feature": {"n_mels": 128}, "other": 5}
+        with open(tmp_path / "base.yaml", "w") as f:
+            yaml.safe_dump(base, f)
+        child = {
+            "include": {"base_path": "base.yaml", "keys": ["training", "feature"]},
+            "feature": {"n_mels": 64},
+            "generals": {"x": 1},
+        }
+        with open(tmp_path / "child.yaml", "w") as f:
+            yaml.safe_dump(child, f)
+        cfg = load_yaml_with_include(str(tmp_path / "child.yaml"))
+        assert cfg["training"] == {"lr": 1}  # pulled from base
+        assert cfg["feature"] == {"n_mels": 64}  # local wins
+        assert "other" not in cfg
+        assert "include" not in cfg
+
+    def test_save(self, tmp_path):
+        p = save_config({"a": 1}, str(tmp_path / "out"))
+        assert os.path.exists(p)
+
+
+class TestCheckpoint:
+    def test_params_roundtrip(self, tmp_path):
+        params = {"w": jnp.arange(6.0).reshape(2, 3), "b": {"x": jnp.ones((4,))}}
+        path = save_params(str(tmp_path / "p"), params)
+        restored = restore_params(path)
+        np.testing.assert_array_equal(np.asarray(restored["w"]), np.asarray(params["w"]))
+        np.testing.assert_array_equal(np.asarray(restored["b"]["x"]), 1.0)
+
+    def test_state_roundtrip(self, tmp_path):
+        import optax
+
+        from transformer4sed_tpu.train.mean_teacher import create_mean_teacher_state
+
+        params = {"w": jnp.ones((3,))}
+        tx = optax.adamw(1e-3)
+        state = create_mean_teacher_state(params, tx)
+        state = state.replace(step=jnp.asarray(7, jnp.int32))
+        path = save_checkpoint(str(tmp_path / "ck"), state)
+        template = create_mean_teacher_state(params, tx)
+        restored = restore_checkpoint(path, template)
+        assert int(restored.step) == 7
+
+    def test_load_partial_drops(self):
+        params = {"classifier": {"kernel": np.zeros((2, 2))}, "backbone": {"w": np.zeros(3)}}
+        restored = {"classifier": {"kernel": np.ones((2, 2))}, "backbone": {"w": np.ones(3)}}
+        out = load_partial(params, restored, drop_patterns=[r"classifier"])
+        assert out["classifier"]["kernel"].sum() == 0  # dropped
+        assert out["backbone"]["w"].sum() == 3  # loaded
+
+    def test_load_partial_shape_mismatch_skipped(self):
+        params = {"w": np.zeros((2,))}
+        restored = {"w": np.ones((3,))}
+        out = load_partial(params, restored)
+        assert out["w"].shape == (2,)
+        assert out["w"].sum() == 0
+
+
+class TestTorchImport:
+    def test_passt_sed_import_matches_init_tree(self):
+        """Build a synthetic torch-style state dict with reference naming and
+        shapes; the converted tree must exactly cover the flax init tree."""
+        from transformer4sed_tpu.models.passt_sed import PaSST_SED
+
+        d, depth, heads, dec_layers, classes = 32, 2, 4, 1, 5
+        model = PaSST_SED(
+            class_num=classes,
+            embed_dim=d,
+            decoder_dim=d,
+            backbone_depth=depth,
+            backbone_num_heads=heads,
+            decoder_num_heads=heads,
+            at_adapter_heads=heads,
+            passt_feature_layer=2,
+            decoder="transformerXL",
+            decoder_layer_num=dec_layers,
+            decoder_pos_emd_len=200,
+            at_adapter=True,
+        )
+        template = model.init({"params": KEY}, jnp.zeros((1, 128, 200)))["params"]
+
+        rng = np.random.RandomState(0)
+        f_grid, t_grid = 12, 99  # nominal (128, 998) grid
+        sd = {
+            "patch_embed.proj.weight": rng.randn(d, 1, 16, 16).astype(np.float32),
+            "patch_embed.proj.bias": rng.randn(d).astype(np.float32),
+            "cls_token": rng.randn(1, 1, d).astype(np.float32),
+            "dist_token": rng.randn(1, 1, d).astype(np.float32),
+            "new_pos_embed": rng.randn(1, 2, d).astype(np.float32),
+            "freq_new_pos_embed": rng.randn(1, d, f_grid, 1).astype(np.float32),
+            "time_new_pos_embed": rng.randn(1, d, 1, t_grid).astype(np.float32),
+            "norm.weight": np.ones(d, np.float32),
+            "norm.bias": np.zeros(d, np.float32),
+        }
+        sd = {f"backbone.{k}": v for k, v in sd.items()}
+        for i in range(depth):
+            p = f"backbone.blocks.{i}"
+            sd.update(
+                {
+                    f"{p}.norm1.weight": np.ones(d, np.float32),
+                    f"{p}.norm1.bias": np.zeros(d, np.float32),
+                    f"{p}.attn.qkv.weight": rng.randn(3 * d, d).astype(np.float32),
+                    f"{p}.attn.qkv.bias": rng.randn(3 * d).astype(np.float32),
+                    f"{p}.attn.proj.weight": rng.randn(d, d).astype(np.float32),
+                    f"{p}.attn.proj.bias": rng.randn(d).astype(np.float32),
+                    f"{p}.norm2.weight": np.ones(d, np.float32),
+                    f"{p}.norm2.bias": np.zeros(d, np.float32),
+                    f"{p}.mlp.fc1.weight": rng.randn(4 * d, d).astype(np.float32),
+                    f"{p}.mlp.fc1.bias": rng.randn(4 * d).astype(np.float32),
+                    f"{p}.mlp.fc2.weight": rng.randn(d, 4 * d).astype(np.float32),
+                    f"{p}.mlp.fc2.bias": rng.randn(d).astype(np.float32),
+                }
+            )
+        sd.update(
+            {
+                "out_norm.weight": np.ones(d, np.float32),
+                "out_norm.bias": np.zeros(d, np.float32),
+                "classifier.weight": rng.randn(classes, d).astype(np.float32),
+                "classifier.bias": rng.randn(classes).astype(np.float32),
+                "at_adpater.0.f_att_token": rng.randn(1, 1, d).astype(np.float32),
+                "at_adpater.0.frequency_att.in_proj_weight": rng.randn(3 * d, d).astype(np.float32),
+                "at_adpater.0.frequency_att.in_proj_bias": rng.randn(3 * d).astype(np.float32),
+                "at_adpater.0.frequency_att.out_proj.weight": rng.randn(d, d).astype(np.float32),
+                "at_adpater.0.frequency_att.out_proj.bias": rng.randn(d).astype(np.float32),
+                "at_adpater.1.weight": rng.randn(classes, d).astype(np.float32),
+                "at_adpater.1.bias": rng.randn(classes).astype(np.float32),
+            }
+        )
+        for i in range(dec_layers):
+            p = f"decoder.encoder_blocks.{i}"
+            sd.update(
+                {
+                    f"{p}.norm1.weight": np.ones(d, np.float32),
+                    f"{p}.norm1.bias": np.zeros(d, np.float32),
+                    f"{p}.attn.in_proj.weight": rng.randn(3 * d, d).astype(np.float32),
+                    f"{p}.attn.in_proj.bias": rng.randn(3 * d).astype(np.float32),
+                    f"{p}.attn.out_proj.weight": rng.randn(d, d).astype(np.float32),
+                    f"{p}.attn.out_proj.bias": rng.randn(d).astype(np.float32),
+                    f"{p}.attn.linear_pos.weight": rng.randn(d, d).astype(np.float32),
+                    f"{p}.attn.pos_bias_u": rng.randn(heads, d // heads).astype(np.float32),
+                    f"{p}.attn.pos_bias_v": rng.randn(heads, d // heads).astype(np.float32),
+                    f"{p}.norm2.weight": np.ones(d, np.float32),
+                    f"{p}.norm2.bias": np.zeros(d, np.float32),
+                    f"{p}.mlp.fc1.weight": rng.randn(d, d).astype(np.float32),
+                    f"{p}.mlp.fc1.bias": rng.randn(d).astype(np.float32),
+                    f"{p}.mlp.fc2.weight": rng.randn(d, d).astype(np.float32),
+                    f"{p}.mlp.fc2.bias": rng.randn(d).astype(np.float32),
+                }
+            )
+
+        imported = convert_passt_sed(
+            sd, backbone_depth=depth, decoder_layer_num=dec_layers, at_adapter_heads=heads
+        )
+        # the nominal pos embeds in the synthetic dict use the full 128x998
+        # grid; our tiny test model uses the same nominal grid via img_size
+        problems = check_tree_compatible(template, imported)
+        assert problems == {}
+
+        # converted weights must actually run
+        from transformer4sed_tpu.models.passt_sed import PaSST_SED as _M
+
+        out = model.apply({"params": imported}, jnp.zeros((1, 128, 200)))
+        assert out.strong.shape[1] == 5

@@ -1,0 +1,55 @@
+"""YAML config system with single-level ``include:`` inheritance.
+
+Same schema as the reference loader (``src/utils/__init__.py:24-37``):
+a config may contain ``include: {base_path: <relative yaml>, keys:
+[...]}``; the listed top-level keys are pulled from the base file
+(current file wins on conflict — the reference only copies keys that
+are absent). The fully resolved config is dumped to the save folder for
+reproducibility (``recipes/desed/setting.py:23-56`` behaviour).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import yaml
+
+
+def load_yaml_with_include(path: str) -> Dict:
+    with open(path) as f:
+        config = yaml.safe_load(f)
+    include = config.pop("include", None)
+    if include:
+        base_path = include["base_path"]
+        if not os.path.isabs(base_path):
+            base_path = os.path.join(os.path.dirname(path), base_path)
+        with open(base_path) as f:
+            base = yaml.safe_load(f)
+        for key in include["keys"]:
+            if key not in config:
+                config[key] = base[key]
+    return config
+
+
+def save_config(config: Dict, save_folder: str, name: str = "config.yaml") -> str:
+    os.makedirs(save_folder, exist_ok=True)
+    out = os.path.join(save_folder, name)
+    with open(out, "w") as f:
+        yaml.safe_dump(config, f, sort_keys=False)
+    return out
+
+
+def get_save_directories(config: Dict, save_folder: str) -> Dict[str, str]:
+    """Create the standard output layout and return its paths."""
+    paths = {
+        "save_folder": save_folder,
+        "best_paths": os.path.join(save_folder, "best"),
+        "scores": os.path.join(save_folder, "scores"),
+        "log": os.path.join(save_folder, "log.txt"),
+        "tensorboard": os.path.join(save_folder, "tensorboard"),
+    }
+    for key in ("save_folder", "best_paths", "scores", "tensorboard"):
+        os.makedirs(paths[key], exist_ok=True)
+    save_config(config, save_folder)
+    return paths

@@ -1,0 +1,199 @@
+"""Import published torch checkpoints (PaSST / MAT-SED) into flax params.
+
+The reference loads ``passt-s-f128-p16-s10-ap.476-swa.pt`` into its
+timm-style PaSST (``src/models/passt/passt_sed.py:108-115``) and hands
+checkpoints between stages with ``strict=False``. This module maps
+those torch state_dicts onto this repo's flax trees:
+
+  torch key                         -> flax path
+  patch_embed.proj.weight [O,1,H,W] -> patch_embed/proj/kernel [H,W,1,O]
+  blocks.{i}.attn.qkv.weight        -> blocks_{i}/attn/qkv/kernel (T)
+  blocks.{i}.mlp.fc1.weight         -> blocks_{i}/mlp/fc1/kernel (T)
+  norm.weight/bias                  -> norm/scale,bias
+  cls_token, dist_token, new_pos_embed, freq/time_new_pos_embed: as-is
+
+For MAT-SED (PaSST_SED) checkpoints: ``backbone.*`` via the above,
+``out_norm``, XL decoder blocks (in_proj/out_proj/linear_pos/
+pos_bias_u/v + timm-Block mlp), ``classifier``, AT adapter (torch
+nn.MultiheadAttention packed qkv -> flax MultiHeadDotProductAttention
+split heads), ``mask_token``/``mlm_mlp``.
+
+Use :func:`load_torch_state_dict` to read a ``.pt`` file (torch CPU is
+available in this image) and the ``convert_*`` functions to produce
+param trees; combine with ``utils.checkpoint.load_partial`` for the
+reference's strict=False stage hand-offs.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Mapping, Optional
+
+import flax
+import numpy as np
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in sd.items()}
+
+
+def _ln(sd, prefix):
+    return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+
+
+def _dense(sd, prefix):
+    return {"kernel": sd[f"{prefix}.weight"].T, "bias": sd[f"{prefix}.bias"]}
+
+
+def _dense_nobias(sd, prefix):
+    return {"kernel": sd[f"{prefix}.weight"].T}
+
+
+def _vit_block(sd, prefix):
+    return {
+        "norm1": _ln(sd, f"{prefix}.norm1"),
+        "attn": {
+            "qkv": _dense(sd, f"{prefix}.attn.qkv"),
+            "proj": _dense(sd, f"{prefix}.attn.proj"),
+        },
+        "norm2": _ln(sd, f"{prefix}.norm2"),
+        "mlp": {
+            "fc1": _dense(sd, f"{prefix}.mlp.fc1"),
+            "fc2": _dense(sd, f"{prefix}.mlp.fc2"),
+        },
+    }
+
+
+def convert_passt_backbone(sd: Mapping[str, np.ndarray], depth: int = 12) -> Dict:
+    """torch PaSST state_dict -> flax PaSST param tree."""
+    params: Dict = {
+        "patch_embed": {
+            "proj": {
+                # [O, I, H, W] -> [H, W, I, O]
+                "kernel": np.transpose(sd["patch_embed.proj.weight"], (2, 3, 1, 0)),
+                "bias": sd["patch_embed.proj.bias"],
+            }
+        },
+        "cls_token": sd["cls_token"],
+        "new_pos_embed": sd["new_pos_embed"],
+        "freq_new_pos_embed": sd["freq_new_pos_embed"],
+        "time_new_pos_embed": sd["time_new_pos_embed"],
+        "norm": _ln(sd, "norm"),
+    }
+    if "dist_token" in sd:
+        params["dist_token"] = sd["dist_token"]
+    for i in range(depth):
+        params[f"blocks_{i}"] = _vit_block(sd, f"blocks.{i}")
+    return params
+
+
+def _torch_mha_to_flax(sd, prefix, num_heads: int) -> Dict:
+    """torch nn.MultiheadAttention -> flax MultiHeadDotProductAttention."""
+    w = sd[f"{prefix}.in_proj_weight"]  # [3D, D]
+    b = sd[f"{prefix}.in_proj_bias"]
+    d = w.shape[1]
+    hd = d // num_heads
+    wq, wk, wv = np.split(w, 3, axis=0)
+    bq, bk, bv = np.split(b, 3, axis=0)
+
+    def split_heads(wx, bx):
+        return {
+            "kernel": wx.T.reshape(d, num_heads, hd),
+            "bias": bx.reshape(num_heads, hd),
+        }
+
+    return {
+        "query": split_heads(wq, bq),
+        "key": split_heads(wk, bk),
+        "value": split_heads(wv, bv),
+        "out": {
+            "kernel": sd[f"{prefix}.out_proj.weight"].T.reshape(num_heads, hd, d),
+            "bias": sd[f"{prefix}.out_proj.bias"],
+        },
+    }
+
+
+def _xl_block(sd, prefix):
+    return {
+        "norm1": _ln(sd, f"{prefix}.norm1"),
+        "attn": {
+            "in_proj": _dense(sd, f"{prefix}.attn.in_proj"),
+            "out_proj": _dense(sd, f"{prefix}.attn.out_proj"),
+            "linear_pos": _dense_nobias(sd, f"{prefix}.attn.linear_pos"),
+            "pos_bias_u": sd[f"{prefix}.attn.pos_bias_u"],
+            "pos_bias_v": sd[f"{prefix}.attn.pos_bias_v"],
+        },
+        "norm2": _ln(sd, f"{prefix}.norm2"),
+        "mlp": {
+            "fc1": _dense(sd, f"{prefix}.mlp.fc1"),
+            "fc2": _dense(sd, f"{prefix}.mlp.fc2"),
+        },
+    }
+
+
+def convert_passt_sed(
+    sd: Mapping[str, np.ndarray],
+    backbone_depth: int = 12,
+    decoder_layer_num: int = 3,
+    at_adapter_heads: int = 12,
+) -> Dict:
+    """torch PaSST_SED state_dict -> flax PaSST_SED param tree.
+
+    Handles the MAT-SED configuration (XL decoder, AT adapter, optional
+    MLM head). mel_trans buffers (window, preemphasis) are frontend
+    constants here and are skipped.
+    """
+    backbone_sd = {
+        k[len("backbone.") :]: v for k, v in sd.items() if k.startswith("backbone.")
+    }
+    params: Dict = {
+        "backbone": convert_passt_backbone(backbone_sd, depth=backbone_depth),
+        "out_norm": _ln(sd, "out_norm"),
+    }
+    if "classifier.weight" in sd:
+        params["classifier"] = _dense(sd, "classifier")
+    for i in range(decoder_layer_num):
+        key = f"decoder.encoder_blocks.{i}.norm1.weight"
+        if key in sd:
+            params.setdefault("decoder_module", {})[f"encoder_blocks_{i}"] = _xl_block(
+                sd, f"decoder.encoder_blocks.{i}"
+            )
+    if "at_adpater.0.f_att_token" in sd:
+        params["at_pool"] = {
+            "f_att_token": sd["at_adpater.0.f_att_token"],
+            "frequency_att": _torch_mha_to_flax(sd, "at_adpater.0.frequency_att", at_adapter_heads),
+        }
+        params["at_head"] = _dense(sd, "at_adpater.1")
+    if "f_pool_module.f_att_token" in sd:
+        params["f_pool_module"] = {
+            "f_att_token": sd["f_pool_module.f_att_token"],
+            "frequency_att": _torch_mha_to_flax(sd, "f_pool_module.frequency_att", 6),
+        }
+    if "mask_token" in sd:
+        params["mask_token"] = sd["mask_token"]
+    if "mlm_mlp.0.weight" in sd:
+        params["mlm_fc1"] = _dense(sd, "mlm_mlp.0")
+        params["mlm_fc2"] = _dense(sd, "mlm_mlp.2")
+    return params
+
+
+def check_tree_compatible(template, imported) -> Dict[str, str]:
+    """Shape-compare an imported tree against a model-init template.
+
+    Returns {path: problem} for missing or mismatched leaves (empty =
+    fully compatible).
+    """
+    t = flax.traverse_util.flatten_dict(template, sep="/")
+    m = flax.traverse_util.flatten_dict(imported, sep="/")
+    problems = {}
+    for k, v in t.items():
+        if k not in m:
+            problems[k] = "missing"
+        elif tuple(np.shape(m[k])) != tuple(np.shape(v)):
+            problems[k] = f"shape {np.shape(m[k])} != {np.shape(v)}"
+    return problems
