@@ -1,0 +1,193 @@
+"""Tests for the CNN branch library, PaSST_CNN merge, and LoRA."""
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from transformer4sed_tpu.models.cnn import CNN, FDY_CNN, ResNet
+from transformer4sed_tpu.models.lora import (
+    LoRADense,
+    lora_label_fn,
+    lora_params,
+    merge_lora,
+)
+from transformer4sed_tpu.models.passt import PaSST
+from transformer4sed_tpu.models.passt_cnn import PaSST_CNN
+
+KEY = jax.random.PRNGKey(0)
+
+
+class TestCNN:
+    def test_base_cnn_shapes(self):
+        cnn = CNN(
+            nb_filters=(16, 16, 16),
+            pooling=((1, 4), (1, 4), (1, 4)),
+            activation="glu",
+            normalization="layer",
+        )
+        x = jnp.zeros((2, 1, 100, 64))  # [B, 1, T, F]
+        params = cnn.init(KEY, x)
+        out = cnn.apply(params, x)
+        assert out.shape == (2, 16, 100, 1)
+
+    def test_base_cnn_batchnorm_mutable(self):
+        cnn = CNN(nb_filters=(8,), pooling=((1, 2),), normalization="batch")
+        x = jnp.asarray(np.random.RandomState(0).randn(2, 1, 10, 8).astype(np.float32))
+        variables = cnn.init(KEY, x)
+        out, updated = cnn.apply(variables, x, train=True, mutable=["batch_stats"])
+        assert out.shape == (2, 8, 10, 4)
+        assert "batch_stats" in updated
+
+    def test_fdy_cnn(self):
+        cnn = FDY_CNN(
+            nb_filters=(8, 8),
+            kernel=(3, 3),
+            pad=(1, 1),
+            stride=(1, 1),
+            pooling=((1, 2), (1, 2)),
+            DY_layers=(0, 1),
+            normalization="layer",
+        )
+        x = jnp.asarray(np.random.RandomState(1).randn(2, 1, 20, 16).astype(np.float32))
+        variables = cnn.init(KEY, x)
+        out, _ = cnn.apply(variables, x, train=True, mutable=["batch_stats"])
+        assert out.shape == (2, 8, 20, 4)
+
+    def test_dynamic_conv_attention_sums_to_one(self):
+        from transformer4sed_tpu.models.cnn import DynamicConv2d
+
+        m = DynamicConv2d(out_planes=4, n_basis_kernels=3)
+        x = jnp.asarray(np.random.RandomState(2).randn(1, 10, 8, 4).astype(np.float32))
+        variables = m.init(KEY, x)
+        out = m.apply(variables, x)
+        assert out.shape == (1, 10, 8, 4)
+
+    def test_resnet(self):
+        net = ResNet(nb_filters=(8, 8, 8), pooling=((1, 4), (1, 4), (1, 4)), v2=True)
+        x = jnp.zeros((1, 1, 32, 64))
+        variables = net.init(KEY, x)
+        out, _ = net.apply(variables, x, train=True, mutable=["batch_stats"])
+        assert out.shape == (1, 8, 32, 1)
+
+    def test_resnet_cnn1d_head(self):
+        net = ResNet(
+            nb_filters=(8, 8),
+            pooling=((1, 8), (1, 8)),
+            cnn_1d_filters=(12,),
+            cnn_1d_kernels=(3,),
+        )
+        x = jnp.zeros((1, 1, 16, 64))
+        variables = net.init(KEY, x)
+        out = net.apply(variables, x)
+        assert out.shape == (1, 12, 16, 1)
+
+
+class TestPaSSTCNN:
+    def test_merge_forward(self):
+        model = PaSST_CNN(
+            class_num=4,
+            embed_dim=32,
+            decoder_dim=32,
+            backbone_depth=2,
+            backbone_num_heads=4,
+            decoder_num_heads=4,
+            at_adapter_heads=4,
+            passt_feature_layer=2,
+            decoder="transformerXL",
+            decoder_layer_num=1,
+            decoder_pos_emd_len=200,
+            at_adapter=True,
+            cnn_name="base",
+            cnn_param={
+                "nb_filters": (8, 8, 16),
+                "pooling": ((1, 4), (1, 4), (1, 8)),
+                "normalization": "layer",
+                "activation": "glu",
+            },
+        )
+        mel = jnp.asarray(np.random.RandomState(0).randn(2, 128, 200).astype(np.float32))
+        variables = model.init({"params": KEY}, mel)
+        out = model.apply(variables, mel)
+        assert out.strong.shape == (2, 4, 200)
+        assert out.weak.shape == (2, 4)
+        # merge_weight exists and CNN branch contributes
+        assert "merge_weight" in variables["params"]
+
+    def test_without_cnn_param(self):
+        model = PaSST_CNN(
+            class_num=3,
+            embed_dim=32,
+            decoder_dim=32,
+            backbone_depth=2,
+            backbone_num_heads=4,
+            decoder_num_heads=4,
+            passt_feature_layer=2,
+            decoder="no",
+            decoder_pos_emd_len=200,
+            cnn_param=None,
+        )
+        mel = jnp.zeros((1, 128, 200))
+        variables = model.init({"params": KEY}, mel)
+        out = model.apply(variables, mel)
+        assert out.strong.shape == (1, 3, 200)
+
+
+class TestLoRA:
+    def test_identity_at_init(self):
+        dense = LoRADense(features=8, rank=4, alpha=8.0)
+        x = jnp.asarray(np.random.RandomState(0).randn(3, 6).astype(np.float32))
+        params = dense.init(KEY, x)
+        # B initialised to zero -> output equals base dense
+        base = x @ params["params"]["kernel"] + params["params"]["bias"]
+        np.testing.assert_allclose(np.asarray(dense.apply(params, x)), np.asarray(base), atol=1e-6)
+
+    def test_merge_lora_equivalence(self):
+        dense = LoRADense(features=8, rank=2, alpha=4.0)
+        x = jnp.asarray(np.random.RandomState(1).randn(3, 6).astype(np.float32))
+        params = dense.init(KEY, x)["params"]
+        # give B nonzero values
+        params = dict(params)
+        params["lora_B"] = jnp.asarray(np.random.RandomState(2).randn(2, 8).astype(np.float32))
+        out_lora = dense.apply({"params": params}, x)
+        merged = merge_lora({"params": params}, alpha_over_rank=4.0 / 2)["params"]
+        assert "lora_A" not in merged
+        out_merged = x @ merged["kernel"] + merged["bias"]
+        np.testing.assert_allclose(np.asarray(out_lora), np.asarray(out_merged), atol=1e-5)
+
+    def test_passt_lora_params_exist(self):
+        model = PaSST(
+            embed_dim=32, depth=2, num_heads=4, img_size=(32, 100), tap_layers=(2,), lora_rank=2
+        )
+        x = jnp.zeros((1, 1, 32, 100))
+        params = model.init({"params": KEY}, x)["params"]
+        flat = flax.traverse_util.flatten_dict(params, sep="/")
+        assert "blocks_0/attn/qkv/lora_A" in flat
+        assert "blocks_0/attn/proj/lora_B" in flat
+
+    def test_lora_label_fn(self):
+        model = PaSST(
+            embed_dim=32, depth=1, num_heads=4, img_size=(32, 100), tap_layers=(1,), lora_rank=2
+        )
+        params = model.init({"params": KEY}, jnp.zeros((1, 1, 32, 100)))["params"]
+        labels = lora_label_fn(params)
+        flat = flax.traverse_util.flatten_dict(labels, sep="/")
+        assert flat["blocks_0/attn/qkv/lora_A"] == "lora"
+        assert flat["blocks_0/attn/qkv/kernel"] == "frozen"
+        # optimizer integration: frozen params get zero updates
+        tx = optax.multi_transform(
+            {"lora": optax.sgd(1.0), "frozen": optax.set_to_zero()}, labels
+        )
+        grads = jax.tree_util.tree_map(jnp.ones_like, params)
+        updates, _ = tx.update(grads, tx.init(params), params)
+        uflat = flax.traverse_util.flatten_dict(updates, sep="/")
+        assert float(jnp.abs(uflat["blocks_0/attn/qkv/kernel"]).max()) == 0
+        assert float(jnp.abs(uflat["blocks_0/attn/qkv/lora_A"]).max()) > 0
+
+    def test_lora_params_filter(self):
+        dense = LoRADense(features=4, rank=2)
+        params = dense.init(KEY, jnp.zeros((1, 3)))["params"]
+        only = lora_params(params)
+        flat = flax.traverse_util.flatten_dict(only, sep="/")
+        assert set(flat) == {"lora_A", "lora_B"}

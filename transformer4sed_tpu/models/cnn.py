@@ -1,0 +1,304 @@
+"""CNN branch library: DCASE CRNN-style CNN, frequency-dynamic (FDY)
+convolution, and a ResNet variant.
+
+Parity targets in the reference:
+  * ``CNN`` (``src/models/cnn/base.py:33-113``): conv -> batch/group
+    norm -> {relu, leakyrelu, GLU, context-gating} -> avg-pool pyramid.
+  * ``FDY_CNN`` / ``Dynamic_conv2d`` (``src/models/cnn/FDY_cnn.py:7-117``):
+    per-frame attention over ``n_basis_kernels`` basis convolutions with
+    temperature softmax (pool over freq); realised as ONE grouped conv
+    producing n_ker*out channels then an attention-weighted sum — the
+    same trick the reference uses, which keeps the MXU busy with a
+    single big conv instead of n_ker small ones.
+  * ``ResNet`` (``src/models/cnn/resnet.py:26-255``): basic + v2
+    (pre-act) blocks, optional DropBlock, optional 1-D conv head after
+    squeezing the freq axis.
+
+Layout: inputs are [B, 1, T, F] (the reference feeds
+``mel.transpose(1, 2).unsqueeze(1)``); internally NHWC for flax convs.
+BatchNorm uses a 'batch_stats' collection: pass ``train=True`` and
+``mutable=['batch_stats']`` during training, or use
+``normalization='layer'`` (GroupNorm(1), stat-free — TPU-friendlier).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def _norm(kind: str, name: str, train: bool):
+    if kind == "batch":
+        return nn.BatchNorm(
+            use_running_average=not train, momentum=0.99, epsilon=0.001, name=name
+        )
+    return nn.GroupNorm(num_groups=1, name=name)
+
+
+class GLUGate(nn.Module):
+    """x * sigmoid path with a linear on the channel axis (reference GLU)."""
+
+    @nn.compact
+    def __call__(self, x):  # NHWC
+        lin = nn.Dense(x.shape[-1], name="linear")(x)
+        return lin * jax.nn.sigmoid(x)
+
+
+class ContextGating(nn.Module):
+    @nn.compact
+    def __call__(self, x):  # NHWC
+        lin = nn.Dense(x.shape[-1], name="linear")(x)
+        return x * jax.nn.sigmoid(lin)
+
+
+def _activation(name: str, module_name: str):
+    name = name.lower()
+    if name == "relu":
+        return jax.nn.relu
+    if name == "leakyrelu":
+        return lambda x: jax.nn.leaky_relu(x, 0.2)
+    if name == "glu":
+        return GLUGate(name=module_name)
+    if name == "cg":
+        return ContextGating(name=module_name)
+    raise ValueError(f"unknown activation {name!r}")
+
+
+class CNN(nn.Module):
+    """CRNN-style conv pyramid. Input [B, 1, T, F] -> [B, C, T', F']."""
+
+    n_in_channel: int = 1
+    activation: str = "glu"
+    conv_dropout: float = 0.0
+    kernel_size: Sequence[int] = (3, 3, 3)
+    padding: Sequence[int] = (1, 1, 1)
+    stride: Sequence[int] = (1, 1, 1)
+    nb_filters: Sequence[int] = (64, 64, 64)
+    pooling: Sequence[Tuple[int, int]] = ((1, 4), (1, 4), (1, 4))
+    normalization: str = "batch"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        h = jnp.transpose(x, (0, 2, 3, 1))  # -> NHWC
+        for i, filters in enumerate(self.nb_filters):
+            h = nn.Conv(
+                filters,
+                kernel_size=(self.kernel_size[i], self.kernel_size[i]),
+                strides=(self.stride[i], self.stride[i]),
+                padding=self.padding[i],
+                dtype=self.dtype,
+                name=f"conv{i}",
+            )(h)
+            h = _norm(self.normalization, f"norm{i}", train)(h)
+            act = _activation(self.activation, f"act{i}")
+            h = act(h)
+            if self.conv_dropout:
+                h = nn.Dropout(self.conv_dropout)(h, deterministic=not train)
+            pt, pf = self.pooling[i]
+            h = nn.avg_pool(h, window_shape=(pt, pf), strides=(pt, pf))
+        return jnp.transpose(h, (0, 3, 1, 2))  # -> [B, C, T', F']
+
+
+class DynamicConv2d(nn.Module):
+    """Frequency-dynamic convolution: attention over basis kernels.
+
+    Attention path (pool_dim='freq'): mean over freq -> conv1d(k) ->
+    BN -> relu -> conv1d(1) -> softmax(/temperature) over kernels, per
+    frame.
+    """
+
+    out_planes: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 1
+    n_basis_kernels: int = 4
+    temperature: float = 31.0
+    pool_dim: str = "freq"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:  # NHWC [B,T,F,C]
+        b, t, f, c = x.shape
+        nk = self.n_basis_kernels
+        hidden = max(c // 4, 4)
+
+        if self.pool_dim == "freq":
+            a = jnp.mean(x, axis=2)  # [B, T, C]
+        elif self.pool_dim == "time":
+            a = jnp.mean(x, axis=1)  # [B, F, C]
+        elif self.pool_dim == "chan":
+            a = jnp.mean(x, axis=3)  # [B, T, F] -> treat F as channels
+            a = a  # [B, T, F]
+        elif self.pool_dim == "both":
+            a = jnp.mean(x, axis=(1, 2))  # [B, C]
+        else:
+            raise ValueError(self.pool_dim)
+
+        if self.pool_dim == "both":
+            a = nn.Dense(hidden, name="att_fc1")(a)
+            a = jax.nn.relu(a)
+            att = nn.Dense(nk, name="att_fc2")(a)  # [B, nk]
+            att = jax.nn.softmax(att / self.temperature, axis=-1)
+            att = att[:, None, None, :, None]  # [B,1,1,nk,1]
+        else:
+            a = nn.Conv(
+                hidden,
+                kernel_size=(self.kernel_size,),
+                strides=(self.stride,),
+                padding=self.padding,
+                use_bias=False,
+                dtype=self.dtype,
+                name="att_conv1",
+            )(a)
+            a = nn.BatchNorm(use_running_average=not train, name="att_bn")(a)
+            a = jax.nn.relu(a)
+            att = nn.Conv(nk, kernel_size=(1,), dtype=self.dtype, name="att_conv2")(a)
+            att = jax.nn.softmax(att / self.temperature, axis=-1)  # [B, T|F, nk]
+            if self.pool_dim in ("freq", "chan"):
+                att = att[:, :, None, :, None]  # [B,T,1,nk,1]
+            else:
+                att = att[:, None, :, :, None]  # [B,1,F,nk,1]
+
+        # one conv with nk*out channels, then weighted sum over the basis dim
+        y = nn.Conv(
+            nk * self.out_planes,
+            kernel_size=(self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding=self.padding,
+            use_bias=False,
+            dtype=self.dtype,
+            name="basis_conv",
+        )(x)
+        y = y.reshape(b, y.shape[1], y.shape[2], nk, self.out_planes)
+        return jnp.sum(y * att, axis=3)  # [B, T, F, out]
+
+
+class FDY_CNN(nn.Module):
+    """Frequency-dynamic CNN pyramid (reference FDY_CNN)."""
+
+    n_input_ch: int = 1
+    activation: str = "glu"
+    conv_dropout: float = 0.0
+    kernel: Sequence[int] = (3, 3, 3)
+    pad: Sequence[int] = (1, 1, 1)
+    stride: Sequence[int] = (1, 1, 1)
+    nb_filters: Sequence[int] = (64, 64, 64)
+    pooling: Sequence[Tuple[int, int]] = ((1, 4), (1, 4), (1, 4))
+    normalization: str = "batch"
+    n_basis_kernels: int = 4
+    DY_layers: Sequence[int] = (0, 1, 1, 1, 1, 1, 1)
+    temperature: float = 31.0
+    pool_dim: str = "freq"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        h = jnp.transpose(x, (0, 2, 3, 1))  # NHWC
+        for i, filters in enumerate(self.nb_filters):
+            if self.DY_layers[i] == 1:
+                h = DynamicConv2d(
+                    out_planes=filters,
+                    kernel_size=self.kernel[i],
+                    stride=self.stride[i],
+                    padding=self.pad[i],
+                    n_basis_kernels=self.n_basis_kernels,
+                    temperature=self.temperature,
+                    pool_dim=self.pool_dim,
+                    dtype=self.dtype,
+                    name=f"conv{i}",
+                )(h, train=train)
+            else:
+                h = nn.Conv(
+                    filters,
+                    kernel_size=(self.kernel[i], self.kernel[i]),
+                    strides=(self.stride[i], self.stride[i]),
+                    padding=self.pad[i],
+                    dtype=self.dtype,
+                    name=f"conv{i}",
+                )(h)
+            h = _norm(self.normalization, f"norm{i}", train)(h)
+            h = _activation(self.activation, f"act{i}")(h)
+            if self.conv_dropout:
+                h = nn.Dropout(self.conv_dropout)(h, deterministic=not train)
+            pt, pf = self.pooling[i]
+            h = nn.avg_pool(h, window_shape=(pt, pf), strides=(pt, pf))
+        return jnp.transpose(h, (0, 3, 1, 2))
+
+
+class _BasicBlock(nn.Module):
+    mid_channel: int
+    out_channel: int
+    stride: int = 1
+    v2: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:  # NHWC
+        in_ch = x.shape[-1]
+        residual = x
+        if self.v2:  # pre-activation
+            h = nn.BatchNorm(use_running_average=not train, name="bn1")(x)
+            h = jax.nn.relu(h)
+            h = nn.Conv(self.mid_channel, (3, 3), (self.stride, self.stride), padding=1,
+                        use_bias=False, dtype=self.dtype, name="conv1")(h)
+            h = nn.BatchNorm(use_running_average=not train, name="bn2")(h)
+            h = jax.nn.relu(h)
+            h = nn.Conv(self.out_channel, (3, 3), padding=1, use_bias=False,
+                        dtype=self.dtype, name="conv2")(h)
+        else:
+            h = nn.Conv(self.mid_channel, (3, 3), (self.stride, self.stride), padding=1,
+                        use_bias=False, dtype=self.dtype, name="conv1")(x)
+            h = nn.BatchNorm(use_running_average=not train, name="bn1")(h)
+            h = jax.nn.relu(h)
+            h = nn.Conv(self.out_channel, (3, 3), padding=1, use_bias=False,
+                        dtype=self.dtype, name="conv2")(h)
+            h = nn.BatchNorm(use_running_average=not train, name="bn2")(h)
+        if in_ch != self.out_channel or self.stride != 1:
+            residual = nn.Conv(self.out_channel, (1, 1), (self.stride, self.stride),
+                               use_bias=False, dtype=self.dtype, name="downsample")(residual)
+        out = h + residual
+        return out if self.v2 else jax.nn.relu(out)
+
+
+class ResNet(nn.Module):
+    """ResNet conv branch with optional 1-D head (reference ResNet)."""
+
+    n_in_channel: int = 1
+    nb_filters: Sequence[int] = (64, 64, 64)
+    pooling: Sequence[Tuple[int, int]] = ((1, 4), (1, 4), (1, 4))
+    v2: bool = False
+    cnn_1d_filters: Optional[Sequence[int]] = None
+    cnn_1d_kernels: Optional[Sequence[int]] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        h = jnp.transpose(x, (0, 2, 3, 1))  # NHWC
+        h = nn.Conv(self.nb_filters[0], (3, 3), padding=1, use_bias=False,
+                    dtype=self.dtype, name="stem")(h)
+        pt, pf = self.pooling[0]
+        h = nn.avg_pool(h, (pt, pf), (pt, pf))
+        for i in range(1, len(self.nb_filters)):
+            h = _BasicBlock(
+                mid_channel=self.nb_filters[i],
+                out_channel=self.nb_filters[i],
+                v2=self.v2,
+                dtype=self.dtype,
+                name=f"block{i}",
+            )(h, train=train)
+            pt, pf = self.pooling[i]
+            h = nn.avg_pool(h, (pt, pf), (pt, pf))
+        if self.cnn_1d_filters:
+            # squeeze freq (must be pooled to 1), run 1-D convs over time
+            assert h.shape[2] == 1, "cnn_1d head requires freq pooled to 1"
+            s = h[:, :, 0, :]  # [B, T, C]
+            for j, (flt, ker) in enumerate(zip(self.cnn_1d_filters, self.cnn_1d_kernels)):
+                s = nn.Conv(flt, (ker,), padding="SAME", dtype=self.dtype, name=f"cnn1d_{j}")(s)
+                s = nn.BatchNorm(use_running_average=not train, name=f"cnn1d_bn{j}")(s)
+                s = jax.nn.relu(s)
+            h = s[:, :, None, :]
+        return jnp.transpose(h, (0, 3, 1, 2))

@@ -159,6 +159,8 @@ class PaSST(nn.Module):
                 qkv_bias=self.qkv_bias,
                 drop=self.drop_rate,
                 attn_drop=self.attn_drop_rate,
+                lora_rank=self.lora_rank,
+                lora_alpha=self.lora_alpha,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
             )(h, deterministic=not train)

@@ -69,6 +69,8 @@ class PaSST_SED(nn.Module):
     backbone_num_heads: int = 12
     decoder_num_heads: int = 12
     at_adapter_heads: int = 12
+    lora_rank: int = 0
+    lora_alpha: float = 1.0
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -79,6 +81,8 @@ class PaSST_SED(nn.Module):
             s_patchout_f=self.s_patchout_f,
             s_patchout_t=self.s_patchout_t,
             tap_layers=(self.passt_feature_layer,),
+            lora_rank=self.lora_rank,
+            lora_alpha=self.lora_alpha,
             dtype=self.dtype,
         )
         self.out_norm = nn.LayerNorm(epsilon=1e-5)

@@ -51,21 +51,36 @@ class Attention(nn.Module):
     Mask semantics match the reference (``passt.py:330-344``): ``True``
     positions are *blocked* (filled with -inf before softmax). The mask
     may be [L, S], [B, L, S] or [B, H, L, S].
+
+    ``lora_rank > 0`` swaps the qkv and output projections for LoRA
+    Dense layers (reference passt_lora wraps exactly these two —
+    ``src/models/passt/passt_lora.py:122-124``); base kernels keep the
+    same param paths so torch checkpoint import is unaffected.
     """
 
     num_heads: int
     qkv_bias: bool = True
     attn_drop: float = 0.0
     proj_drop: float = 0.0
+    lora_rank: int = 0
+    lora_alpha: float = 1.0
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None, deterministic: bool = True):
+        from transformer4sed_tpu.models.lora import LoRADense
+
         b, n, c = x.shape
         head_dim = c // self.num_heads
         scale = head_dim ** -0.5
 
-        qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        if self.lora_rank > 0:
+            qkv = LoRADense(
+                3 * c, rank=self.lora_rank, alpha=self.lora_alpha,
+                use_bias=self.qkv_bias, dtype=self.dtype, name="qkv",
+            )(x)
+        else:
+            qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, H, hd]
 
@@ -79,7 +94,12 @@ class Attention(nn.Module):
 
         out = jnp.einsum("bhqk,bkhd->bqhd", attn.astype(self.dtype), v)
         out = out.reshape(b, n, c)
-        out = nn.Dense(c, dtype=self.dtype, name="proj")(out)
+        if self.lora_rank > 0:
+            out = LoRADense(
+                c, rank=self.lora_rank, alpha=self.lora_alpha, dtype=self.dtype, name="proj"
+            )(out)
+        else:
+            out = nn.Dense(c, dtype=self.dtype, name="proj")(out)
         out = nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
         return out
 
@@ -109,6 +129,8 @@ class Block(nn.Module):
     drop: float = 0.0
     attn_drop: float = 0.0
     drop_path: float = 0.0
+    lora_rank: int = 0
+    lora_alpha: float = 1.0
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -120,6 +142,8 @@ class Block(nn.Module):
             qkv_bias=self.qkv_bias,
             attn_drop=self.attn_drop,
             proj_drop=self.drop,
+            lora_rank=self.lora_rank,
+            lora_alpha=self.lora_alpha,
             dtype=self.dtype,
             name="attn",
         )(h, mask=mask, deterministic=deterministic)
