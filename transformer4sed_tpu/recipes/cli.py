@@ -1,0 +1,133 @@
+"""Recipe CLI: ``python -m transformer4sed_tpu.recipes.cli <stage> ...``.
+
+Stage layout mirrors the reference's per-recipe mains + train.sh
+chaining (``exps/mat-sed/base/train.sh``):
+
+  matsed_pretrain  — masked-reconstruction MLM (stage 1)
+  matsed_finetune  — mean-teacher semi-supervised fine-tune (stages 2-3;
+                     finetune2 differs only by config: encoder_win)
+  matsed_test      — test with median/max filter
+
+Stage hand-off uses ``--pretrained_ckpt`` (orbax param tree) with the
+reference's strict=False key-drop conventions.
+"""
+
+from __future__ import annotations
+
+import sys
+
+import jax
+import jax.numpy as jnp
+
+
+def build_model(config):
+    from transformer4sed_tpu.frontend import PasstFrontend
+    from transformer4sed_tpu.models.passt_sed import PaSST_SED
+    from transformer4sed_tpu.models.passt_cnn import PaSST_CNN
+    from transformer4sed_tpu.models.dasm import DASM
+
+    name = config.get("model_name", "PaSST_SED")
+    kwargs = dict(config.get(name, {}).get("init_kwargs", {}))
+    model_cls = {"PaSST_SED": PaSST_SED, "PaSST_CNN": PaSST_CNN, "DASM": DASM}[name]
+    # tuple-ify yaml lists that flax attributes expect hashable
+    for key in ("mlm_dict",):
+        if isinstance(kwargs.get(key), dict):
+            kwargs[key] = dict(kwargs[key])
+    model = model_cls(**kwargs)
+    frontend = PasstFrontend()
+    return model, frontend
+
+
+def load_pretrained(model, frontend, config, args, logger):
+    """Init params, optionally warm-started from an orbax or torch ckpt."""
+    from transformer4sed_tpu.utils.checkpoint import load_partial, restore_params
+
+    mel = frontend.normalize(frontend(jnp.zeros((1, int(10 * frontend.sr)))))
+    rngs = {"params": jax.random.PRNGKey(args.random_seed)}
+    if config.get(config.get("model_name", "PaSST_SED"), {}).get("init_kwargs", {}).get("mlm"):
+        rngs["mlm"] = jax.random.PRNGKey(1)
+    params = model.init(rngs, mel)["params"]
+    if args.pretrained_ckpt:
+        if args.pretrained_ckpt.endswith(".pt"):
+            from transformer4sed_tpu.utils.torch_import import (
+                convert_passt_sed,
+                load_torch_state_dict,
+            )
+
+            restored = convert_passt_sed(load_torch_state_dict(args.pretrained_ckpt))
+        else:
+            restored = restore_params(args.pretrained_ckpt)
+        drop = config["generals"].get("warm_start_drop", [])
+        params = load_partial(params, restored, drop_patterns=drop)
+        logger.info(f"warm-started from {args.pretrained_ckpt} (dropped: {drop})")
+    return params
+
+
+def main(argv=None):
+    from transformer4sed_tpu.recipes import common
+    from transformer4sed_tpu.recipes.matsed import MATSEDTrainer, MLMTrainer
+
+    argv = argv if argv is not None else sys.argv[1:]
+    if not argv:
+        print(__doc__)
+        return 1
+    stage, rest = argv[0], argv[1:]
+    parser = common.build_argparser()
+    args = parser.parse_args(rest)
+    config, paths, logger = common.prepare_run(args)
+    codec = common.codec_from_config(config)
+    model, frontend = build_model(config)
+    params = load_pretrained(model, frontend, config, args, logger)
+
+    if stage == "matsed_pretrain":
+        from transformer4sed_tpu.data import DataLoader, RandomSampler, UnlabeledDataset, ConcatBatchSampler
+        import itertools
+
+        ds_cfg = config["dataset"]
+        sources = [
+            UnlabeledDataset(ds_cfg[k], False, codec)
+            for k in ("strong_folder", "weak_folder", "unlabeled_folder")
+            if ds_cfg.get(k)
+        ]
+        batch_sizes = config["training"]["batch_size"][: len(sources)]
+        sampler = ConcatBatchSampler(
+            [RandomSampler(len(s), i) for i, s in enumerate(sources)], batch_sizes
+        )
+        train_loader = DataLoader(sources, batch_sampler=sampler,
+                                  num_workers=config["generals"].get("num_workers", 4))
+        val = UnlabeledDataset(ds_cfg["val_folder"], False, codec)
+        val_loader = DataLoader(val, batch_size=sum(batch_sizes),
+                                num_workers=config["generals"].get("num_workers", 4), drop_last=False)
+        trainer = MLMTrainer(model, frontend, config, train_loader, val_loader, logger, params)
+        best_loss, key = float("inf"), jax.random.PRNGKey(args.random_seed)
+        from transformer4sed_tpu.utils.checkpoint import save_params
+
+        for epoch in range(config["training"]["scheduler"]["n_epochs"]):
+            loss = trainer.train_epoch(epoch, key)
+            val_loss = trainer.validation()
+            logger.info(f"epoch {epoch + 1}: train {loss:.5f} val {val_loss:.5f}")
+            if val_loss < best_loss:
+                best_loss = val_loss
+                save_params(f"{paths['best_paths']}/best_student", trainer.state.params)
+        return 0
+
+    if stage in ("matsed_finetune", "matsed_test"):
+        train_loader, val_loader, test_loader = common.desed_dataset_setting(
+            config, codec, args.random_seed
+        )
+        trainer = MATSEDTrainer(
+            model, frontend, config, codec, train_loader, val_loader, test_loader, logger,
+            init_params=params,
+        )
+        if stage == "matsed_finetune" and not args.test_only:
+            trainer.run(
+                config["training"]["scheduler"]["n_epochs"], paths["best_paths"], args.random_seed
+            )
+        trainer.test(filter_type=config["training"].get("filter_type", "median"))
+        return 0
+
+    raise SystemExit(f"unknown stage {stage!r}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

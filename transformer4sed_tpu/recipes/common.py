@@ -1,0 +1,192 @@
+"""Recipe plumbing: CLI/config/dirs/seed, codec + dataset/loader setup,
+ground-truth loading, optimizer construction from YAML.
+
+Keeps the reference's public conventions (``recipes/desed/setting.py``):
+CLI flags ``--config_dir --save_folder --random_seed``; YAML sections
+``generals / training / feature / <ModelName> / dataset /
+synth_dataset / opt``; model kwargs under ``<ModelName>.init_kwargs``
+splatted into the constructor and ``train_stu_kwargs / val_kwargs /
+test_kwargs`` splatted into forward.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import random
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from transformer4sed_tpu.core.codec import LabelCodec
+from transformer4sed_tpu.core import schedules
+from transformer4sed_tpu.data import (
+    ConcatBatchSampler,
+    DataLoader,
+    RandomSampler,
+    SequentialSampler,
+    StronglyLabeledDataset,
+    UnlabeledDataset,
+    WeaklyLabeledDataset,
+)
+from transformer4sed_tpu.train.optim import GroupSpec, ParamGroupConfig, build_optimizer
+from transformer4sed_tpu.utils.config import get_save_directories, load_yaml_with_include
+from transformer4sed_tpu.utils.logging import Logger
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="transformer4sed_tpu recipe runner")
+    parser.add_argument("--config_dir", type=str, required=True, help="YAML config path")
+    parser.add_argument("--save_folder", type=str, required=True)
+    parser.add_argument("--random_seed", type=int, default=42)
+    parser.add_argument("--test_only", action="store_true")
+    parser.add_argument("--resume_ckpt", type=str, default=None)
+    parser.add_argument("--pretrained_ckpt", type=str, default=None)
+    return parser
+
+
+def prepare_run(args) -> Tuple[Dict, Dict, Logger]:
+    """Load config, create save dirs + logger, seed python/numpy."""
+    config = load_yaml_with_include(args.config_dir)
+    config.setdefault("generals", {})["save_folder"] = args.save_folder
+    paths = get_save_directories(config, args.save_folder)
+    logger = Logger(
+        log_path=paths["log"],
+        tensorboard_dir=paths["tensorboard"],
+    )
+    random.seed(args.random_seed)
+    np.random.seed(args.random_seed)
+    return config, paths, logger
+
+
+def codec_from_config(config: Dict, labels: Optional[List[str]] = None) -> LabelCodec:
+    feat = config["feature"]
+    labels = labels if labels is not None else config["dataset"]["labels"]
+    return LabelCodec(
+        labels=tuple(labels),
+        audio_len=feat.get("audio_max_len", 10.0),
+        frame_len=feat.get("n_window", feat.get("n_fft", 1024)),
+        frame_hop=feat.get("hop_length", feat.get("hopsize")),
+        net_pooling=feat.get("net_pooling", feat.get("net_subsample", 1)),
+        sr=feat.get("sample_rate", feat.get("sr")),
+    )
+
+
+def desed_dataset_setting(config: Dict, codec: LabelCodec, seed: int = 42):
+    """Build the 4-source DESED training loader ([strong, synth, weak,
+    unlabeled] composition) + val/test loaders, mirroring
+    ``recipes/desed/setting.py:150-251``."""
+    import pandas as pd
+
+    ds_cfg = config["dataset"]
+    synth_cfg = config.get("synth_dataset", {})
+    batch_sizes = config["training"]["batch_size"]  # [strong, synth, weak, unlabeled]
+
+    strong = StronglyLabeledDataset(
+        pd.read_csv(ds_cfg["strong_tsv"], sep="\t"), ds_cfg["strong_folder"], False, codec
+    )
+    synth = StronglyLabeledDataset(
+        pd.read_csv(synth_cfg["synth_train_tsv"], sep="\t"), synth_cfg["synth_train_folder"], False, codec
+    )
+    weak = WeaklyLabeledDataset(
+        pd.read_csv(ds_cfg["weak_tsv"], sep="\t"), ds_cfg["weak_folder"], False, codec
+    )
+    unlabeled = UnlabeledDataset(ds_cfg["unlabeled_folder"], False, codec)
+
+    sampler = ConcatBatchSampler(
+        [
+            RandomSampler(len(strong), seed),
+            RandomSampler(len(synth), seed + 1),
+            RandomSampler(len(weak), seed + 2),
+            RandomSampler(len(unlabeled), seed + 3),
+        ],
+        batch_sizes=batch_sizes,
+    )
+    num_workers = config["generals"].get("num_workers", 4)
+    train_loader = DataLoader(
+        [strong, synth, weak, unlabeled], batch_sampler=sampler, num_workers=num_workers
+    )
+
+    val = StronglyLabeledDataset(
+        pd.read_csv(ds_cfg["val_tsv"], sep="\t"), ds_cfg["val_folder"], True, codec
+    )
+    val_loader = DataLoader(
+        val, batch_size=config["training"].get("batch_size_val", 24), num_workers=num_workers,
+        drop_last=False,
+    )
+    test_loader = val_loader
+    if ds_cfg.get("test_tsv"):
+        test = StronglyLabeledDataset(
+            pd.read_csv(ds_cfg["test_tsv"], sep="\t"), ds_cfg["test_folder"], True, codec
+        )
+        test_loader = DataLoader(
+            test, batch_size=config["training"].get("batch_size_val", 24),
+            num_workers=num_workers, drop_last=False,
+        )
+    return train_loader, val_loader, test_loader
+
+
+def load_ground_truth(tsv_path: str) -> Dict[str, List[Tuple[float, float, str]]]:
+    """Events TSV -> {clip_id: [(onset, offset, label)]}."""
+    import pandas as pd
+
+    df = pd.read_csv(tsv_path, sep="\t")
+    out: Dict[str, List] = {}
+    for _, row in df.iterrows():
+        clip = os.path.splitext(str(row["filename"]))[0]
+        out.setdefault(clip, [])
+        if not pd.isna(row.get("event_label")):
+            out[clip].append((float(row["onset"]), float(row["offset"]), str(row["event_label"])))
+    return out
+
+
+def load_durations(tsv_path: str) -> Dict[str, float]:
+    import pandas as pd
+
+    df = pd.read_csv(tsv_path, sep="\t")
+    return {
+        os.path.splitext(str(row["filename"]))[0]: float(row["duration"]) for _, row in df.iterrows()
+    }
+
+
+def optimizer_from_config(params, config: Dict, steps_per_epoch: int):
+    """AdamW param groups + ExponentialDown schedule from the YAML ``opt`` +
+    ``training.scheduler`` sections (``recipes/desed/setting.py:254-278``)."""
+    lr_dict = config["opt"]["param_groups"]
+    pg = ParamGroupConfig(
+        encoder=GroupSpec(
+            lr=lr_dict["encoder"]["lr"],
+            weight_decay=lr_dict["encoder"].get("weight_decay", 1e-8),
+            step_lr=lr_dict["encoder"].get("step_lr", 0) or 0,
+            freeze_layer=lr_dict["encoder"].get("freeze_layer", 0) or 0,
+        ),
+        decoder=GroupSpec(
+            lr=lr_dict["decoder"]["lr"],
+            weight_decay=lr_dict["decoder"].get("weight_decay", 1e-8),
+        ),
+        head=GroupSpec(
+            lr=lr_dict["head"]["lr"], weight_decay=lr_dict["head"].get("weight_decay", 1e-8)
+        ),
+        backbone_depth=config.get("backbone_depth", 12),
+        clip_grad=20.0 if config["training"].get("clip_grad") else 0.0,
+    )
+    sch = config["training"]["scheduler"]
+    schedule = schedules.exponential_down(
+        start_iter=sch["n_epochs_cut"] * steps_per_epoch,
+        total_iter=sch["n_epochs"] * steps_per_epoch,
+        exponent=sch.get("exponent", -0.5),
+        warmup_iter=sch.get("lr_warmup_epochs", 0) * steps_per_epoch,
+        warmup_rate=sch.get("lr_warmup_rate", 0.1),
+    )
+    tx, labels = build_optimizer(params, pg, schedule=schedule)
+    return tx, labels
+
+
+def median_filter_from_config(config: Dict, codec: LabelCodec) -> List[int]:
+    """Per-class median widths scaled to the prediction length
+    (``finetune/train.py:221-227``)."""
+    pred_len = config["feature"].get("pred_len", codec.n_frames)
+    windows = config["training"]["median_window"]
+    if isinstance(windows, int):
+        windows = [windows] * codec.n_classes
+    return [int(w / 156 * pred_len) for w in windows]

@@ -1,0 +1,322 @@
+"""MAT-SED recipe: mean-teacher fine-tune + MLM pretrain trainers.
+
+Orchestration equivalent of ``recipes/desed/finetune/train.py`` and
+``recipes/desed/mlm``: the host loop feeds batches to ONE jitted train
+step per stage, runs validation (device score production -> host
+PSDS1/PSDS2 + event F1), tracks best student/teacher by PSDS1 and
+checkpoints full train state.
+"""
+
+from __future__ import annotations
+
+import time
+from collections import OrderedDict
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from transformer4sed_tpu.core.codec import LabelCodec
+from transformer4sed_tpu.eval.decode import batched_decode_preds, decode_pred_batch
+from transformer4sed_tpu.eval.psds import compute_psds_from_scores
+from transformer4sed_tpu.eval.sed_f1 import event_based_f1
+from transformer4sed_tpu.recipes import common
+from transformer4sed_tpu.train.mean_teacher import (
+    MeanTeacherConfig,
+    create_mean_teacher_state,
+    make_mean_teacher_step,
+)
+from transformer4sed_tpu.train.mlm import MLMConfig, MLMState, make_mlm_step, mlm_loss
+from transformer4sed_tpu.utils.logging import BestModels, Logger
+
+
+def weak_macro_f1(preds: np.ndarray, targets: np.ndarray, threshold: float = 0.5) -> float:
+    """Macro multilabel F1 at a fixed threshold (torchmetrics parity)."""
+    p = preds >= threshold
+    t = targets >= 0.5
+    f1s = []
+    for c in range(p.shape[1]):
+        tp = int((p[:, c] & t[:, c]).sum())
+        fp = int((p[:, c] & ~t[:, c]).sum())
+        fn = int((~p[:, c] & t[:, c]).sum())
+        denom = 2 * tp + fp + fn
+        f1s.append(2 * tp / denom if denom else 0.0)
+    return float(np.mean(f1s))
+
+
+class MATSEDTrainer:
+    """Mean-teacher fine-tuning driver."""
+
+    def __init__(
+        self,
+        model,
+        frontend,
+        config: Dict,
+        codec: LabelCodec,
+        train_loader,
+        val_loader,
+        test_loader,
+        logger: Logger,
+        init_params=None,
+    ):
+        self.model = model
+        self.frontend = frontend
+        self.config = config
+        self.codec = codec
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.test_loader = test_loader
+        self.logger = logger
+        self.model_name = config.get("model_name", "PaSST_SED")
+
+        tr = config["training"]
+        bs = tr["batch_size"]  # [strong, synth, weak, unlabeled]
+        steps_per_epoch = len(train_loader)
+        self.mt_cfg = MeanTeacherConfig(
+            strong_num=bs[0] + bs[1],
+            weak_num=bs[2],
+            unlabel_num=bs[3],
+            net_pooling=codec.net_pooling,
+            w_weak=tr.get("w_weak", 0.5),
+            w_weak_cons=tr.get("w_weak_cons", 1.0),
+            w_at=tr.get("w_AT", 0.2),
+            w_cons_max=tr.get("w_cons_max", 40.0),
+            w_cons_min=tr.get("w_cons_min", 0.0),
+            self_loss_warmup_steps=tr.get("self_loss_warmup", 10) * steps_per_epoch,
+            cons_scheduler=tr.get("cons_scheduler_name", "Sigmoid"),
+            ema_factor=tr.get("ema_factor", 0.999),
+            transform_choice=tuple(tr.get("transform", {}).get("choice", (1, 0, 0, 0))),
+            filter_db_range=tuple(tr.get("transform", {}).get("filter_db_range", (-0.5, 0.5))),
+            filter_bands=tuple(tr.get("transform", {}).get("filter_bands", (3, 6))),
+            filter_minimum_bandwidth=tr.get("transform", {}).get("filter_minimum_bandwidth", 6),
+            filter_type=tr.get("transform", {}).get("filter_type", "step"),
+            freq_mask_ratio=tr.get("transform", {}).get("freq_mask_ratio"),
+            noise_snrs=tr.get("transform", {}).get("noise_snrs"),
+            stu_kwargs=config.get(self.model_name, {}).get("train_stu_kwargs", {}),
+            tch_kwargs=config.get(self.model_name, {}).get("train_tch_kwargs", {}),
+        )
+
+        if init_params is None:
+            sample = next(iter(train_loader))
+            mel = frontend.normalize(frontend(jnp.asarray(sample["wav"][:1])))
+            init_rngs = {"params": jax.random.PRNGKey(config["generals"].get("seed", 0))}
+            if getattr(model, "mlm", False):
+                init_rngs["mlm"] = jax.random.PRNGKey(1)
+            init_params = model.init(init_rngs, mel)["params"]
+        self.optimizer, self.labels = common.optimizer_from_config(
+            init_params, config, steps_per_epoch
+        )
+        self.state = create_mean_teacher_state(init_params, self.optimizer)
+
+        def model_apply(params, mel, train=False, rngs=None, **kw):
+            return model.apply({"params": params}, mel, train=train, rngs=rngs, **kw)
+
+        self.model_apply = model_apply
+        self._train_step = jax.jit(
+            make_mean_teacher_step(model_apply, frontend, self.optimizer, self.mt_cfg)
+        )
+        self._eval_fns: Dict[str, Any] = {}
+        self.median_filter = common.median_filter_from_config(config, codec)
+        self.ground_truth = common.load_ground_truth(config["dataset"]["val_tsv"])
+        self.durations = common.load_durations(config["dataset"]["val_dur"])
+
+    # -- jitted eval forward (one compiled fn per kwargs set) ---------------------
+    def _eval_apply(self, params, mel, pad_mask, kwargs_key: str):
+        if kwargs_key not in self._eval_fns:
+            kwargs = self.config.get(self.model_name, {}).get(kwargs_key, {})
+            self._eval_fns[kwargs_key] = jax.jit(
+                lambda p, m, pm: self.model_apply(p, m, train=False, pad_mask=pm, **kwargs)
+            )
+        return self._eval_fns[kwargs_key](params, mel, pad_mask)
+
+    # -- stages ---------------------------------------------------------------------
+    def train_epoch(self, epoch: int, key) -> Dict[str, float]:
+        self.train_loader.set_epoch(epoch)
+        metrics_acc: Dict[str, float] = {}
+        n = len(self.train_loader)
+        for i, batch in enumerate(self.train_loader):
+            step_key = jax.random.fold_in(key, epoch * n + i)
+            dev_batch = {"wav": jnp.asarray(batch["wav"]), "labels": jnp.asarray(batch["label"])}
+            self.state, metrics = self._train_step(self.state, dev_batch, step_key)
+            for k, v in metrics.items():
+                metrics_acc[k] = metrics_acc.get(k, 0.0) + float(v) / n
+        self.logger.scalars("Train", metrics_acc, epoch + 1)
+        self.logger.info(
+            f"epoch {epoch + 1}: "
+            + " ".join(f"{k}={v:.4f}" for k, v in sorted(metrics_acc.items()))
+        )
+        return metrics_acc
+
+    def _collect_scores(self, params, kwargs_key: str):
+        scores_post = {}
+        event_rows = []
+        weak_preds_all, weak_labels_all = [], []
+        for batch in self.val_loader:
+            mel = self.frontend.normalize(self.frontend(jnp.asarray(batch["wav"])))
+            pad_mask = jnp.asarray(batch["pad_mask"])
+            out = self._eval_apply(params, mel, pad_mask, kwargs_key)
+            _, post = batched_decode_preds(
+                out.strong,
+                batch["filename"],
+                self.codec,
+                filter=self.median_filter,
+                weak_preds=out.weak,
+                need_weak_mask=self.config["training"].get("weak_mask", False),
+            )
+            scores_post.update(post)
+            preds = decode_pred_batch(
+                out.strong, out.weak, batch["filename"], self.codec, [0.5], self.median_filter
+            )
+            event_rows.extend(preds[0.5])
+            if out.at_out is not None:
+                weak_preds_all.append(np.asarray(out.at_out))
+                weak_labels_all.append((np.asarray(batch["label"]).sum(-1) >= 1).astype(np.float32))
+        return scores_post, event_rows, weak_preds_all, weak_labels_all
+
+    def validation(self, epoch: int) -> Dict[str, float]:
+        results = OrderedDict()
+        for tag, params in (("s", self.state.params), ("t", self.state.teacher_params)):
+            scores, rows, weak_p, weak_l = self._collect_scores(params, "val_kwargs")
+            psds1, _ = compute_psds_from_scores(
+                scores, self.ground_truth, self.durations,
+                dtc_threshold=0.7, gtc_threshold=0.7, alpha_ct=0.0, alpha_st=1.0,
+            )
+            psds2, _ = compute_psds_from_scores(
+                scores, self.ground_truth, self.durations,
+                dtc_threshold=0.1, gtc_threshold=0.1, cttc_threshold=0.3,
+                alpha_ct=0.5, alpha_st=1.0,
+            )
+            pred_events = {}
+            for fname, label, onset, offset in rows:
+                pred_events.setdefault(fname.rsplit(".", 1)[0], []).append((onset, offset, label))
+            ef1 = event_based_f1(pred_events, self.ground_truth, self.codec.labels)
+            results[f"psds1/{tag}"] = psds1
+            results[f"psds2/{tag}"] = psds2
+            results[f"event_f1/{tag}"] = ef1["macro_f1"]
+            if weak_p:
+                results[f"weak_f1/{tag}"] = weak_macro_f1(
+                    np.concatenate(weak_p), np.concatenate(weak_l)
+                )
+        self.logger.scalars("validation", results, epoch + 1)
+        self.logger.info(
+            f"val epoch {epoch + 1}: " + " ".join(f"{k}={v:.4f}" for k, v in results.items())
+        )
+        return results
+
+    def run(self, n_epochs: int, save_dir: str, seed: int = 0) -> Dict[str, float]:
+        best = BestModels(save_dir)
+        key = jax.random.PRNGKey(seed)
+        last_val: Dict[str, float] = {}
+        for epoch in range(n_epochs):
+            t0 = time.time()
+            self.train_epoch(epoch, key)
+            if (epoch + 1) % self.config["generals"].get("val_interval", 1) == 0:
+                last_val = self.validation(epoch)
+                best.update(
+                    epoch,
+                    last_val.get("psds1/s", 0.0),
+                    self.state.params,
+                    self.state.teacher_params,
+                )
+            self.logger.info(f"epoch {epoch + 1} took {(time.time() - t0) / 60:.2f} min")
+        best.flush()
+        return last_val
+
+    def test(self, filter_type: str = "median") -> Dict[str, float]:
+        """Test with median or max filtering (reference test stage)."""
+        scores_post = {}
+        for batch in self.test_loader:
+            mel = self.frontend.normalize(self.frontend(jnp.asarray(batch["wav"])))
+            out = self._eval_apply(
+                self.state.teacher_params, mel, jnp.asarray(batch["pad_mask"]), "test_kwargs"
+            )
+            _, post = batched_decode_preds(
+                out.strong,
+                batch["filename"],
+                self.codec,
+                filter=self.median_filter,
+                filter_type=filter_type,
+                weak_preds=out.weak,
+                need_weak_mask=self.config["training"].get("weak_mask", False),
+            )
+            scores_post.update(post)
+        psds1, _ = compute_psds_from_scores(
+            scores_post, self.ground_truth, self.durations,
+            dtc_threshold=0.7, gtc_threshold=0.7, alpha_ct=0.0, alpha_st=1.0,
+        )
+        psds2, _ = compute_psds_from_scores(
+            scores_post, self.ground_truth, self.durations,
+            dtc_threshold=0.1, gtc_threshold=0.1, cttc_threshold=0.3, alpha_ct=0.5, alpha_st=1.0,
+        )
+        results = {"psds1": psds1, "psds2": psds2}
+        self.logger.info(f"test ({filter_type}): {results}")
+        return results
+
+
+class MLMTrainer:
+    """Masked-reconstruction pretraining driver (MAT-SED stage 1)."""
+
+    def __init__(self, model, frontend, config, train_loader, val_loader, logger, init_params=None):
+        self.model = model
+        self.frontend = frontend
+        self.config = config
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.logger = logger
+        self.model_name = config.get("model_name", "PaSST_SED")
+
+        if init_params is None:
+            sample = next(iter(train_loader))
+            mel = frontend.normalize(frontend(jnp.asarray(sample["wav"][:1])))
+            init_params = model.init(
+                {"params": jax.random.PRNGKey(0), "mlm": jax.random.PRNGKey(1)}, mel
+            )["params"]
+        steps = len(train_loader)
+        self.optimizer, _ = common.optimizer_from_config(init_params, config, steps)
+        self.state = MLMState(
+            params=init_params, opt_state=self.optimizer.init(init_params), step=jnp.zeros((), jnp.int32)
+        )
+
+        def model_apply(params, mel, train=False, rngs=None, **kw):
+            return model.apply({"params": params}, mel, train=train, rngs=rngs, **kw)
+
+        self.model_apply = model_apply
+        mlm_cfg = MLMConfig(
+            transform_choice=tuple(
+                config["training"].get("transform", {}).get("choice", (1, 0, 0, 0))
+            ),
+            model_kwargs=config.get(self.model_name, {}).get("train_kwargs", {}),
+        )
+        self._train_step = jax.jit(make_mlm_step(model_apply, frontend, self.optimizer, mlm_cfg))
+
+    def train_epoch(self, epoch: int, key) -> float:
+        self.train_loader.set_epoch(epoch)
+        total = 0.0
+        n = len(self.train_loader)
+        for i, batch in enumerate(self.train_loader):
+            step_key = jax.random.fold_in(key, epoch * n + i)
+            self.state, metrics = self._train_step(
+                self.state, {"wav": jnp.asarray(batch["wav"])}, step_key
+            )
+            total += float(metrics["loss_mlm"]) / n
+        self.logger.scalar("Train/loss_mlm", total, epoch + 1)
+        return total
+
+    def validation(self, key=None) -> float:
+        """Mean reconstruction loss over the val loader (best-model metric)."""
+        key = key if key is not None else jax.random.PRNGKey(0)
+        total, n = 0.0, 0
+        for i, batch in enumerate(self.val_loader):
+            mel = self.frontend.normalize(self.frontend(jnp.asarray(batch["wav"])))
+            rngs = {"mlm": jax.random.fold_in(key, i)}
+            out = self.model_apply(self.state.params, mel, train=False, rngs=rngs)
+            total += float(
+                mlm_loss(
+                    out.mlm_pred,
+                    out.frame_before_mask,
+                    out.mask_id_seq.astype(jnp.float32),
+                )
+            )
+            n += 1
+        return total / max(n, 1)
