@@ -1,0 +1,139 @@
+"""Pallas TPU flash attention for the ViT backbones.
+
+The hottest kernel in the framework is PaSST's self-attention: 12
+layers over ~1190 tokens. XLA materialises the [B, H, T, T] score
+tensor in HBM between the two matmuls (f32: 68 MB per clip per layer);
+this kernel computes attention with the online-softmax streaming
+recurrence so scores never leave VMEM — the classic FlashAttention
+formulation mapped onto the MXU:
+
+  * grid over (batch*heads, query blocks); K/V live in VMEM for the
+    whole row (T<=2048, head_dim 64 -> ~512 KB, well under the 16 MB
+    VMEM budget), so the inner loop is pure compute;
+  * q/k/v blocks feed 128-aligned ``jnp.dot``s with f32 accumulation;
+  * ragged T is padded to the block size and masked with -inf key
+    columns inside the kernel.
+
+Backward uses a custom VJP that *recomputes* attention with plain XLA
+ops (no stored score tensor from the forward; standard recompute
+trade). Use :func:`flash_attention` as a drop-in for softmax attention
+with no mask; masked paths fall back to the XLA implementation in
+``models/vit.py``.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, seq_len: int, sm_scale: float):
+    """One (batch*head, q-block) program: stream K/V blocks with online softmax.
+
+    q_ref: [block_q, d]; k_ref/v_ref: [T_pad, d]; o_ref: [block_q, d].
+    """
+    q = q_ref[:].astype(jnp.float32) * sm_scale
+    block_q, d = q.shape
+    t_pad = k_ref.shape[0]
+    num_kb = t_pad // block_k
+
+    def body(i, carry):
+        m_prev, l_prev, acc = carry
+        k = k_ref[pl.ds(i * block_k, block_k), :]
+        v = v_ref[pl.ds(i * block_k, block_k), :]
+        s = jnp.dot(q, k.T.astype(jnp.float32), preferred_element_type=jnp.float32)
+        # mask padded key columns
+        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + i * block_k
+        s = jnp.where(col < seq_len, s, _NEG_INF)
+
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * alpha + jnp.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+        return m_new, l_new, acc_new
+
+    m0 = jnp.full((block_q, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    acc0 = jnp.zeros((block_q, d), jnp.float32)
+    _, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
+    o_ref[:] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def _flash_forward(q, k, v, sm_scale, block_q: int = 128, block_k: int = 128, interpret: bool = False):
+    """q/k/v: [B, H, T, d] -> [B, H, T, d]."""
+    b, h, t, d = q.shape
+    t_pad = _round_up(t, max(block_q, block_k))
+
+    def pad(x):
+        return jnp.pad(x, ((0, 0), (0, 0), (0, t_pad - t), (0, 0))).reshape(b * h, t_pad, d)
+
+    qp, kp, vp = pad(q), pad(k), pad(v)
+    grid = (b * h, t_pad // block_q)
+
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, block_k=block_k, seq_len=t, sm_scale=sm_scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, block_q, d), lambda bh, qi: (bh, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, t_pad, d), lambda bh, qi: (bh, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, t_pad, d), lambda bh, qi: (bh, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (None, block_q, d), lambda bh, qi: (bh, qi, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * h, t_pad, d), q.dtype),
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out.reshape(b, h, t_pad, d)[:, :, :t]
+
+
+def _xla_attention(q, k, v, sm_scale):
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * sm_scale
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def flash_attention(q, k, v, sm_scale: Optional[float] = None):
+    """Softmax attention, [B, H, T, d] layout, no mask.
+
+    Forward runs the Pallas kernel on TPU (XLA fallback elsewhere);
+    backward recomputes attention with XLA ops.
+    """
+    scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(q.shape[-1])
+    if jax.default_backend() == "tpu":
+        return _flash_forward(q, k, v, scale)
+    return _xla_attention(q, k, v, scale)
+
+
+def _fwd(q, k, v, sm_scale):
+    return flash_attention(q, k, v, sm_scale), (q, k, v)
+
+
+def _bwd(sm_scale, residuals, g):
+    q, k, v = residuals
+    scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(q.shape[-1])
+
+    def f(q, k, v):
+        return _xla_attention(q, k, v, scale)
+
+    _, vjp = jax.vjp(f, q, k, v)
+    return vjp(g)
+
+
+flash_attention.defvjp(_fwd, _bwd)

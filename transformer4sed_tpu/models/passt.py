@@ -52,6 +52,7 @@ class PaSST(nn.Module):
     tap_layers: Tuple[int, ...] = (10,)  # 1-based block indices to expose
     lora_rank: int = 0
     lora_alpha: float = 1.0
+    use_flash: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -161,6 +162,7 @@ class PaSST(nn.Module):
                 attn_drop=self.attn_drop_rate,
                 lora_rank=self.lora_rank,
                 lora_alpha=self.lora_alpha,
+                use_flash=self.use_flash,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
             )(h, deterministic=not train)

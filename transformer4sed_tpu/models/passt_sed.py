@@ -71,6 +71,7 @@ class PaSST_SED(nn.Module):
     at_adapter_heads: int = 12
     lora_rank: int = 0
     lora_alpha: float = 1.0
+    use_flash: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -83,6 +84,7 @@ class PaSST_SED(nn.Module):
             tap_layers=(self.passt_feature_layer,),
             lora_rank=self.lora_rank,
             lora_alpha=self.lora_alpha,
+            use_flash=self.use_flash,
             dtype=self.dtype,
         )
         self.out_norm = nn.LayerNorm(epsilon=1e-5)

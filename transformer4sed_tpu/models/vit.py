@@ -64,6 +64,7 @@ class Attention(nn.Module):
     proj_drop: float = 0.0
     lora_rank: int = 0
     lora_alpha: float = 1.0
+    use_flash: bool = False  # Pallas flash kernel (maskless paths on TPU)
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -83,6 +84,21 @@ class Attention(nn.Module):
             qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
         qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, H, hd]
+
+        if self.use_flash and mask is None and self.attn_drop == 0.0:
+            from transformer4sed_tpu.kernels.flash_attention import flash_attention
+
+            out = flash_attention(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
+            ).transpose(0, 2, 1, 3)
+            out = out.reshape(b, n, c)
+            if self.lora_rank > 0:
+                out = LoRADense(
+                    c, rank=self.lora_rank, alpha=self.lora_alpha, dtype=self.dtype, name="proj"
+                )(out)
+            else:
+                out = nn.Dense(c, dtype=self.dtype, name="proj")(out)
+            return nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
 
         attn = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
         if mask is not None:
@@ -131,6 +147,7 @@ class Block(nn.Module):
     drop_path: float = 0.0
     lora_rank: int = 0
     lora_alpha: float = 1.0
+    use_flash: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -144,6 +161,7 @@ class Block(nn.Module):
             proj_drop=self.drop,
             lora_rank=self.lora_rank,
             lora_alpha=self.lora_alpha,
+            use_flash=self.use_flash,
             dtype=self.dtype,
             name="attn",
         )(h, mask=mask, deterministic=deterministic)
