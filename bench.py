@@ -27,7 +27,7 @@ def main():
     from transformer4sed_tpu.frontend import PasstFrontend
     from transformer4sed_tpu.models.passt_sed import PaSST_SED
 
-    batch = 32
+    batch = 64
     n_samples = 320000  # 10 s @ 32 kHz
 
     model = PaSST_SED(
@@ -41,6 +41,7 @@ def main():
         decoder_layer_num=3,
         decoder_pos_emd_len=1000,
         at_adapter=True,
+        use_flash=True,
         dtype=jnp.bfloat16,
     )
     frontend = PasstFrontend()

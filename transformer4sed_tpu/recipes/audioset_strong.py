@@ -1,0 +1,119 @@
+"""AudioSet-strong recipe: supervised SED training at scale.
+
+Parity targets: ``recipes/audioset_strong/setting.py`` (weighted
+sampler with 100k draws/epoch, 447-class label dictionary, configurable
+class loss) and ``recipes/audioset_strong/base/passt_cnn/train.py``
+(supervised strong-BCE/ASL trainer, drop-val-absent-classes PSDS with
+alpha=0, common/rare reporting via a type map).
+
+TPU orientation: this is the scale-out recipe — the train step built
+here is the one meant to be wrapped by
+``parallel.shard_train_step`` over a pod-slice data mesh.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from transformer4sed_tpu.core import losses as L
+from transformer4sed_tpu.frontend import augment
+from transformer4sed_tpu.train.mean_teacher import pool_strong_labels
+
+
+def get_weighted_sampler(weight_tsv: str, num_samples: int = 100_000, seed: int = 0):
+    """Per-clip sampling weights from weight.tsv (column 'weight')."""
+    import pandas as pd
+
+    from transformer4sed_tpu.data.sampler import WeightedSampler
+
+    df = pd.read_csv(weight_tsv, sep="\t")
+    return WeightedSampler(df["weight"].to_numpy(), num_samples=num_samples, seed=seed)
+
+
+def load_label_dict(path: str) -> Tuple[str, ...]:
+    """Ordered class list from a {label: index} json (labeldict_audioset_strong)."""
+    with open(path) as f:
+        mapping = json.load(f)
+    return tuple(sorted(mapping, key=mapping.get))
+
+
+def load_type_map(state_json: str) -> Dict[str, str]:
+    """class -> 'common'/'rare' map from the recipe's state.json."""
+    with open(state_json) as f:
+        return json.load(f)
+
+
+@dataclass(frozen=True)
+class SupervisedConfig:
+    loss_name: str = "BCELoss"
+    loss_kwargs: Optional[dict] = None
+    net_pooling: float = 1.0
+    max_shift_frame: int = 64000  # 2 * sr (reference uses wav-scale shifts on mel)
+    mixup_prob: float = 0.5
+    mixup_alpha: float = 10.0
+    mixup_beta: float = 0.5
+    transform_choice: Tuple[int, int, int, int] = (1, 0, 0, 0)
+    filter_db_range: Tuple[float, float] = (-0.5, 0.5)
+    filter_bands: Tuple[int, int] = (3, 6)
+    filter_minimum_bandwidth: int = 6
+    filter_type: str = "step"
+    model_kwargs: Dict[str, Any] = field(default_factory=dict)
+
+
+def make_supervised_step(model_apply: Callable, frontend, optimizer, cfg: SupervisedConfig):
+    """Supervised strong-label step (PaSST_CNN / HTSAT_CNN on AudioSet-strong)."""
+    loss_fn_cls = L.loss_function_factory(cfg.loss_name, cfg.loss_kwargs)
+
+    def loss_fn(params, batch, key):
+        kmel, kshift, kmix, kmixp, ktrans, kfwd = jax.random.split(key, 6)
+        mel = frontend(batch["wav"], key=kmel, training=True)
+        mel = frontend.normalize(mel)
+        labels = batch["labels"]
+        net_pooling = mel.shape[-1] / labels.shape[-1]
+        mel, labels = augment.frame_shift(
+            kshift, mel, labels,
+            net_pooling=max(int(round(net_pooling)), 1),
+            max_shift_frame=min(cfg.max_shift_frame, mel.shape[-1] // 2),
+        )
+        c = jax.random.beta(jax.random.fold_in(kmix, 0), cfg.mixup_alpha, cfg.mixup_beta)
+        do_mix = jax.random.uniform(kmixp) < cfg.mixup_prob
+        perm = jax.random.permutation(jax.random.fold_in(kmix, 1), mel.shape[0])
+        mel = jnp.where(do_mix, c * mel + (1 - c) * mel[perm], mel)
+        labels = jnp.where(do_mix, jnp.clip(c * labels + (1 - c) * labels[perm], 0, 1), labels)
+        mel = augment.feature_transformation(
+            ktrans, mel, 1, cfg.transform_choice,
+            filter_db_range=cfg.filter_db_range, filter_bands=cfg.filter_bands,
+            filter_minimum_bandwidth=cfg.filter_minimum_bandwidth,
+            filter_type=cfg.filter_type, norm_std=5.0,
+        )
+        rngs = {k: jax.random.fold_in(kfwd, i) for i, k in enumerate(("patchout", "dropout", "mlm"))}
+        out = model_apply(params, mel, train=True, rngs=rngs, **cfg.model_kwargs)
+        loss_strong = loss_fn_cls(out.strong, labels)
+        return loss_strong, {"loss_class_strong": loss_strong}
+
+    def step(state, batch, key):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params, batch, key)
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return state.replace(params=new_params, opt_state=new_opt, step=state.step + 1), metrics
+
+    return step
+
+
+def drop_absent_classes(
+    single_class_psds: Dict[str, float], ground_truth, classes: Sequence[str]
+) -> Dict[str, float]:
+    """Remove classes with no validation ground truth before aggregation
+    (reference ``base/passt_cnn/train.py:169-175``)."""
+    present = set()
+    for events in ground_truth.values():
+        for _, _, label in events:
+            present.add(label)
+    return {c: v for c, v in single_class_psds.items() if c in present}
