@@ -1,0 +1,35 @@
+"""Blocked rel-position scores must match the naive full-width + rel-shift path."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from transformer4sed_tpu.models.xl import _pick_block, _rel_position_scores, _rel_shift
+
+
+class TestBlockedRelPos:
+    def _naive(self, q_v, p):
+        s = jnp.einsum("bqhd,phd->bhqp", q_v, p)
+        return _rel_shift(s)
+
+    def test_matches_naive(self):
+        rng = np.random.RandomState(0)
+        for t in (40, 100, 1000 // 8):
+            q_v = jnp.asarray(rng.randn(2, t, 3, 8).astype(np.float32))
+            p = jnp.asarray(rng.randn(2 * t - 1, 3, 8).astype(np.float32))
+            blocked = np.asarray(_rel_position_scores(q_v, p))
+            naive = np.asarray(self._naive(q_v, p))
+            np.testing.assert_allclose(blocked, naive, atol=1e-4)
+
+    def test_prime_length_fallback(self):
+        rng = np.random.RandomState(1)
+        t = 97  # prime -> bq falls back to small divisor or full
+        q_v = jnp.asarray(rng.randn(1, t, 2, 4).astype(np.float32))
+        p = jnp.asarray(rng.randn(2 * t - 1, 2, 4).astype(np.float32))
+        np.testing.assert_allclose(
+            np.asarray(_rel_position_scores(q_v, p)), np.asarray(self._naive(q_v, p)), atol=1e-4
+        )
+
+    def test_pick_block(self):
+        assert 1000 % _pick_block(1000) == 0
+        assert _pick_block(1000) in (125, 200, 250)
+        assert _pick_block(128) == 128

@@ -94,6 +94,51 @@ def _rel_shift(x: jnp.ndarray) -> jnp.ndarray:
     return x[..., :t]
 
 
+def _pick_block(t: int, target: int = 128) -> int:
+    """Largest divisor of t that is <= 2*target, preferring >= target."""
+    best = 1
+    for cand in range(1, min(t, 2 * target) + 1):
+        if t % cand == 0 and cand <= 2 * target:
+            best = cand
+            if cand >= target:
+                return cand
+    return best
+
+
+def _rel_position_scores(q_v: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
+    """Blocked Transformer-XL position term: [B,T,H,d] x [2T-1,H,d] ->
+    [B,H,T,T] *already rel-shifted* scores.
+
+    The naive route computes q_v @ P^T over all 2T-1 relative offsets and
+    skews, materialising T*(2T-1) scores per head (the decoder's HBM hot
+    spot at T=1000). For a query block of size bq only T+bq-1 offsets
+    are reachable, so this computes per-block score strips
+    [bq, T+bq-1] and skews each strip with the pad/reshape trick —
+    ~1.8x less compute and memory for the position term.
+    """
+    b, t, h, d = q_v.shape
+    bq = _pick_block(t)
+    nq = t // bq
+    if nq <= 1:
+        s = jnp.einsum("bqhd,phd->bhqp", q_v, p, preferred_element_type=jnp.float32)
+        return _rel_shift(s)
+
+    width = t + bq - 1
+    # block qi covers queries [qi*bq, (qi+1)*bq); needed offsets (t-1)-i+j
+    # span rows [t - (qi+1)*bq + 1 - 1, ...]: start = t - (qi+1)*bq
+    p_blocks = jnp.stack(
+        [jax.lax.dynamic_slice_in_dim(p, t - (qi + 1) * bq, width, axis=0) for qi in range(nq)]
+    )  # [nq, width, H, d]
+    qb = q_v.reshape(b, nq, bq, h, d)
+    s = jnp.einsum("bnqhd,nphd->bhnqp", qb, p_blocks, preferred_element_type=jnp.float32)
+    # skew each strip: out[..., r, j] = s[..., r, (bq-1) - r + j]
+    sp = jnp.pad(s, ((0, 0), (0, 0), (0, 0), (0, 0), (0, 1)))  # width+1
+    flat = sp.reshape(b, h, nq, bq * (width + 1))[..., : bq * width]
+    y = flat.reshape(b, h, nq, bq, width)
+    out = y[..., bq - 1 : bq - 1 + t]
+    return out.reshape(b, h, t, t)
+
+
 class RelPositionMultiheadAttention(nn.Module):
     """Transformer-XL multi-head self-attention with relative positions."""
 
@@ -129,10 +174,8 @@ class RelPositionMultiheadAttention(nn.Module):
         content = jnp.einsum(
             "bqhd,bkhd->bhqk", q + bias_u, k, preferred_element_type=jnp.float32
         )
-        position = jnp.einsum(
-            "bqhd,xphd->bhqp", q + bias_v, p, preferred_element_type=jnp.float32
-        )  # [B, H, T, 2T-1]
-        scores = (content + _rel_shift(position)) * scale
+        position = _rel_position_scores(q + bias_v, p[0])  # [B, H, T, T], pre-shifted
+        scores = (content + position) * scale
 
         if mask is not None:
             m = mask
