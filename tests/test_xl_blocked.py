@@ -33,3 +33,22 @@ class TestBlockedRelPos:
         assert 1000 % _pick_block(1000) == 0
         assert _pick_block(1000) in (125, 200, 250)
         assert _pick_block(128) == 128
+
+
+class TestXLWithClsToken:
+    def test_forward_shapes(self):
+        import jax
+        from transformer4sed_tpu.models.xl import (
+            TransformerXLWithClsToken,
+            rel_positional_encoding,
+        )
+
+        t, cls_num, d = 20, 2, 16
+        blk = TransformerXLWithClsToken(num_heads=4, cls_num=cls_num)
+        x = jnp.asarray(np.random.RandomState(0).randn(2, t + cls_num, d).astype(np.float32))
+        pe = jnp.asarray(rel_positional_encoding(t, d))[0]
+        params = blk.init(jax.random.PRNGKey(0), x, pe)
+        out = blk.apply(params, x, pe)
+        assert out.shape == x.shape
+        assert bool(jnp.isfinite(out).all())
+        assert "cls_pos_emb" in params["params"]["attn"]

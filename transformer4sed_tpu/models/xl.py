@@ -390,3 +390,88 @@ class BiGRUDecoder(nn.Module):
             )(h)
             h = jnp.concatenate([fwd, bwd], axis=-1)
         return h
+
+
+class RelPositionMHAWithClsToken(nn.Module):
+    """XL attention for sequences with ``cls_num`` class tokens appended at
+    the END (reference ``transformerxl_token.py:13-160``): frame-frame
+    positions use the normal rel-shifted scores; frame->cls, cls->frame
+    and cls->cls relations each get one learned per-head constant
+    (``cls_pos_emb`` rows 0/1/2)."""
+
+    num_heads: int
+    cls_num: int
+    attn_drop: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, pos_emb, mask=None, deterministic: bool = True):
+        b, t_total, d = x.shape
+        h = self.num_heads
+        hd = d // h
+        t = t_total - self.cls_num
+        scale = hd ** -0.5
+
+        qkv = nn.Dense(3 * d, use_bias=True, dtype=self.dtype, name="in_proj")(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(b, t_total, h, hd)
+        k = k.reshape(b, t_total, h, hd)
+        v = v.reshape(b, t_total, h, hd)
+
+        p = nn.Dense(d, use_bias=False, dtype=self.dtype, name="linear_pos")(pos_emb)
+        p = p.reshape(-1, h, hd)[: 2 * t - 1]
+
+        bias_u = self.param("pos_bias_u", nn.initializers.xavier_uniform(), (h, hd))
+        bias_v = self.param("pos_bias_v", nn.initializers.xavier_uniform(), (h, hd))
+        cls_pos = self.param("cls_pos_emb", trunc_normal_init_xl(), (3, h))
+
+        content = jnp.einsum(
+            "bqhd,bkhd->bhqk", q + bias_u, k, preferred_element_type=jnp.float32
+        )
+        frame_bd = _rel_position_scores((q + bias_v)[:, :t], p)  # [B,H,t,t]
+        bd = jnp.zeros((b, h, t_total, t_total), jnp.float32)
+        bd = bd.at[:, :, :t, :t].set(frame_bd)
+        bd = bd.at[:, :, :t, t:].set(cls_pos[0].reshape(1, h, 1, 1))
+        bd = bd.at[:, :, t:, :t].set(cls_pos[1].reshape(1, h, 1, 1))
+        bd = bd.at[:, :, t:, t:].set(cls_pos[2].reshape(1, h, 1, 1))
+
+        scores = (content + bd) * scale
+        if mask is not None:
+            m = mask
+            while m.ndim < 4:
+                m = m[None]
+            scores = jnp.where(m, jnp.finfo(scores.dtype).min, scores)
+        attn = jax.nn.softmax(scores, axis=-1)
+        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn.astype(self.dtype), v).reshape(b, t_total, d)
+        return nn.Dense(d, use_bias=True, dtype=self.dtype, name="out_proj")(out)
+
+
+def trunc_normal_init_xl(std: float = 0.02):
+    import flax.linen as _nn
+
+    return _nn.initializers.truncated_normal(stddev=std, lower=-2.0, upper=2.0)
+
+
+class TransformerXLWithClsToken(nn.Module):
+    """XL block over [frames..., cls tokens] (reference block wiring)."""
+
+    num_heads: int
+    cls_num: int
+    mlp_ratio: float = 1.0
+    attn_drop: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, pos_emb, mask=None, deterministic: bool = True):
+        d = x.shape[-1]
+        x = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
+        x = x + RelPositionMHAWithClsToken(
+            num_heads=self.num_heads, cls_num=self.cls_num, attn_drop=self.attn_drop,
+            dtype=self.dtype, name="attn",
+        )(x, pos_emb, mask=mask, deterministic=deterministic)
+        h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
+        x = x + Mlp(hidden_features=int(d * self.mlp_ratio), dtype=self.dtype, name="mlp")(
+            h, deterministic=deterministic
+        )
+        return x
