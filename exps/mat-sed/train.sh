@@ -1,0 +1,35 @@
+#!/usr/bin/env bash
+# MAT-SED 3-stage pipeline (equivalent of the reference exps/mat-sed/base/train.sh:
+# pretrain -> finetune1 -> finetune2 with best-checkpoint hand-off).
+# The reference's nvidia-smi memory/process polling between stages is
+# unnecessary here: stages run sequentially in one process group and the
+# TPU is released at process exit.
+set -euo pipefail
+
+REPO="$(cd "$(dirname "$0")/../.." && pwd)"
+EXP_DIR="${1:-$REPO/exps/mat-sed/run1}"
+SEED="${2:-42}"
+
+cd "$REPO"
+
+echo "=== stage 1: masked-reconstruction pretraining ==="
+python -m transformer4sed_tpu.recipes.cli matsed_pretrain \
+    --config_dir config/mat-sed/pretrain.yaml \
+    --save_folder "$EXP_DIR/pretrain" \
+    --random_seed "$SEED"
+
+echo "=== stage 2: mean-teacher fine-tune (global) ==="
+python -m transformer4sed_tpu.recipes.cli matsed_finetune \
+    --config_dir config/mat-sed/finetune1.yaml \
+    --save_folder "$EXP_DIR/finetune1" \
+    --pretrained_ckpt "$EXP_DIR/pretrain/best/best_student" \
+    --random_seed "$SEED"
+
+echo "=== stage 3: fine-tune with sliding-window fusion ==="
+python -m transformer4sed_tpu.recipes.cli matsed_finetune \
+    --config_dir config/mat-sed/finetune2.yaml \
+    --save_folder "$EXP_DIR/finetune2" \
+    --pretrained_ckpt "$EXP_DIR/finetune1/best/best_student" \
+    --random_seed "$SEED"
+
+echo "=== done: results in $EXP_DIR ==="

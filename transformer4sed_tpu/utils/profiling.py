@@ -1,0 +1,70 @@
+"""Tracing / profiling hooks.
+
+The reference's only timing is wall-clock prints (SURVEY.md §5.1).
+Here: a ``jax.profiler`` trace context that dumps a TensorBoard-viewable
+trace (XLA ops, HBM, fusion view) and a per-step timer that forces a
+device fence (the axon tunnel's ``block_until_ready`` is unreliable, so
+the fence pulls one scalar).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """``with trace('/tmp/jax-trace'): step(...)`` -> TensorBoard trace."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def fence(tree) -> float:
+    """Force execution of a pytree; returns a scalar checksum."""
+    leaves = [x for x in jax.tree_util.tree_leaves(tree) if hasattr(x, "dtype")]
+    if not leaves:
+        return 0.0
+    return float(jnp.sum(leaves[0].astype(jnp.float32).ravel()[:1]))
+
+
+class StepTimer:
+    """Rolling per-step wall-clock statistics with device fencing."""
+
+    def __init__(self, warmup: int = 1):
+        self.warmup = warmup
+        self._times = []
+        self._count = 0
+        self._t0: Optional[float] = None
+
+    def start(self):
+        self._t0 = time.perf_counter()
+
+    def stop(self, outputs=None) -> float:
+        if outputs is not None:
+            fence(outputs)
+        dt = time.perf_counter() - self._t0
+        self._count += 1
+        if self._count > self.warmup:
+            self._times.append(dt)
+        return dt
+
+    def summary(self) -> Dict[str, float]:
+        if not self._times:
+            return {"steps": 0}
+        arr = np.asarray(self._times)
+        return {
+            "steps": len(arr),
+            "mean_s": float(arr.mean()),
+            "p50_s": float(np.percentile(arr, 50)),
+            "p95_s": float(np.percentile(arr, 95)),
+            "steps_per_sec": float(1.0 / arr.mean()),
+        }
