@@ -108,6 +108,107 @@ def _xla_attention(q, k, v, sm_scale):
     return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
 
 
+# -- flash attention with an additive score bias --------------------------------
+#
+# Used by the TransformerXL decoders: the rel-position term (and any band
+# mask, folded in as -inf) arrives as a precomputed [B, H, T, T] bias.
+# XLA's path materialises scores + softmax in HBM (2 x T^2 f32 per head
+# per direction); here the bias is read once per block and everything
+# else stays in VMEM.
+
+
+def _flash_bias_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, block_k, seq_len, sm_scale):
+    q = q_ref[:].astype(jnp.float32) * sm_scale
+    block_q, d = q.shape
+    t_pad = k_ref.shape[0]
+    num_kb = t_pad // block_k
+
+    def body(i, carry):
+        m_prev, l_prev, acc = carry
+        k = k_ref[pl.ds(i * block_k, block_k), :]
+        v = v_ref[pl.ds(i * block_k, block_k), :]
+        bias = bias_ref[:, pl.ds(i * block_k, block_k)].astype(jnp.float32)
+        s = jnp.dot(q, k.T.astype(jnp.float32), preferred_element_type=jnp.float32) + bias
+        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + i * block_k
+        s = jnp.where(col < seq_len, s, _NEG_INF)
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * alpha + jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        return m_new, l_new, acc_new
+
+    m0 = jnp.full((block_q, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    acc0 = jnp.zeros((block_q, d), jnp.float32)
+    _, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
+    o_ref[:] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def _flash_bias_forward(q, k, v, bias, sm_scale, block_q=128, block_k=128, interpret=False):
+    """q/k/v: [B, H, T, d]; bias: [B, H, T, T] additive scores."""
+    b, h, t, d = q.shape
+    t_pad = _round_up(t, max(block_q, block_k))
+
+    def pad_qkv(x):
+        return jnp.pad(x, ((0, 0), (0, 0), (0, t_pad - t), (0, 0))).reshape(b * h, t_pad, d)
+
+    bias_p = jnp.pad(bias, ((0, 0), (0, 0), (0, t_pad - t), (0, t_pad - t))).reshape(
+        b * h, t_pad, t_pad
+    )
+    grid = (b * h, t_pad // block_q)
+    out = pl.pallas_call(
+        functools.partial(_flash_bias_kernel, block_k=block_k, seq_len=t, sm_scale=sm_scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, block_q, d), lambda bh, qi: (bh, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, t_pad, d), lambda bh, qi: (bh, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, t_pad, d), lambda bh, qi: (bh, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (None, block_q, t_pad), lambda bh, qi: (bh, qi, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (None, block_q, d), lambda bh, qi: (bh, qi, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b * h, t_pad, d), q.dtype),
+        interpret=interpret,
+    )(pad_qkv(q), pad_qkv(k), pad_qkv(v), bias_p)
+    return out.reshape(b, h, t_pad, d)[:, :, :t]
+
+
+def _xla_attention_bias(q, k, v, bias, sm_scale):
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * sm_scale
+    s = s + bias
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def flash_attention_bias(q, k, v, bias, sm_scale: float = 1.0):
+    """Softmax attention with additive [B, H, T, T] score bias."""
+    if jax.default_backend() == "tpu":
+        return _flash_bias_forward(q, k, v, bias, sm_scale)
+    return _xla_attention_bias(q, k, v, bias, sm_scale)
+
+
+def _bias_fwd(q, k, v, bias, sm_scale):
+    return flash_attention_bias(q, k, v, bias, sm_scale), (q, k, v, bias)
+
+
+def _bias_bwd(sm_scale, residuals, g):
+    q, k, v, bias = residuals
+
+    def f(q, k, v, bias):
+        return _xla_attention_bias(q, k, v, bias, sm_scale)
+
+    _, vjp = jax.vjp(f, q, k, v, bias)
+    return vjp(g)
+
+
+flash_attention_bias.defvjp(_bias_fwd, _bias_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def flash_attention(q, k, v, sm_scale: Optional[float] = None):
     """Softmax attention, [B, H, T, d] layout, no mask.

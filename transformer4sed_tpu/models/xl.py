@@ -140,10 +140,17 @@ def _rel_position_scores(q_v: jnp.ndarray, p: jnp.ndarray) -> jnp.ndarray:
 
 
 class RelPositionMultiheadAttention(nn.Module):
-    """Transformer-XL multi-head self-attention with relative positions."""
+    """Transformer-XL multi-head self-attention with relative positions.
+
+    ``use_flash`` routes the (content + position-bias) softmax through
+    the Pallas flash-with-bias kernel: the [T, T] scores never hit HBM
+    (the position bias is still materialised once, but scores/softmax/
+    weighted-sum stay in VMEM). Band masks fold into the bias as -inf.
+    """
 
     num_heads: int
     attn_drop: float = 0.0
+    use_flash: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -195,6 +202,7 @@ class TransformerXLBlock(nn.Module):
     num_heads: int
     mlp_ratio: float = 1.0
     attn_drop: float = 0.0
+    use_flash: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -202,7 +210,8 @@ class TransformerXLBlock(nn.Module):
         d = x.shape[-1]
         x = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
         x = x + RelPositionMultiheadAttention(
-            num_heads=self.num_heads, attn_drop=self.attn_drop, dtype=self.dtype, name="attn"
+            num_heads=self.num_heads, attn_drop=self.attn_drop,
+            use_flash=self.use_flash, dtype=self.dtype, name="attn",
         )(x, pos_emb, mask=mask, deterministic=deterministic)
         h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
         x = x + Mlp(hidden_features=int(d * self.mlp_ratio), dtype=self.dtype, name="mlp")(
@@ -220,6 +229,7 @@ class TransformerXLDecoder(nn.Module):
     attn_drop: float = 0.0
     seq_len: int = 1000
     window_len: Optional[Union[int, Sequence[int]]] = None
+    use_flash: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -236,6 +246,7 @@ class TransformerXLDecoder(nn.Module):
                 num_heads=self.num_heads,
                 mlp_ratio=self.mlp_ratio,
                 attn_drop=self.attn_drop,
+                use_flash=self.use_flash,
                 dtype=self.dtype,
                 name=f"encoder_blocks_{i}",
             )(x, pos_emb, mask=mask, deterministic=deterministic)
