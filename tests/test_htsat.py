@@ -153,3 +153,24 @@ class TestHTSATHeads:
         out = model.apply(variables, mel)
         assert out.strong.shape == (1, 5, 128)
         assert out.at_out.shape == (1, 5)
+
+
+class TestHTSATSlideWindow:
+    def test_dasm_htsat_encoder_win(self):
+        model = DASM_HTSAT(
+            class_num=5,
+            decoder_dim=32,
+            num_heads=4,
+            decoder="transformerXL",
+            decoder_layer_num=1,
+            decoder_pos_emd_len=400,
+            backbone_upsample_ratio=4,
+            at_decoder_layer=1,
+            out_type="sigmoid",
+        )
+        mel = jnp.asarray(np.random.RandomState(7).randn(1, 1, 64, 64).astype(np.float32))
+        variables = model.init({"params": KEY}, mel)
+        out_global = model.apply(variables, mel, temp_w=1.0)
+        out_fused = model.apply(variables, mel, encoder_win=True, win_param=(48, 16), temp_w=1.0)
+        assert out_fused.strong.shape == out_global.strong.shape
+        assert not np.allclose(np.asarray(out_fused.strong), np.asarray(out_global.strong))

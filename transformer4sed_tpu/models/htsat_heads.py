@@ -295,10 +295,19 @@ class DASM_HTSAT(nn.Module):
             return self.query_projectors[idx](query)
         return self.query_projectors[0](query)
 
+    def _encode_window(self, mel_tf: jnp.ndarray, train: bool) -> jnp.ndarray:
+        """[N, F, W] mel window -> [N, t*ratio, C] (HtsatSlideWindow parity)."""
+        mel_win = jnp.transpose(mel_tf, (0, 2, 1))[:, None]  # -> [N, 1, W, F]
+        feat = self.backbone(mel_win, train=train)["fine_grained_embedding"]
+        return interpolate_time(feat, self.backbone_upsample_ratio, "linear")
+
     def __call__(
         self,
         mel: jnp.ndarray,  # [B, 1, T, F]
         train: bool = False,
+        encoder_win: bool = False,
+        mix_rate: float = 0.5,
+        win_param: Tuple[int, int] = (256, 64),
         temp_w: float = 0.1,
         pad_mask: Optional[jnp.ndarray] = None,
         query=None,
@@ -307,6 +316,19 @@ class DASM_HTSAT(nn.Module):
     ) -> SEDOutput:
         feat = self.backbone(mel, train=train)["fine_grained_embedding"]  # [B, T', C]
         x = interpolate_time(feat, self.backbone_upsample_ratio, "linear")
+
+        if encoder_win:
+            from transformer4sed_tpu.models.slide import slide_window_encode
+
+            mel_tf = jnp.transpose(mel[:, 0], (0, 2, 1))  # [B, F, T]
+            x_local = slide_window_encode(
+                lambda w: self._encode_window(w, train),
+                mel_tf,
+                emb_len=x.shape[1],
+                win_width=win_param[0],
+                step=win_param[1],
+            )
+            x = mix_rate * x_local + (1.0 - mix_rate) * x
 
         if self.cnn_param is not None:
             cnn_feat = self.cnn(mel, train=train)

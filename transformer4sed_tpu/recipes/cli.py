@@ -111,6 +111,76 @@ def main(argv=None):
                 save_params(f"{paths['best_paths']}/best_student", trainer.state.params)
         return 0
 
+    if stage == "pmam_extract":
+        # PMAM stage 1: tap frame features from the frozen MLM net -> .npy
+        from transformer4sed_tpu.data import DataLoader, UnlabeledDataset
+        from transformer4sed_tpu.pmam import extract_frame_features
+        import numpy as np
+
+        ds = UnlabeledDataset(config["dataset"]["unlabeled_folder"], False, codec)
+        loader = DataLoader(ds, batch_size=config["training"].get("batch_size_val", 16),
+                            num_workers=config["generals"].get("num_workers", 4), drop_last=False)
+
+        def mel_batches():
+            for batch in loader:
+                yield frontend.normalize(frontend(jnp.asarray(batch["wav"])))
+
+        feats = extract_frame_features(
+            model, {"params": params}, mel_batches(),
+            feature_layer=config.get("pmam", {}).get("feature_layer", "transformer_0"),
+            downsample_rate=config.get("pmam", {}).get("downsample_rate", 4),
+        )
+        out = f"{paths['save_folder']}/features.npy"
+        np.save(out, feats)
+        logger.info(f"extracted {feats.shape} features -> {out}")
+        return 0
+
+    if stage == "pmam_gmm":
+        # PMAM stage 2: fit GMM (optionally after PCA) on extracted features
+        import numpy as np
+        from transformer4sed_tpu.pmam import GaussianMixture, PCA
+
+        pm = config.get("pmam", {})
+        feats = np.load(f"{paths['save_folder']}/features.npy")
+        if pm.get("pca_dim"):
+            feats = PCA(pm["pca_dim"]).fit_transform(feats)
+        gmm = GaussianMixture(
+            num_components=pm.get("n_components", 64),
+            covariance_type=pm.get("covariance_type", "full"),
+            n_iter=pm.get("n_iter", 50),
+        ).fit(feats)
+        np.save(f"{paths['save_folder']}/gmm_means.npy", gmm.means)
+        np.save(f"{paths['save_folder']}/gmm_covariances.npy", gmm.covariances)
+        np.save(f"{paths['save_folder']}/gmm_weights.npy", gmm.weights)
+        logger.info(f"fitted GMM: means {gmm.means.shape}")
+        return 0
+
+    if stage == "pmam_pseudo_labels":
+        # PMAM stage 3: per-clip pseudo-label TSVs from GMM posteriors
+        import numpy as np
+        from transformer4sed_tpu.data import DataLoader, UnlabeledDataset
+        from transformer4sed_tpu.pmam import GaussianMixture, generate_pseudo_labels
+
+        pm = config.get("pmam", {})
+        gmm = GaussianMixture(num_components=1)
+        gmm.means = np.load(f"{paths['save_folder']}/gmm_means.npy")
+        gmm.covariances = np.load(f"{paths['save_folder']}/gmm_covariances.npy")
+        gmm.weights = np.load(f"{paths['save_folder']}/gmm_weights.npy")
+        ds = UnlabeledDataset(config["dataset"]["unlabeled_folder"], True, codec)
+        loader = DataLoader(ds, batch_size=config["training"].get("batch_size_val", 16),
+                            num_workers=config["generals"].get("num_workers", 4), drop_last=False)
+        mels, names = [], []
+        for batch in loader:
+            mels.append(frontend.normalize(frontend(jnp.asarray(batch["wav"]))))
+            names.append(batch["filename"])
+        n = generate_pseudo_labels(
+            model, {"params": params}, gmm, mels, names,
+            out_dir=f"{paths['save_folder']}/pseudo_labels",
+            feature_layer=pm.get("feature_layer", "transformer_0"),
+        )
+        logger.info(f"wrote {n} pseudo-label TSVs")
+        return 0
+
     if stage in ("matsed_finetune", "matsed_test"):
         train_loader, val_loader, test_loader = common.desed_dataset_setting(
             config, codec, args.random_seed
