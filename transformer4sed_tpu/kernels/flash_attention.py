@@ -74,9 +74,16 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, seq_len: int, sm_
     o_ref[:] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
-def _flash_forward(q, k, v, sm_scale, block_q: int = 128, block_k: int = 128, interpret: bool = False):
-    """q/k/v: [B, H, T, d] -> [B, H, T, d]."""
+def _flash_forward(q, k, v, sm_scale, block_q: int = 256, block_k: Optional[int] = None, interpret: bool = False):
+    """q/k/v: [B, H, T, d] -> [B, H, T, d].
+
+    Default blocks from a v5e sweep at T=1190/d=64: block_q=256 with a
+    single full-row K block (6.9 ms vs XLA's 10.4 ms at B=32xH=12);
+    128x128 blocks under-utilise the MXU (24.5 ms).
+    """
     b, h, t, d = q.shape
+    if block_k is None:
+        block_k = _round_up(t, block_q) if t <= 2048 else 512
     t_pad = _round_up(t, max(block_q, block_k))
 
     def pad(x):
@@ -145,9 +152,11 @@ def _flash_bias_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, block_k, seq_len
     o_ref[:] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
-def _flash_bias_forward(q, k, v, bias, sm_scale, block_q=128, block_k=128, interpret=False):
+def _flash_bias_forward(q, k, v, bias, sm_scale, block_q=256, block_k=None, interpret=False):
     """q/k/v: [B, H, T, d]; bias: [B, H, T, T] additive scores."""
     b, h, t, d = q.shape
+    if block_k is None:
+        block_k = _round_up(t, block_q) if t <= 2048 else 512
     t_pad = _round_up(t, max(block_q, block_k))
 
     def pad_qkv(x):
