@@ -117,3 +117,109 @@ def drop_absent_classes(
         for _, _, label in events:
             present.add(label)
     return {c: v for c, v in single_class_psds.items() if c in present}
+
+
+class SupervisedTrainer:
+    """Epoch driver for supervised AudioSet-strong training
+    (PaSST_CNN / HTSAT_CNN / DASM closed-set).
+
+    Validation computes PSDS with alpha_st=0 over val-present classes and
+    reports common/rare means when a type map is provided
+    (reference ``base/passt_cnn/train.py:140-320``).
+    """
+
+    def __init__(
+        self,
+        model,
+        frontend,
+        config: Dict,
+        codec,
+        train_loader,
+        val_loader,
+        logger,
+        init_params=None,
+        type_map: Optional[Dict[str, str]] = None,
+    ):
+        import flax.struct
+
+        from transformer4sed_tpu.recipes import common
+        from transformer4sed_tpu.train.mlm import MLMState
+
+        self.model = model
+        self.frontend = frontend
+        self.config = config
+        self.codec = codec
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.logger = logger
+        self.type_map = type_map
+        self.model_name = config.get("model_name", "PaSST_CNN")
+
+        if init_params is None:
+            sample = next(iter(train_loader))
+            mel = frontend.normalize(frontend(jnp.asarray(sample["wav"][:1])))
+            init_params = model.init({"params": jax.random.PRNGKey(0)}, mel)["params"]
+        steps = len(train_loader)
+        self.optimizer, _ = common.optimizer_from_config(init_params, config, steps)
+        self.state = MLMState(
+            params=init_params,
+            opt_state=self.optimizer.init(init_params),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+        def model_apply(params, mel, train=False, rngs=None, **kw):
+            return model.apply({"params": params}, mel, train=train, rngs=rngs, **kw)
+
+        self.model_apply = model_apply
+        tr = config["training"]
+        cls_loss = config.get("class_loss", {})
+        cfg = SupervisedConfig(
+            loss_name=cls_loss.get("loss_name", "BCELoss"),
+            loss_kwargs=cls_loss.get("kwargs"),
+            transform_choice=tuple(tr.get("transform", {}).get("choice", (1, 0, 0, 0))),
+            model_kwargs=config.get(self.model_name, {}).get("train_kwargs", {}),
+        )
+        self._train_step = jax.jit(make_supervised_step(model_apply, frontend, self.optimizer, cfg))
+        self._eval_fn = jax.jit(
+            lambda p, m, pm: model_apply(
+                p, m, train=False, pad_mask=pm,
+                **config.get(self.model_name, {}).get("val_kwargs", {}),
+            )
+        )
+
+    def train_epoch(self, epoch: int, key) -> Dict[str, float]:
+        self.train_loader.set_epoch(epoch)
+        acc: Dict[str, float] = {}
+        n = len(self.train_loader)
+        for i, batch in enumerate(self.train_loader):
+            k = jax.random.fold_in(key, epoch * n + i)
+            self.state, metrics = self._train_step(
+                self.state, {"wav": jnp.asarray(batch["wav"]), "labels": jnp.asarray(batch["label"])}, k
+            )
+            for kk, v in metrics.items():
+                acc[kk] = acc.get(kk, 0.0) + float(v) / n
+        self.logger.scalars("Train", acc, epoch + 1)
+        return acc
+
+    def validation(self, epoch: int, ground_truth, durations, median_filter=7) -> Dict[str, float]:
+        from transformer4sed_tpu.eval.decode import batched_decode_preds
+        from transformer4sed_tpu.eval.psds import compute_psds_from_scores
+
+        scores = {}
+        for batch in self.val_loader:
+            mel = self.frontend.normalize(self.frontend(jnp.asarray(batch["wav"])))
+            out = self._eval_fn(self.state.params, mel, jnp.asarray(batch["pad_mask"]))
+            _, post = batched_decode_preds(
+                out.strong, batch["filename"], self.codec, filter=median_filter
+            )
+            scores.update(post)
+        psds, single = compute_psds_from_scores(
+            scores, ground_truth, durations,
+            dtc_threshold=0.7, gtc_threshold=0.7, alpha_ct=0.0, alpha_st=0.0,
+        )
+        single = drop_absent_classes(single, ground_truth, self.codec.labels)
+        results = {"psds": psds}
+        if self.type_map:
+            results.update(split_psds_by_type(single, self.type_map))
+        self.logger.scalars("validation", results, epoch + 1)
+        return results
