@@ -81,3 +81,17 @@ class TestASTAT:
         out = model.apply(model.init({"params": KEY}, fbank), fbank)
         assert out.shape == (1, 7)
         assert (np.asarray(out) >= 0).all() and (np.asarray(out) <= 1).all()
+
+
+class TestASTWithSlide:
+    def test_forward(self):
+        from transformer4sed_tpu.models.ast import ASTWithSlide
+
+        model = ASTWithSlide(
+            class_num=3, embed_dim=32, depth=1, num_heads=4, ast_feature_layer=1,
+            input_fdim=32, input_tdim=128, win_width=64, step=32, decode_ratio=10,
+        )
+        fbank = jnp.asarray(np.random.RandomState(0).randn(1, 32, 128).astype(np.float32))
+        out = model.apply(model.init({"params": KEY}, fbank), fbank)
+        assert out.strong.shape[1] == 3
+        assert out.weak.shape == (1, 3)

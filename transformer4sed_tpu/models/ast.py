@@ -257,3 +257,73 @@ class AST_AT(nn.Module):
             name="backbone",
         )(fbank[:, None], train=train)
         return jax.nn.sigmoid(out["globals"])
+
+
+class ASTWithSlide(nn.Module):
+    """AST_SED with sliding-window overlap-add encoding
+    (reference ``ASTWithSlide``, ``ast_models.py:562-658``): fbank
+    windows run through the backbone + f-pool independently and are
+    overlap-added into the output frame grid."""
+
+    class_num: int = 10
+    decode_ratio: int = 10
+    ast_feature_layer: int = 10
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    input_fdim: int = 128
+    input_tdim: int = 1024
+    win_width: int = 256
+    step: int = 16
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        self.backbone = AST(
+            embed_dim=self.embed_dim,
+            depth=self.depth,
+            num_heads=self.num_heads,
+            input_fdim=self.input_fdim,
+            input_tdim=self.win_width,
+            tap_layers=(self.ast_feature_layer,),
+            dtype=self.dtype,
+        )
+        self.out_norm = nn.LayerNorm(epsilon=1e-5)
+        self.decoder_module = BiGRUDecoder(hidden_dim=self.embed_dim, num_layers=2, dtype=self.dtype)
+        self.classifier = nn.Dense(self.class_num)
+
+    def _encode_window(self, fbank_win: jnp.ndarray, train: bool) -> jnp.ndarray:
+        out = self.backbone(fbank_win[:, None], train=train)
+        feat = self.out_norm(out[f"layer{self.ast_feature_layer}_out"][:, 2:, :])
+        b, p, c = feat.shape
+        grid = feat.reshape(b, out["f_dim"], out["t_dim"], c)
+        frames = jnp.mean(grid, axis=1)
+        return interpolate_time(frames, self.decode_ratio, "linear")
+
+    def __call__(
+        self,
+        fbank: jnp.ndarray,  # [B, F, T]
+        train: bool = False,
+        temp_w: float = 1.0,
+        pad_mask: Optional[jnp.ndarray] = None,
+    ) -> SEDOutput:
+        from transformer4sed_tpu.models.slide import slide_window_encode
+
+        t = fbank.shape[-1]
+        # output grid scaled so a full-width window fills its span exactly
+        emb_len = ((self.win_width - 16) // 10 + 1) * self.decode_ratio * t // self.win_width
+        x = slide_window_encode(
+            lambda w: self._encode_window(w, train),
+            fbank,
+            emb_len=emb_len,
+            win_width=self.win_width,
+            step=self.step,
+        )
+        h = self.decoder_module(x, deterministic=not train)
+        logits = self.classifier(h)
+        sed = jax.nn.sigmoid(logits / temp_w)
+        if pad_mask is not None:
+            pm = pad_mask[:, : sed.shape[1]]
+            sed = jnp.where(pm[:, :, None], 0.0, sed)
+        weak = linear_softmax_pool(sed, axis=1)
+        return SEDOutput(strong=sed.transpose(0, 2, 1), weak=weak)
+

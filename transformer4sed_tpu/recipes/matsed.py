@@ -139,6 +139,11 @@ class MATSEDTrainer:
             step_key = jax.random.fold_in(key, epoch * n + i)
             dev_batch = {"wav": jnp.asarray(batch["wav"]), "labels": jnp.asarray(batch["label"])}
             self.state, metrics = self._train_step(self.state, dev_batch, step_key)
+            loss = float(metrics["loss_total"])
+            if not np.isfinite(loss):
+                raise FloatingPointError(
+                    f"non-finite loss at epoch {epoch} step {i}: {loss}"
+                )  # reference NaN guard (finetune/train.py:190-191)
             for k, v in metrics.items():
                 metrics_acc[k] = metrics_acc.get(k, 0.0) + float(v) / n
         self.logger.scalars("Train", metrics_acc, epoch + 1)

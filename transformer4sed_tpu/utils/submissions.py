@@ -97,3 +97,17 @@ def main(argv=None):
 
 if __name__ == "__main__":
     main()
+
+
+def download_zenodo(url: str, out_dir: str) -> str:
+    """Dataset artifact downloader (reference ``src/utils/download.py`` wget
+    wrapper). Uses urllib; honours an existing file."""
+    import urllib.request
+
+    os.makedirs(out_dir, exist_ok=True)
+    name = url.rstrip("/").rsplit("/", 1)[-1]
+    dst = os.path.join(out_dir, name)
+    if os.path.exists(dst):
+        return dst
+    urllib.request.urlretrieve(url, dst)
+    return dst
