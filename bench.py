@@ -47,8 +47,13 @@ def main():
     frontend = PasstFrontend()
 
     wav = jnp.asarray(np.random.RandomState(0).randn(batch, n_samples).astype(np.float32))
-    mel = frontend.normalize(frontend(wav[:1]))
-    params = model.init({"params": jax.random.PRNGKey(0)}, mel)["params"]
+    # init on CPU (the accelerator compile pipeline is reserved for the
+    # benchmarked forward; init would be a second large compile)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        mel = frontend.normalize(frontend(np.zeros((1, n_samples), np.float32)))
+        params = model.init({"params": jax.random.PRNGKey(0)}, mel)["params"]
+    params = jax.device_put(params, jax.devices()[0])
 
     @jax.jit
     def forward(params, wav):

@@ -64,3 +64,53 @@ class TestSupervisedStep:
         labels = jnp.asarray((np.random.RandomState(1).rand(2, 3, 120) > 0.8).astype(np.float32))
         state, metrics = step(state, {"wav": wav, "labels": labels}, KEY)
         assert np.isfinite(float(metrics["loss_class_strong"]))
+
+
+class TestAudioQueries:
+    def test_extract_audio_queries(self):
+        from transformer4sed_tpu.recipes.queries import extract_audio_queries
+
+        rng = np.random.RandomState(0)
+        d, c = 8, 3
+        # class k embeddings cluster at mean k*10
+        def embed_fn(wav):
+            b = wav.shape[0]
+            return jnp.asarray(rng.randn(b, 20, d).astype(np.float32)) + wav[:, :1, None] * 0
+
+        batches = []
+        for k in range(c):
+            wav = np.zeros((2, 100), np.float32)
+            labels = np.zeros((2, c, 20), np.float32)
+            labels[:, k, :] = 1.0
+            batches.append({"wav": wav, "label": labels})
+
+        # deterministic embed: class index encoded in constant embedding
+        def embed_const(wav):
+            # identify class by call order via closure counter
+            return jnp.full((wav.shape[0], 20, d), embed_const.k * 10.0)
+
+        outs = []
+        for k, batch in enumerate(batches):
+            embed_const.k = k
+            outs.append(
+                extract_audio_queries(embed_const, [batch], n_classes=c, embed_dim=d)
+            )
+        # each single-batch result has mean k*10 in row k, zeros elsewhere
+        for k, q in enumerate(outs):
+            np.testing.assert_allclose(q[k], k * 10.0, atol=1e-5)
+            other = [i for i in range(c) if i != k]
+            np.testing.assert_allclose(q[other], 0.0, atol=1e-6)
+
+    def test_cap_classes(self):
+        from transformer4sed_tpu.recipes.queries import extract_audio_queries
+
+        d, c = 4, 2
+        def embed(wav):
+            return jnp.ones((wav.shape[0], 10, d))
+
+        batch = {"wav": np.zeros((1, 50), np.float32),
+                 "label": np.ones((1, c, 10), np.float32)}
+        # class 1 capped at threshold 0 -> first batch counts, second skipped
+        q = extract_audio_queries(embed, [batch, batch], n_classes=c, embed_dim=d,
+                                  cap_classes=[1], cap_threshold=0)
+        np.testing.assert_allclose(q, 1.0, atol=1e-6)

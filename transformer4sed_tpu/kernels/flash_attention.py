@@ -35,6 +35,14 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e30
 
 
+def _on_tpu() -> bool:
+    """True when tracing will execute on TPU (respects default_device overrides)."""
+    if jax.default_backend() != "tpu":
+        return False
+    dd = jax.config.jax_default_device
+    return dd is None or getattr(dd, "platform", "tpu") == "tpu"
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -196,7 +204,7 @@ def _xla_attention_bias(q, k, v, bias, sm_scale):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def flash_attention_bias(q, k, v, bias, sm_scale: float = 1.0):
     """Softmax attention with additive [B, H, T, T] score bias."""
-    if jax.default_backend() == "tpu":
+    if _on_tpu():
         return _flash_bias_forward(q, k, v, bias, sm_scale)
     return _xla_attention_bias(q, k, v, bias, sm_scale)
 
@@ -226,7 +234,7 @@ def flash_attention(q, k, v, sm_scale: Optional[float] = None):
     backward recomputes attention with XLA ops.
     """
     scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(q.shape[-1])
-    if jax.default_backend() == "tpu":
+    if _on_tpu():
         return _flash_forward(q, k, v, scale)
     return _xla_attention(q, k, v, scale)
 
