@@ -325,3 +325,26 @@ class TestPaSSTSED:
         out_fused = model.apply(params, mel, encoder_win=True, win_param=(100, 37), mix_rate=0.5)
         assert out_fused.strong.shape == out_global.strong.shape
         assert not np.allclose(np.asarray(out_fused.strong), np.asarray(out_global.strong))
+
+
+class TestRemat:
+    def test_remat_matches_plain(self):
+        cfg = dict(embed_dim=32, depth=2, num_heads=4, img_size=(32, 200), tap_layers=(2,))
+        plain = PaSST(**cfg)
+        remat = PaSST(**cfg, remat=True)
+        x = jnp.asarray(np.random.RandomState(0).randn(1, 1, 32, 200).astype(np.float32))
+        params = plain.init({"params": KEY}, x)
+        a = plain.apply(params, x)["frame"]
+        b = remat.apply(params, x)["frame"]
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+        # gradients also agree
+        def loss(fn):
+            def inner(p):
+                return jnp.sum(fn.apply(p, x)["frame"] ** 2)
+            return inner
+
+        ga = jax.grad(loss(plain))(params)
+        gb = jax.grad(loss(remat))(params)
+        for la, lb in zip(jax.tree_util.tree_leaves(ga), jax.tree_util.tree_leaves(gb)):
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=1e-5)

@@ -53,6 +53,7 @@ class PaSST(nn.Module):
     lora_rank: int = 0
     lora_alpha: float = 1.0
     use_flash: bool = False
+    remat: bool = False  # rematerialise blocks in backward (HBM for FLOPs)
     dtype: jnp.dtype = jnp.float32
 
     @property
@@ -153,8 +154,9 @@ class PaSST(nn.Module):
         # --- transformer stack with named taps
         taps = set(self.tap_layers)
         h = seq.astype(self.dtype)
+        block_cls = nn.remat(Block, static_argnums=(2,)) if self.remat else Block
         for i in range(self.depth):
-            h = Block(
+            h = block_cls(
                 num_heads=self.num_heads,
                 mlp_ratio=self.mlp_ratio,
                 qkv_bias=self.qkv_bias,
@@ -165,7 +167,7 @@ class PaSST(nn.Module):
                 use_flash=self.use_flash,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
-            )(h, deterministic=not train)
+            )(h, None, not train)
             if (i + 1) in taps:
                 out[f"layer{i + 1}_out"] = h.astype(jnp.float32)
 

@@ -72,6 +72,7 @@ class PaSST_SED(nn.Module):
     lora_rank: int = 0
     lora_alpha: float = 1.0
     use_flash: bool = False
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -85,6 +86,7 @@ class PaSST_SED(nn.Module):
             lora_rank=self.lora_rank,
             lora_alpha=self.lora_alpha,
             use_flash=self.use_flash,
+            remat=self.remat,
             dtype=self.dtype,
         )
         self.out_norm = nn.LayerNorm(epsilon=1e-5)
