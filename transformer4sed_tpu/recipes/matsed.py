@@ -228,8 +228,13 @@ class MATSEDTrainer:
         best.flush()
         return last_val
 
-    def test(self, filter_type: str = "median") -> Dict[str, float]:
-        """Test with median or max filtering (reference test stage)."""
+    def test(self, filter_type: str = "median", save_dir: Optional[str] = None) -> Dict[str, float]:
+        """Test with median or max filtering (reference test stage).
+
+        ``save_dir``: when set, dumps per-class PSDS as single_psds.json
+        sorted ascending (reference base/passt_cnn/train.py:311-312) and
+        the PSD-ROC plot.
+        """
         scores_post = {}
         for batch in self.test_loader:
             mel = self.frontend.normalize(self.frontend(jnp.asarray(batch["wav"])))
@@ -246,7 +251,7 @@ class MATSEDTrainer:
                 need_weak_mask=self.config["training"].get("weak_mask", False),
             )
             scores_post.update(post)
-        psds1, _ = compute_psds_from_scores(
+        psds1, single1 = compute_psds_from_scores(
             scores_post, self.ground_truth, self.durations,
             dtc_threshold=0.7, gtc_threshold=0.7, alpha_ct=0.0, alpha_st=1.0,
         )
@@ -255,6 +260,28 @@ class MATSEDTrainer:
             dtc_threshold=0.1, gtc_threshold=0.1, cttc_threshold=0.3, alpha_ct=0.5, alpha_st=1.0,
         )
         results = {"psds1": psds1, "psds2": psds2}
+        if save_dir:
+            import json
+            import os
+
+            os.makedirs(save_dir, exist_ok=True)
+            ordered = dict(sorted(single1.items(), key=lambda kv: kv[1]))
+            with open(os.path.join(save_dir, "single_psds.json"), "w") as f:
+                json.dump(ordered, f, indent=2)
+            try:
+                from transformer4sed_tpu.eval.psds import compute_psd_roc
+                from transformer4sed_tpu.utils.visualization import plot_psd_roc
+
+                roc = compute_psd_roc(
+                    scores_post, self.ground_truth, self.durations,
+                    0.7, 0.7, 0.3, 0.0, 1.0, 100.0,
+                )
+                plot_psd_roc(
+                    roc.efpr_grid, roc.etpr, roc.value,
+                    os.path.join(save_dir, "psd_roc_psds1.png"),
+                )
+            except Exception:  # plotting is best-effort
+                pass
         self.logger.info(f"test ({filter_type}): {results}")
         return results
 
