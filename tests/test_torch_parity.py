@@ -1,0 +1,130 @@
+"""Numerical parity: torch reference semantics -> importer -> flax model.
+
+Builds a minimal torch implementation of the PaSST backbone semantics
+(conv patch embed, disentangled pos embeds, cls/dist tokens, pre-norm
+ViT blocks, final LN) *in the test*, exports its state_dict with the
+reference's key naming, imports it with ``convert_passt_backbone`` and
+checks the flax forward reproduces the torch activations. This is the
+checkpoint-import fidelity test that real published weights would get.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as tnn  # noqa: E402
+
+from transformer4sed_tpu.models.passt import PaSST  # noqa: E402
+from transformer4sed_tpu.utils.torch_import import convert_passt_backbone  # noqa: E402
+
+D, DEPTH, HEADS = 32, 2, 4
+IMG = (32, 200)  # grid (2, 19)
+
+
+class TorchBlock(tnn.Module):
+    def __init__(self):
+        super().__init__()
+        self.norm1 = tnn.LayerNorm(D, eps=1e-6)
+        self.attn_qkv = tnn.Linear(D, 3 * D)
+        self.attn_proj = tnn.Linear(D, D)
+        self.norm2 = tnn.LayerNorm(D, eps=1e-6)
+        self.mlp_fc1 = tnn.Linear(D, 4 * D)
+        self.mlp_fc2 = tnn.Linear(4 * D, D)
+
+    def forward(self, x):
+        b, n, c = x.shape
+        h = self.norm1(x)
+        qkv = self.attn_qkv(h).reshape(b, n, 3, HEADS, c // HEADS).permute(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        a = (q @ k.transpose(-2, -1)) * (c // HEADS) ** -0.5
+        a = a.softmax(dim=-1)
+        h = (a @ v).transpose(1, 2).reshape(b, n, c)
+        x = x + self.attn_proj(h)
+        h = self.norm2(x)
+        h = self.mlp_fc2(tnn.functional.gelu(self.mlp_fc1(h)))
+        return x + h
+
+
+class TorchMiniPaSST(tnn.Module):
+    def __init__(self):
+        super().__init__()
+        grid = ((IMG[0] - 16) // 10 + 1, (IMG[1] - 16) // 10 + 1)
+        self.proj = tnn.Conv2d(1, D, kernel_size=16, stride=10)
+        self.cls_token = tnn.Parameter(torch.randn(1, 1, D) * 0.02)
+        self.dist_token = tnn.Parameter(torch.randn(1, 1, D) * 0.02)
+        self.new_pos_embed = tnn.Parameter(torch.randn(1, 2, D) * 0.02)
+        self.freq_pos = tnn.Parameter(torch.randn(1, D, grid[0], 1) * 0.02)
+        self.time_pos = tnn.Parameter(torch.randn(1, D, 1, grid[1]) * 0.02)
+        self.blocks = tnn.ModuleList(TorchBlock() for _ in range(DEPTH))
+        self.norm = tnn.LayerNorm(D, eps=1e-6)
+
+    def forward(self, x):
+        p = self.proj(x)  # [B, D, F', T']
+        p = p + self.time_pos + self.freq_pos
+        b, d, f, t = p.shape
+        seq = p.flatten(2).transpose(1, 2)
+        cls = self.cls_token.expand(b, -1, -1) + self.new_pos_embed[:, :1]
+        dist = self.dist_token.expand(b, -1, -1) + self.new_pos_embed[:, 1:]
+        h = torch.cat([cls, dist, seq], dim=1)
+        taps = {}
+        for i, blk in enumerate(self.blocks):
+            h = blk(h)
+            taps[i + 1] = h
+        return self.norm(h), taps
+
+    def reference_state_dict(self):
+        sd = {
+            "patch_embed.proj.weight": self.proj.weight.detach(),
+            "patch_embed.proj.bias": self.proj.bias.detach(),
+            "cls_token": self.cls_token.detach(),
+            "dist_token": self.dist_token.detach(),
+            "new_pos_embed": self.new_pos_embed.detach(),
+            "freq_new_pos_embed": self.freq_pos.detach(),
+            "time_new_pos_embed": self.time_pos.detach(),
+            "norm.weight": self.norm.weight.detach(),
+            "norm.bias": self.norm.bias.detach(),
+        }
+        for i, blk in enumerate(self.blocks):
+            p = f"blocks.{i}"
+            sd.update(
+                {
+                    f"{p}.norm1.weight": blk.norm1.weight.detach(),
+                    f"{p}.norm1.bias": blk.norm1.bias.detach(),
+                    f"{p}.attn.qkv.weight": blk.attn_qkv.weight.detach(),
+                    f"{p}.attn.qkv.bias": blk.attn_qkv.bias.detach(),
+                    f"{p}.attn.proj.weight": blk.attn_proj.weight.detach(),
+                    f"{p}.attn.proj.bias": blk.attn_proj.bias.detach(),
+                    f"{p}.norm2.weight": blk.norm2.weight.detach(),
+                    f"{p}.norm2.bias": blk.norm2.bias.detach(),
+                    f"{p}.mlp.fc1.weight": blk.mlp_fc1.weight.detach(),
+                    f"{p}.mlp.fc1.bias": blk.mlp_fc1.bias.detach(),
+                    f"{p}.mlp.fc2.weight": blk.mlp_fc2.weight.detach(),
+                    f"{p}.mlp.fc2.bias": blk.mlp_fc2.bias.detach(),
+                }
+            )
+        return {k: v.numpy() for k, v in sd.items()}
+
+
+class TestTorchParity:
+    def test_backbone_logit_parity(self):
+        torch.manual_seed(0)
+        tmodel = TorchMiniPaSST().eval()
+        x = torch.randn(2, 1, *IMG)
+        with torch.no_grad():
+            t_frame, t_taps = tmodel(x)
+
+        params = convert_passt_backbone(tmodel.reference_state_dict(), depth=DEPTH)
+        fmodel = PaSST(
+            embed_dim=D, depth=DEPTH, num_heads=HEADS, img_size=IMG, tap_layers=(1, 2)
+        )
+        out = fmodel.apply({"params": params}, jnp.asarray(x.numpy()))
+
+        np.testing.assert_allclose(
+            np.asarray(out["layer1_out"]), t_taps[1].numpy(), atol=2e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["layer2_out"]), t_taps[2].numpy(), atol=2e-5
+        )
+        np.testing.assert_allclose(np.asarray(out["frame"]), t_frame.numpy(), atol=2e-5)
