@@ -153,6 +153,7 @@ def compute_psd_roc(
     alpha_st: float,
     max_efpr: float,
     max_thresholds: int = 200,
+    num_jobs: int = 1,
 ) -> PSDSResult:
     classes = list(next(iter(scores.values())).event_classes)
     total_hours = sum(audio_durations[c] for c in scores) / 3600.0
@@ -172,8 +173,7 @@ def compute_psd_roc(
 
     thresholds = _thresholds_from_scores(scores, max_thresholds)
 
-    ops = []  # per threshold: (tpr[c], efpr[c])
-    for thr in thresholds:
+    def eval_threshold(thr):
         detections = {}
         for clip_id, clip in scores.items():
             per_class = {}
@@ -181,9 +181,20 @@ def compute_psd_roc(
             for ci, c in enumerate(classes):
                 per_class[c] = _intervals_from_binary(binary[:, ci], clip.timestamps)
             detections[clip_id] = per_class
-        tp, fp, ct = evaluate_operating_point(
+        return evaluate_operating_point(
             detections, gt_by_clip_class, classes, dtc_threshold, gtc_threshold, cttc_threshold
         )
+
+    if num_jobs > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=num_jobs) as pool:
+            per_thr = list(pool.map(eval_threshold, thresholds))
+    else:
+        per_thr = [eval_threshold(t) for t in thresholds]
+
+    ops = []  # per threshold: (tpr[c], efpr[c])
+    for tp, fp, ct in per_thr:
         tpr = {}
         efpr = {}
         for c in classes:
@@ -289,5 +300,6 @@ def compute_psds_from_scores(
         alpha_st,
         max_efpr,
         max_thresholds,
+        num_jobs=num_jobs,
     )
     return result.value, result.single_class_psds

@@ -86,6 +86,7 @@ class MATSEDTrainer:
             self_loss_warmup_steps=tr.get("self_loss_warmup", 10) * steps_per_epoch,
             cons_scheduler=tr.get("cons_scheduler_name", "Sigmoid"),
             ema_factor=tr.get("ema_factor", 0.999),
+            n_transform=tr.get("transform", {}).get("n_transform", 2),
             transform_choice=tuple(tr.get("transform", {}).get("choice", (1, 0, 0, 0))),
             filter_db_range=tuple(tr.get("transform", {}).get("filter_db_range", (-0.5, 0.5))),
             filter_bands=tuple(tr.get("transform", {}).get("filter_bands", (3, 6))),

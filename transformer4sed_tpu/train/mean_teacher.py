@@ -52,6 +52,7 @@ class MeanTeacherConfig:
     mixup_alpha: float = 10.0
     mixup_beta: float = 0.5
     max_shift_frame: int = 90
+    n_transform: int = 2  # 0: no aug; 1: same view for stu/tch; 2: distinct views
     transform_choice: Tuple[int, int, int, int] = (1, 0, 0, 0)
     filter_db_range: Tuple[float, float] = (-0.5, 0.5)
     filter_bands: Tuple[int, int] = (3, 6)
@@ -147,19 +148,26 @@ def make_mean_teacher_step(
         mel, labels = mix_span(mel, labels, kps, 0, s)
         mel, labels = mix_span(mel, labels, kpw, s, s + w)
 
-        stu_mel, tch_mel = augment.feature_transformation(
-            ktrans,
-            mel,
-            n_transform=2,
-            choice=cfg.transform_choice,
-            filter_db_range=cfg.filter_db_range,
-            filter_bands=cfg.filter_bands,
-            filter_minimum_bandwidth=cfg.filter_minimum_bandwidth,
-            filter_type=cfg.filter_type,
-            freq_mask_ratio=cfg.freq_mask_ratio,
-            noise_snrs=cfg.noise_snrs,
-            norm_std=5.0,
-        )
+        if cfg.n_transform == 0:
+            stu_mel = tch_mel = mel
+        else:
+            views = augment.feature_transformation(
+                ktrans,
+                mel,
+                n_transform=cfg.n_transform,
+                choice=cfg.transform_choice,
+                filter_db_range=cfg.filter_db_range,
+                filter_bands=cfg.filter_bands,
+                filter_minimum_bandwidth=cfg.filter_minimum_bandwidth,
+                filter_type=cfg.filter_type,
+                freq_mask_ratio=cfg.freq_mask_ratio,
+                noise_snrs=cfg.noise_snrs,
+                norm_std=5.0,
+            )
+            if cfg.n_transform == 1:
+                stu_mel = tch_mel = views
+            else:
+                stu_mel, tch_mel = views
 
         # weak labels: tag-sum for weak rows, pooled strong grid for strong rows
         weak_from_strong = pool_strong_labels(labels[:s])
