@@ -1,3 +1,9 @@
-from transformer4sed_tpu.recipes import common, matsed
+from transformer4sed_tpu.recipes import (
+    audioset_strong,
+    common,
+    dasm_recipe,
+    matsed,
+    queries,
+)
 
-__all__ = ["common", "matsed"]
+__all__ = ["audioset_strong", "common", "dasm_recipe", "matsed", "queries"]

@@ -189,9 +189,15 @@ def main(argv=None):
             model, frontend, config, codec, train_loader, val_loader, test_loader, logger,
             init_params=params,
         )
+        start_epoch = 0
+        if args.resume_ckpt:
+            steps = trainer.restore_state(args.resume_ckpt)
+            start_epoch = steps // max(len(train_loader), 1)
+            logger.info(f"resumed from {args.resume_ckpt} at step {steps} (epoch {start_epoch})")
         if stage == "matsed_finetune" and not args.test_only:
             trainer.run(
-                config["training"]["scheduler"]["n_epochs"], paths["best_paths"], args.random_seed
+                config["training"]["scheduler"]["n_epochs"], paths["best_paths"],
+                args.random_seed, start_epoch=start_epoch,
             )
         trainer.test(filter_type=config["training"].get("filter_type", "median"))
         return 0

@@ -114,9 +114,17 @@ class MATSEDTrainer:
             return model.apply({"params": params}, mel, train=train, rngs=rngs, **kw)
 
         self.model_apply = model_apply
-        self._train_step = jax.jit(
-            make_mean_teacher_step(model_apply, frontend, self.optimizer, self.mt_cfg)
-        )
+        raw_step = make_mean_teacher_step(model_apply, frontend, self.optimizer, self.mt_cfg)
+        # SPMD scale-out: shard the batch over all local devices when >1
+        if jax.device_count() > 1 and self.mt_cfg.batch_size % jax.device_count() == 0:
+            from transformer4sed_tpu.parallel import make_mesh, shard_train_step
+
+            self.mesh = make_mesh()
+            self._train_step = shard_train_step(raw_step, self.mesh, donate_state=False)
+            self.logger.info(f"sharding batches over {jax.device_count()} devices")
+        else:
+            self.mesh = None
+            self._train_step = jax.jit(raw_step)
         self._eval_fns: Dict[str, Any] = {}
         self.median_filter = common.median_filter_from_config(config, codec)
         self.ground_truth = common.load_ground_truth(config["dataset"]["val_tsv"])
@@ -210,11 +218,22 @@ class MATSEDTrainer:
         )
         return results
 
-    def run(self, n_epochs: int, save_dir: str, seed: int = 0) -> Dict[str, float]:
+    def save_state(self, path: str):
+        from transformer4sed_tpu.utils.checkpoint import save_checkpoint
+
+        save_checkpoint(path, self.state)
+
+    def restore_state(self, path: str):
+        from transformer4sed_tpu.utils.checkpoint import restore_checkpoint
+
+        self.state = restore_checkpoint(path, self.state)
+        return int(self.state.step)
+
+    def run(self, n_epochs: int, save_dir: str, seed: int = 0, start_epoch: int = 0) -> Dict[str, float]:
         best = BestModels(save_dir)
         key = jax.random.PRNGKey(seed)
         last_val: Dict[str, float] = {}
-        for epoch in range(n_epochs):
+        for epoch in range(start_epoch, n_epochs):
             t0 = time.time()
             self.train_epoch(epoch, key)
             if (epoch + 1) % self.config["generals"].get("val_interval", 1) == 0:
@@ -226,6 +245,7 @@ class MATSEDTrainer:
                     self.state.teacher_params,
                 )
             self.logger.info(f"epoch {epoch + 1} took {(time.time() - t0) / 60:.2f} min")
+            self.save_state(f"{save_dir}/last_state")
         best.flush()
         return last_val
 
