@@ -348,3 +348,41 @@ class TestRemat:
         gb = jax.grad(loss(remat))(params)
         for la, lb in zip(jax.tree_util.tree_leaves(ga), jax.tree_util.tree_leaves(gb)):
             np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=1e-5)
+
+
+class TestPaSSTSEDDecoderVariants:
+    def _run(self, decoder, **extra):
+        cfg = dict(
+            class_num=3,
+            embed_dim=32,
+            decoder_dim=32,
+            backbone_depth=2,
+            backbone_num_heads=4,
+            decoder_num_heads=4,
+            at_adapter_heads=4,
+            passt_feature_layer=2,
+            decoder=decoder,
+            decoder_layer_num=1,
+            decoder_pos_emd_len=200,
+        )
+        cfg.update(extra)
+        model = PaSST_SED(**cfg)
+        mel = jnp.asarray(np.random.RandomState(0).randn(1, 128, 200).astype(np.float32))
+        out = model.apply(model.init({"params": KEY}, mel), mel)
+        assert out.strong.shape == (1, 3, 200)
+        return out
+
+    def test_conformer(self):
+        self._run("conformer")
+
+    def test_gru(self):
+        self._run("gru")
+
+    def test_no_decoder(self):
+        self._run("no")
+
+    def test_transformer(self):
+        self._run("transformer")
+
+    def test_band_window(self):
+        self._run("transformerXL", decoder_win_len=31)

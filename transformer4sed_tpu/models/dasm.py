@@ -155,6 +155,7 @@ class DASM(nn.Module):
     passt_feature_layer: int = 10
     lora_rank: int = 0
     lora_alpha: float = 1.0
+    use_flash: bool = False
     # AT head
     at_decoder_layer: int = 2
     f_pool_heads: int = 6
@@ -174,6 +175,7 @@ class DASM(nn.Module):
             tap_layers=(self.passt_feature_layer,),
             lora_rank=self.lora_rank,
             lora_alpha=self.lora_alpha,
+            use_flash=self.use_flash,
             dtype=self.dtype,
         )
         self.norm_before_pool = nn.LayerNorm(epsilon=1e-5)
@@ -201,6 +203,7 @@ class DASM(nn.Module):
                 num_heads=self.num_heads,
                 mlp_ratio=self.decoder_expand_rate,
                 seq_len=self.decoder_pos_emd_len,
+                use_flash=self.use_flash,
                 dtype=self.dtype,
             )
             sed_in = self.decoder_dim
