@@ -249,3 +249,33 @@ class TestMeshPath:
         state, metrics = step(state, sharded_batch, KEY)
         assert np.isfinite(float(metrics["loss_total"]))
         assert int(state.step) == 1
+
+
+class TestMultiStep:
+    def test_scan_equals_sequential(self):
+        from transformer4sed_tpu.train.mean_teacher import make_multi_step, stack_batches
+
+        model_apply, frontend, tx, cfg, params, batch = build_mt_setup()
+        step = make_mean_teacher_step(model_apply, frontend, tx, cfg)
+
+        # sequential reference
+        state_a = create_mean_teacher_state(params, tx)
+        key = jax.random.PRNGKey(0)
+        keys = jax.random.split(key, 2)
+        for i in range(2):
+            state_a, m_a = jax.jit(step)(state_a, batch, keys[i])
+
+        # scanned
+        state_b = create_mean_teacher_state(params, tx)
+        multi = jax.jit(make_multi_step(step, 2))
+        batches = stack_batches([batch, batch])
+        state_b, metrics = multi(state_b, batches, key)
+
+        assert int(state_b.step) == 2
+        assert metrics["loss_total"].shape == (2,)
+        # same key derivation -> same trajectory (up to scan-vs-unrolled
+        # f32 accumulation-order noise)
+        for la, lb in zip(
+            jax.tree_util.tree_leaves(state_a.params), jax.tree_util.tree_leaves(state_b.params)
+        ):
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=5e-4)

@@ -145,8 +145,9 @@ def make_mean_teacher_step(
                 jnp.where(span & do_mix, mixed_l, lab),
             )
 
-        mel, labels = mix_span(mel, labels, kps, 0, s)
-        mel, labels = mix_span(mel, labels, kpw, s, s + w)
+        if cfg.mixup_prob > 0:
+            mel, labels = mix_span(mel, labels, kps, 0, s)
+            mel, labels = mix_span(mel, labels, kpw, s, s + w)
 
         if cfg.n_transform == 0:
             stu_mel = tch_mel = mel
@@ -237,3 +238,32 @@ def make_mean_teacher_step(
         return new_state, metrics
 
     return train_step
+
+
+def make_multi_step(train_step: Callable, n_inner: int):
+    """Wrap a (state, batch, key) step into a lax.scan over ``n_inner``
+    stacked batches: one host round-trip per n_inner optimizer steps.
+
+    Reduces dispatch/host-sync overhead (and, on RPC-attached devices
+    such as the dev tunnel, avoids materialising the full train state
+    per step). ``batches`` is the per-step batch pytree stacked on a
+    leading [n_inner, ...] axis; returns the final state and the
+    scan-stacked metrics.
+    """
+
+    def multi_step(state, batches, key):
+        def body(carry, inputs):
+            step_batch, step_key = inputs
+            new_state, metrics = train_step(carry, step_batch, step_key)
+            return new_state, metrics
+
+        keys = jax.random.split(key, n_inner)
+        state, metrics = jax.lax.scan(body, state, (batches, keys))
+        return state, metrics
+
+    return multi_step
+
+
+def stack_batches(batch_list):
+    """Stack a list of batch dicts on a new leading axis for multi-step."""
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *batch_list)
