@@ -279,3 +279,14 @@ class TestMultiStep:
             jax.tree_util.tree_leaves(state_a.params), jax.tree_util.tree_leaves(state_b.params)
         ):
             np.testing.assert_allclose(np.asarray(la), np.asarray(lb), atol=5e-4)
+
+
+class TestDevicePrefetch:
+    def test_prefetch_preserves_order(self):
+        from transformer4sed_tpu.parallel.mesh import device_prefetch
+
+        batches = [{"x": np.full((4,), i, np.float32)} for i in range(5)]
+        out = list(device_prefetch(iter(batches), size=2))
+        assert len(out) == 5
+        for i, b in enumerate(out):
+            np.testing.assert_allclose(np.asarray(b["x"]), i)

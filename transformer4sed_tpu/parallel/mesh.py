@@ -74,3 +74,31 @@ def put_batch(batch: Any, mesh: Mesh) -> Any:
     """Device-put a host batch with the data sharding."""
     sharding = batch_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def device_prefetch(iterator, mesh: Optional[Mesh] = None, size: int = 2):
+    """Overlap host batch production with device compute.
+
+    Wraps a host batch iterator: batches are device_put (sharded over
+    the mesh when given) ``size`` steps ahead of consumption, so H2D
+    transfer rides under the previous step's compute.
+    """
+    import collections
+    import itertools
+
+    queue = collections.deque()
+
+    def put(batch):
+        if mesh is not None:
+            return put_batch(batch, mesh)
+        return jax.tree_util.tree_map(jax.device_put, batch)
+
+    it = iter(iterator)
+    for batch in itertools.islice(it, size):
+        queue.append(put(batch))
+    while queue:
+        yield queue.popleft()
+        try:
+            queue.append(put(next(it)))
+        except StopIteration:
+            pass
