@@ -189,3 +189,58 @@ class TestTorchImport:
 
         out = model.apply({"params": imported}, jnp.zeros((1, 128, 200)))
         assert out.strong.shape[1] == 5
+
+
+class TestImageNetAdaptation:
+    def test_adapt_pos_embed(self):
+        from transformer4sed_tpu.utils.torch_import import adapt_image_pos_embed
+
+        rng = np.random.RandomState(0)
+        pos = rng.randn(1, 2 + 24 * 24, 32).astype(np.float32)
+        tok, freq, time = adapt_image_pos_embed(pos, num_tokens=2, grid_size=(12, 99))
+        assert tok.shape == (1, 2, 32)
+        assert freq.shape == (1, 32, 12, 1)
+        assert time.shape == (1, 32, 1, 99)
+
+    def test_convert_imagenet_vit(self):
+        from transformer4sed_tpu.models.passt import PaSST
+        from transformer4sed_tpu.utils.torch_import import (
+            check_tree_compatible,
+            convert_imagenet_vit_to_passt,
+        )
+
+        d, depth = 32, 2
+        rng = np.random.RandomState(1)
+        sd = {
+            "pos_embed": rng.randn(1, 2 + 4 * 4, d).astype(np.float32),
+            "cls_token": rng.randn(1, 1, d).astype(np.float32),
+            "dist_token": rng.randn(1, 1, d).astype(np.float32),
+            "patch_embed.proj.weight": rng.randn(d, 3, 16, 16).astype(np.float32),
+            "patch_embed.proj.bias": rng.randn(d).astype(np.float32),
+            "norm.weight": np.ones(d, np.float32),
+            "norm.bias": np.zeros(d, np.float32),
+        }
+        for i in range(depth):
+            p = f"blocks.{i}"
+            sd.update({
+                f"{p}.norm1.weight": np.ones(d, np.float32),
+                f"{p}.norm1.bias": np.zeros(d, np.float32),
+                f"{p}.attn.qkv.weight": rng.randn(3 * d, d).astype(np.float32),
+                f"{p}.attn.qkv.bias": rng.randn(3 * d).astype(np.float32),
+                f"{p}.attn.proj.weight": rng.randn(d, d).astype(np.float32),
+                f"{p}.attn.proj.bias": rng.randn(d).astype(np.float32),
+                f"{p}.norm2.weight": np.ones(d, np.float32),
+                f"{p}.norm2.bias": np.zeros(d, np.float32),
+                f"{p}.mlp.fc1.weight": rng.randn(4 * d, d).astype(np.float32),
+                f"{p}.mlp.fc1.bias": rng.randn(4 * d).astype(np.float32),
+                f"{p}.mlp.fc2.weight": rng.randn(d, 4 * d).astype(np.float32),
+                f"{p}.mlp.fc2.bias": rng.randn(d).astype(np.float32),
+            })
+        grid = (2, 19)  # tiny model grid: img (32, 200)
+        imported = convert_imagenet_vit_to_passt(sd, depth=depth, grid_size=grid)
+
+        model = PaSST(embed_dim=d, depth=depth, num_heads=4, img_size=(32, 200), tap_layers=(2,))
+        template = model.init({"params": jax.random.PRNGKey(0)}, jnp.zeros((1, 1, 32, 200)))["params"]
+        assert check_tree_compatible(template, imported) == {}
+        out = model.apply({"params": imported}, jnp.zeros((1, 1, 32, 200)))
+        assert out["frame"].shape[-1] == d

