@@ -244,3 +244,67 @@ class TestImageNetAdaptation:
         assert check_tree_compatible(template, imported) == {}
         out = model.apply({"params": imported}, jnp.zeros((1, 1, 32, 200)))
         assert out["frame"].shape[-1] == d
+
+
+class TestHTSATImport:
+    def test_convert_htsat_matches_init(self):
+        from transformer4sed_tpu.models.htsat import HTSAT
+        from transformer4sed_tpu.utils.torch_import import check_tree_compatible, convert_htsat
+
+        model = HTSAT(
+            spec_size=64, patch_size=4, num_classes=7, embed_dim=16,
+            depths=(1, 1), num_heads=(2, 4), window_size=4, mel_bins=16,
+        )
+        mel = jnp.zeros((1, 1, 64, 16))
+        template = model.init({"params": KEY}, mel)
+
+        rng = np.random.RandomState(0)
+        d = 16
+        w = 4
+        sd = {
+            "patch_embed.proj.weight": rng.randn(d, 1, 4, 4).astype(np.float32),
+            "patch_embed.proj.bias": rng.randn(d).astype(np.float32),
+            "patch_embed.norm.weight": np.ones(d, np.float32),
+            "patch_embed.norm.bias": np.zeros(d, np.float32),
+            "norm.weight": np.ones(2 * d, np.float32),
+            "norm.bias": np.zeros(2 * d, np.float32),
+            "tscam_conv.weight": rng.randn(7, 2 * d, 2, 3).astype(np.float32),
+            "tscam_conv.bias": rng.randn(7).astype(np.float32),
+            "bn0.weight": np.ones(16, np.float32),
+            "bn0.bias": np.zeros(16, np.float32),
+            "bn0.running_mean": np.zeros(16, np.float32),
+            "bn0.running_var": np.ones(16, np.float32),
+        }
+        for i, depth in enumerate((1, 1)):
+            dim = d * 2 ** i
+            heads = (2, 4)[i]
+            for j in range(depth):
+                p = f"layers.{i}.blocks.{j}"
+                sd.update({
+                    f"{p}.norm1.weight": np.ones(dim, np.float32),
+                    f"{p}.norm1.bias": np.zeros(dim, np.float32),
+                    f"{p}.attn.qkv.weight": rng.randn(3 * dim, dim).astype(np.float32),
+                    f"{p}.attn.qkv.bias": rng.randn(3 * dim).astype(np.float32),
+                    f"{p}.attn.proj.weight": rng.randn(dim, dim).astype(np.float32),
+                    f"{p}.attn.proj.bias": rng.randn(dim).astype(np.float32),
+                    f"{p}.attn.relative_position_bias_table": rng.randn((2 * w - 1) ** 2, heads).astype(np.float32),
+                    f"{p}.norm2.weight": np.ones(dim, np.float32),
+                    f"{p}.norm2.bias": np.zeros(dim, np.float32),
+                    f"{p}.mlp.fc1.weight": rng.randn(4 * dim, dim).astype(np.float32),
+                    f"{p}.mlp.fc1.bias": rng.randn(4 * dim).astype(np.float32),
+                    f"{p}.mlp.fc2.weight": rng.randn(dim, 4 * dim).astype(np.float32),
+                    f"{p}.mlp.fc2.bias": rng.randn(dim).astype(np.float32),
+                })
+        sd.update({
+            "layers.0.downsample.norm.weight": np.ones(4 * d, np.float32),
+            "layers.0.downsample.norm.bias": np.zeros(4 * d, np.float32),
+            "layers.0.downsample.reduction.weight": rng.randn(2 * d, 4 * d).astype(np.float32),
+        })
+        imported = convert_htsat(sd, depths=(1, 1))
+        problems = check_tree_compatible(template["params"], imported["params"])
+        assert problems == {}, problems
+        # imported weights must run
+        out = model.apply(
+            {"params": imported["params"], "batch_stats": imported["batch_stats"]}, mel
+        )
+        assert out["clipwise_output"].shape == (1, 7)

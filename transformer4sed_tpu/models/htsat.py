@@ -282,10 +282,10 @@ class HTSAT(nn.Module):
         """mel: [B, 1, T, F] log-mel (after bn0). Returns the reference's
         output dict: framewise_output, clipwise_output,
         fine_grained_embedding, embedding."""
-        # per-mel-bin batchnorm (reference bn0, applied in wav2mel)
-        h = mel.transpose(0, 3, 2, 1)  # [B, F, T, 1]
+        # per-mel-bin batchnorm (reference bn0 = BatchNorm2d over mel bins)
+        h = mel[:, 0]  # [B, T, F]: stats per mel bin (feature axis)
         h = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn0")(h)
-        mel = h.transpose(0, 3, 2, 1)
+        mel = h[:, None]
 
         x = self.reshape_wav2img(mel)  # [B, 1, S, S]
         frames_num = x.shape[2]

@@ -251,3 +251,66 @@ def convert_imagenet_vit_to_passt(
             axis=1, keepdims=True
         )
     return convert_passt_backbone(sd, depth=depth)
+
+
+def convert_htsat(
+    sd: Mapping[str, np.ndarray], depths: Tuple[int, ...] = (2, 2, 6, 2)
+) -> Dict:
+    """torch HTSAT (CLAP audio branch) state_dict -> flax HTSAT params.
+
+    Reference naming (``src/models/htsat/htsat.py``): ``patch_embed.proj``
+    + ``patch_embed.norm``, Swin stages ``layers.{i}.blocks.{j}`` with
+    ``attn.{qkv,proj,relative_position_bias_table}`` and
+    ``mlp.{fc1,fc2}``, ``layers.{i}.downsample.{norm,reduction}``,
+    ``bn0`` (per-mel-bin BatchNorm), ``norm``, ``tscam_conv``. The
+    ``attn_mask``/``relative_position_index`` buffers are recomputed
+    here and skipped.
+    """
+    strip = lambda k: k[len("backbone.") :] if k.startswith("backbone.") else k
+    sd = {strip(k): v for k, v in sd.items()}
+
+    params: Dict = {
+        "patch_embed_proj": {
+            "kernel": np.transpose(sd["patch_embed.proj.weight"], (2, 3, 1, 0)),
+            "bias": sd["patch_embed.proj.bias"],
+        },
+        "patch_embed_norm": _ln(sd, "patch_embed.norm"),
+        "norm": _ln(sd, "norm"),
+        "tscam_conv": {
+            # torch conv [O, C, kh, kw] -> flax [kh, kw, C, O]
+            "kernel": np.transpose(sd["tscam_conv.weight"], (2, 3, 1, 0)),
+            "bias": sd["tscam_conv.bias"],
+        },
+        "bn0": {
+            "scale": sd["bn0.weight"],
+            "bias": sd["bn0.bias"],
+        },
+    }
+    batch_stats = {
+        "bn0": {
+            "mean": sd["bn0.running_mean"],
+            "var": sd["bn0.running_var"],
+        }
+    }
+    for i, depth in enumerate(depths):
+        for j in range(depth):
+            p = f"layers.{i}.blocks.{j}"
+            params[f"layers_{i}_blocks_{j}"] = {
+                "norm1": _ln(sd, f"{p}.norm1"),
+                "attn": {
+                    "qkv": _dense(sd, f"{p}.attn.qkv"),
+                    "proj": _dense(sd, f"{p}.attn.proj"),
+                    "relative_position_bias_table": sd[f"{p}.attn.relative_position_bias_table"],
+                },
+                "norm2": _ln(sd, f"{p}.norm2"),
+                "mlp": {
+                    "fc1": _dense(sd, f"{p}.mlp.fc1"),
+                    "fc2": _dense(sd, f"{p}.mlp.fc2"),
+                },
+            }
+        if i < len(depths) - 1:
+            params[f"layers_{i}_downsample"] = {
+                "norm": _ln(sd, f"layers.{i}.downsample.norm"),
+                "reduction": {"kernel": sd[f"layers.{i}.downsample.reduction.weight"].T},
+            }
+    return {"params": params, "batch_stats": batch_stats}
