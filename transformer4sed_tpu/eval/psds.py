@@ -171,34 +171,29 @@ def compute_psd_roc(
                 gt_dur[label] += off - on
         gt_by_clip_class[clip_id] = {k: np.asarray(v) for k, v in d.items()}
 
-    thresholds = _thresholds_from_scores(scores, max_thresholds)
+    # per-class threshold sets (sed_scores_eval evaluates each class at its
+    # own observed score values; a global sweep under-resolves classes whose
+    # score distributions differ)
+    def class_thresholds(ci: int) -> np.ndarray:
+        sample = np.concatenate([c.scores[:, ci] for c in scores.values()])
+        uniq = np.unique(sample)
+        if len(uniq) > max_thresholds:
+            uniq = np.unique(np.quantile(sample, np.linspace(0.0, 1.0, max_thresholds)))
+        return uniq - 1e-9
 
-    def eval_threshold(thr):
-        detections = {}
-        for clip_id, clip in scores.items():
-            per_class = {}
-            binary = clip.scores > thr  # [T, C]
-            for ci, c in enumerate(classes):
-                per_class[c] = _intervals_from_binary(binary[:, ci], clip.timestamps)
-            detections[clip_id] = per_class
-        return evaluate_operating_point(
-            detections, gt_by_clip_class, classes, dtc_threshold, gtc_threshold, cttc_threshold
-        )
-
-    if num_jobs > 1:
-        from concurrent.futures import ThreadPoolExecutor
-
-        with ThreadPoolExecutor(max_workers=num_jobs) as pool:
-            per_thr = list(pool.map(eval_threshold, thresholds))
-    else:
-        per_thr = [eval_threshold(t) for t in thresholds]
-
-    ops = []  # per threshold: (tpr[c], efpr[c])
-    for tp, fp, ct in per_thr:
-        tpr = {}
-        efpr = {}
-        for c in classes:
-            tpr[c] = tp[c] / n_events[c] if n_events[c] else np.nan
+    def eval_class(ci: int):
+        """Sweep one class: returns arrays (efpr, tpr) over its thresholds."""
+        c = classes[ci]
+        pts = []
+        for thr in class_thresholds(ci):
+            detections = {
+                clip_id: {c: _intervals_from_binary(clip.scores[:, ci] > thr, clip.timestamps)}
+                for clip_id, clip in scores.items()
+            }
+            tp, fp, ct = evaluate_operating_point(
+                detections, gt_by_clip_class, classes, dtc_threshold, gtc_threshold, cttc_threshold
+            )
+            tpr = tp[c] / n_events[c] if n_events[c] else np.nan
             rate = fp[c] / max(total_hours, 1e-12)
             if alpha_ct > 0:
                 others = [c2 for c2 in classes if c2 != c]
@@ -208,21 +203,26 @@ def compute_psd_roc(
                     if gt_dur[c2] > 0
                 ]
                 rate += alpha_ct * (np.mean(ctr) if ctr else 0.0)
-            efpr[c] = rate
-        ops.append((tpr, efpr))
+            pts.append((rate, tpr))
+        return np.asarray(pts)
 
-    # per-class staircase ROC
     live_classes = [c for c in classes if n_events[c] > 0]
+    live_idx = [classes.index(c) for c in live_classes]
+    if num_jobs > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=num_jobs) as pool:
+            per_class_pts = list(pool.map(eval_class, live_idx))
+    else:
+        per_class_pts = [eval_class(ci) for ci in live_idx]
+
     grid = np.unique(
-        np.concatenate(
-            [[0.0, max_efpr]] + [[op[1][c] for op in ops] for c in live_classes]
-        )
+        np.concatenate([[0.0, max_efpr]] + [pts[:, 0] for pts in per_class_pts])
     )
     grid = grid[grid <= max_efpr]
     rocs = {}
     tpr_curves = []
-    for c in live_classes:
-        pts = np.array([(op[1][c], op[0][c]) for op in ops])
+    for c, pts in zip(live_classes, per_class_pts):
         order = np.argsort(pts[:, 0])
         e_sorted, t_sorted = pts[order, 0], pts[order, 1]
         t_stair = np.maximum.accumulate(t_sorted)
