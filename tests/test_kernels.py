@@ -108,3 +108,44 @@ class TestFlashBiasKernel:
         np.testing.assert_allclose(
             np.asarray(dec.apply(params, x)), np.asarray(dec_f.apply(params, x)), atol=1e-4
         )
+
+
+class TestFlashBackward:
+    def test_forward_lse_matches(self):
+        from transformer4sed_tpu.kernels.flash_attention import (
+            _flash_forward_lse,
+            _xla_attention,
+        )
+
+        q, k, v = qkv(t=200, d=32)
+        scale = 1.0 / np.sqrt(32)
+        out, lse = _flash_forward_lse(q, k, v, scale, interpret=True)
+        ref = _xla_attention(q, k, v, scale)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+        # lse sanity: softmax denominators reproduce probabilities
+        s = np.einsum("bhqd,bhkd->bhqk", np.asarray(q), np.asarray(k)) * scale
+        ref_lse = np.log(np.exp(s).sum(-1))
+        np.testing.assert_allclose(np.asarray(lse)[:, :, :200], ref_lse, atol=1e-4)
+
+    def test_backward_matches_xla_grads(self):
+        from transformer4sed_tpu.kernels.flash_attention import (
+            _flash_backward,
+            _flash_forward_lse,
+            _xla_attention,
+        )
+
+        q, k, v = qkv(t=130, d=16, b=1, h=2)
+        scale = 1.0 / np.sqrt(16)
+        g = jnp.asarray(np.random.RandomState(5).randn(*q.shape).astype(np.float32))
+
+        out, lse = _flash_forward_lse(q, k, v, scale, block_q=128, interpret=True)
+        dq, dk, dv = _flash_backward(q, k, v, out, lse, g, scale, block_q=128, interpret=True)
+
+        def f(q, k, v):
+            return _xla_attention(q, k, v, scale)
+
+        _, vjp = jax.vjp(f, q, k, v)
+        rq, rk, rv = vjp(g)
+        np.testing.assert_allclose(np.asarray(dq), np.asarray(rq), atol=3e-5)
+        np.testing.assert_allclose(np.asarray(dk), np.asarray(rk), atol=3e-5)
+        np.testing.assert_allclose(np.asarray(dv), np.asarray(rv), atol=3e-5)

@@ -240,12 +240,18 @@ def flash_attention(q, k, v, sm_scale: Optional[float] = None):
 
 
 def _fwd(q, k, v, sm_scale):
-    return flash_attention(q, k, v, sm_scale), (q, k, v)
+    scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(q.shape[-1])
+    if _on_tpu():
+        out, lse = _flash_forward_lse(q, k, v, scale)
+        return out, (q, k, v, out, lse)
+    return _xla_attention(q, k, v, scale), (q, k, v, None, None)
 
 
 def _bwd(sm_scale, residuals, g):
-    q, k, v = residuals
+    q, k, v, o, lse = residuals
     scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(q.shape[-1])
+    if o is not None and _on_tpu():
+        return _flash_backward(q, k, v, o, lse, g, scale)
 
     def f(q, k, v):
         return _xla_attention(q, k, v, scale)
@@ -255,3 +261,176 @@ def _bwd(sm_scale, residuals, g):
 
 
 flash_attention.defvjp(_fwd, _bwd)
+
+
+# -- fully-Pallas backward --------------------------------------------------------
+#
+# Standard FlashAttention backward from saved (O, LSE):
+#   Phat = exp(scale*QK^T - lse);  D = rowsum(dO*O)
+#   dV = Phat^T dO;  dPhat = dO V^T;  dS = Phat*(dPhat - D)
+#   dQ = scale * dS K;   dK = scale * dS^T Q
+# Two kernels: dq streams over q blocks (K/V row-resident), dkv streams
+# over k blocks (Q/dO row-resident). Padded keys are re-masked; padded
+# query rows carry dO = 0 so they contribute nothing.
+
+
+def _fwd_lse_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k, seq_len, sm_scale):
+    q = q_ref[:].astype(jnp.float32) * sm_scale
+    block_q, d = q.shape
+    t_pad = k_ref.shape[0]
+    num_kb = t_pad // block_k
+
+    def body(i, carry):
+        m_prev, l_prev, acc = carry
+        k = k_ref[pl.ds(i * block_k, block_k), :]
+        v = v_ref[pl.ds(i * block_k, block_k), :]
+        s = jnp.dot(q, k.T.astype(jnp.float32), preferred_element_type=jnp.float32)
+        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + i * block_k
+        s = jnp.where(col < seq_len, s, _NEG_INF)
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * alpha + jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        return m_new, l_new, acc_new
+
+    m0 = jnp.full((block_q, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    acc0 = jnp.zeros((block_q, d), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, t_pad // block_k, body, (m0, l0, acc0))
+    o_ref[:] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    lse_ref[:] = (m + jnp.log(jnp.maximum(l, 1e-30)))[:, 0]
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *, seq_len, sm_scale):
+    q = q_ref[:].astype(jnp.float32)
+    k = k_ref[:].astype(jnp.float32)
+    v = v_ref[:].astype(jnp.float32)
+    do = do_ref[:].astype(jnp.float32)
+    lse = lse_ref[:].reshape(-1, 1)
+    delta = delta_ref[:].reshape(-1, 1)
+    block_q = q.shape[0]
+    t_pad = k.shape[0]
+
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * sm_scale
+    col = jax.lax.broadcasted_iota(jnp.int32, (block_q, t_pad), 1)
+    s = jnp.where(col < seq_len, s, _NEG_INF)
+    p = jnp.exp(s - lse)
+    dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
+    ds = p * (dp - delta)
+    dq_ref[:] = (jnp.dot(ds, k, preferred_element_type=jnp.float32) * sm_scale).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref, *, seq_len, sm_scale
+):
+    q = q_ref[:].astype(jnp.float32)
+    k = k_ref[:].astype(jnp.float32)  # [block_kv, d]
+    v = v_ref[:].astype(jnp.float32)
+    do = do_ref[:].astype(jnp.float32)
+    lse = lse_ref[:].reshape(-1, 1)
+    delta = delta_ref[:].reshape(-1, 1)
+    t_pad = q.shape[0]
+    block_kv = k.shape[0]
+
+    kv_start = pl.program_id(1) * block_kv
+    s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * sm_scale  # [T_pad, bkv]
+    col = jax.lax.broadcasted_iota(jnp.int32, (t_pad, block_kv), 1) + kv_start
+    s = jnp.where(col < seq_len, s, _NEG_INF)
+    p = jnp.exp(s - lse)  # [T_pad, bkv]
+    dv_ref[:] = jnp.dot(p.T, do, preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+    dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)  # [T_pad, bkv]
+    ds = p * (dp - delta)
+    dk_ref[:] = (jnp.dot(ds.T, q, preferred_element_type=jnp.float32) * sm_scale).astype(dk_ref.dtype)
+
+
+def _flash_forward_lse(q, k, v, sm_scale, block_q=256, block_k=None, interpret=False):
+    b, h, t, d = q.shape
+    if block_k is None:
+        block_k = _round_up(t, block_q) if t <= 2048 else 512
+    t_pad = _round_up(t, max(block_q, block_k))
+
+    def pad(x):
+        return jnp.pad(x, ((0, 0), (0, 0), (0, t_pad - t), (0, 0))).reshape(b * h, t_pad, d)
+
+    qp, kp, vp = pad(q), pad(k), pad(v)
+    grid = (b * h, t_pad // block_q)
+    out, lse = pl.pallas_call(
+        functools.partial(_fwd_lse_kernel, block_k=block_k, seq_len=t, sm_scale=sm_scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, block_q, d), lambda bh, qi: (bh, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, t_pad, d), lambda bh, qi: (bh, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, t_pad, d), lambda bh, qi: (bh, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((None, block_q, d), lambda bh, qi: (bh, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, block_q), lambda bh, qi: (bh, 0, qi), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, t_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, 1, t_pad), jnp.float32),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out.reshape(b, h, t_pad, d)[:, :, :t], lse.reshape(b, h, t_pad)
+
+
+def _flash_backward(q, k, v, o, lse, g, sm_scale, block_q=256, interpret=False):
+    """Pallas dq/dk/dv from saved (o, lse) and cotangent g."""
+    b, h, t, d = q.shape
+    t_pad = lse.shape[-1]
+
+    def pad(x):
+        return jnp.pad(x, ((0, 0), (0, 0), (0, t_pad - t), (0, 0))).reshape(b * h, t_pad, d)
+
+    qp, kp, vp, gp = pad(q), pad(k), pad(v), pad(g)
+    op = pad(o)
+    delta = jnp.sum(gp.astype(jnp.float32) * op.astype(jnp.float32), axis=-1)  # [BH, T_pad]
+    lse_flat = lse.reshape(b * h, 1, t_pad)
+    delta = delta.reshape(b * h, 1, t_pad)
+
+    row = lambda bh, i: (bh, i, 0)
+    full = lambda bh, i: (bh, 0, 0)
+    vec_blk = lambda bh, i: (bh, 0, i)
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, seq_len=t, sm_scale=sm_scale),
+        grid=(b * h, t_pad // block_q),
+        in_specs=[
+            pl.BlockSpec((None, block_q, d), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, t_pad, d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, t_pad, d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_q, d), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, block_q), vec_blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, block_q), vec_blk, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, block_q, d), row, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, t_pad, d), q.dtype),
+        interpret=interpret,
+    )(qp, kp, vp, gp, lse_flat, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, seq_len=t, sm_scale=sm_scale),
+        grid=(b * h, t_pad // block_q),
+        in_specs=[
+            pl.BlockSpec((None, t_pad, d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_q, d), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_q, d), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, t_pad, d), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, t_pad), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, t_pad), full, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((None, block_q, d), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_q, d), row, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, t_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, t_pad, d), q.dtype),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, gp, lse_flat, delta)
+
+    unpad = lambda x: x.reshape(b, h, t_pad, d)[:, :, :t]
+    return unpad(dq), unpad(dk), unpad(dv)
