@@ -70,18 +70,20 @@ def extract_frame_features(
         raise RuntimeError(f"unknown feature layer {feature_layer!r}")
 
     @jax.jit
-    def forward(mel):
+    def forward(mel, rng):
+        rngs = {"mlm": rng, "patchout": rng, "dropout": rng}
         if capture_filter:
             out, state = model.apply(
-                variables, mel, capture_intermediates=capture_filter, mutable=["intermediates"], **model_kwargs
+                variables, mel, capture_intermediates=capture_filter,
+                mutable=["intermediates"], rngs=rngs, **model_kwargs
             )
             return pick(state["intermediates"])
-        out = model.apply(variables, mel, **model_kwargs)
+        out = model.apply(variables, mel, rngs=rngs, **model_kwargs)
         return out.frame_before_mask
 
     chunks = []
     for i, mel in enumerate(mel_batches):
-        feats = forward(jnp.asarray(mel))  # [B, T, C]
+        feats = forward(jnp.asarray(mel), jax.random.fold_in(key, 10_000 + i))  # [B, T, C]
         flat = feats.reshape(-1, feats.shape[-1])
         sampled = sample_features(jax.random.fold_in(key, i), flat, downsample_rate)
         chunks.append(np.asarray(sampled))

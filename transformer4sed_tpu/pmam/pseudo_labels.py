@@ -54,22 +54,25 @@ def generate_pseudo_labels(
     block_name = f"encoder_blocks_{int(m.group(1))}" if m else None
 
     @jax.jit
-    def forward(mel):
+    def forward(mel, rng):
+        rngs = {"mlm": rng, "patchout": rng, "dropout": rng}
         if block_name is not None:
             out, state = model.apply(
                 variables,
                 mel,
                 capture_intermediates=lambda mdl, _: mdl.name == block_name,
                 mutable=["intermediates"],
+                rngs=rngs,
                 **model_kwargs,
             )
             flat = _flatten_intermediates(state["intermediates"])
             return [v for k, v in flat.items() if block_name in k][0]
-        return model.apply(variables, mel, **model_kwargs).frame_before_mask
+        return model.apply(variables, mel, rngs=rngs, **model_kwargs).frame_before_mask
 
     count = 0
-    for mel, filenames in zip(mel_batches, filename_batches):
-        feats = np.asarray(forward(jnp.asarray(mel)))  # [B, T, C]
+    base_key = jax.random.PRNGKey(0)
+    for i, (mel, filenames) in enumerate(zip(mel_batches, filename_batches)):
+        feats = np.asarray(forward(jnp.asarray(mel), jax.random.fold_in(base_key, i)))  # [B, T, C]
         b, t, c = feats.shape
         probs = gmm.predict_proba(feats.reshape(-1, c)).reshape(b, t, -1)
         for j, name in enumerate(filenames):
