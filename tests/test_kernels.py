@@ -149,3 +149,36 @@ class TestFlashBackward:
         np.testing.assert_allclose(np.asarray(dq), np.asarray(rq), atol=3e-5)
         np.testing.assert_allclose(np.asarray(dk), np.asarray(rk), atol=3e-5)
         np.testing.assert_allclose(np.asarray(dv), np.asarray(rv), atol=3e-5)
+
+
+class TestFlashXL:
+    def _inputs(self, b=1, h=2, t=100, d=16, seed=0):
+        rng = np.random.RandomState(seed)
+        qu = jnp.asarray(rng.randn(b, h, t, d).astype(np.float32))
+        qv = jnp.asarray(rng.randn(b, h, t, d).astype(np.float32))
+        k = jnp.asarray(rng.randn(b, h, t, d).astype(np.float32))
+        v = jnp.asarray(rng.randn(b, h, t, d).astype(np.float32))
+        p = jnp.asarray(rng.randn(h, 2 * t - 1, d).astype(np.float32))
+        return qu, qv, k, v, p
+
+    @pytest.mark.parametrize("t,bq", [(100, 128), (128, 128), (300, 128)])
+    def test_matches_xla_reference(self, t, bq):
+        from transformer4sed_tpu.kernels.xl_attention import _xl_forward, _xla_xl_attention
+
+        qu, qv, k, v, p = self._inputs(t=t)
+        scale = 1.0 / np.sqrt(qu.shape[-1])
+        ours = _xl_forward(qu, qv, k, v, p, scale, block_q=bq, block_k=bq, interpret=True)
+        ref = _xla_xl_attention(qu, qv, k, v, p, scale)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=3e-5)
+
+    def test_gradients_finite(self):
+        from transformer4sed_tpu.kernels.xl_attention import flash_xl_attention
+
+        qu, qv, k, v, p = self._inputs(t=60, d=8)
+
+        def loss(qu, qv, k, v, p):
+            return jnp.sum(flash_xl_attention(qu, qv, k, v, p, 0.35) ** 2)
+
+        grads = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(qu, qv, k, v, p)
+        for g in grads:
+            assert bool(jnp.isfinite(g).all())

@@ -1,0 +1,188 @@
+"""Fused Transformer-XL attention Pallas kernel.
+
+The XL decoder's hot spot is the relative-position term: computing
+``q_v @ P^T`` over ~2T offsets and re-aligning it (rel-shift) costs 3x
+the content attention at T=1000 (measured 51 ms vs 17 ms per layer at
+B=64) because the [B, H, T, ~2T] score tensor and its skew copies are
+pure HBM traffic. This kernel computes the whole XL score inside VMEM:
+
+  * for a (batch, head, q-block) program and each key block, the
+    position scores need only a [block_q + block_k]-wide strip of the
+    projected position table P — sliced with one dynamic index;
+  * the rel-shift becomes a *variable per-row roll* of the in-register
+    [bq, bq+bk] strip product, realised as log2(bq) conditional
+    ``pltpu.roll`` steps (out[r, c] = strip[r, c + (bq-1-r)]);
+  * content + position stream through the same online softmax as flash
+    attention — no [T, T] bias and no [T, 2T-1] tensor ever reach HBM.
+
+Forward only; the custom VJP recomputes gradients with the blocked XLA
+path (``models/xl._rel_position_scores``). Band masks fall back to
+``flash_attention_bias``.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _xl_kernel(
+    qu_ref, qv_ref, k_ref, v_ref, p_ref, o_ref,
+    *, block_k: int, seq_len: int, sm_scale: float, pad_lo: int, n_bits: int,
+):
+    """One (b, h, q-block) program.
+
+    qu/qv_ref: [block_q, d]; k/v_ref: [T_pad, d]; p_ref: [P_len, d]
+    (position table padded by pad_lo on the left); o_ref: [block_q, d].
+    """
+    qu = qu_ref[:].astype(jnp.float32) * sm_scale
+    qv = qv_ref[:].astype(jnp.float32) * sm_scale
+    block_q, d = qu.shape
+    t_pad = k_ref.shape[0]
+    num_kb = t_pad // block_k
+    i0 = pl.program_id(2) * block_q
+    strip_w = block_q + block_k
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (block_q, strip_w), 0)
+    shift_amount = (block_q - 1) - row_ids  # per-row left roll
+
+    def body(i, carry):
+        m_prev, l_prev, acc = carry
+        k = k_ref[pl.ds(i * block_k, block_k), :]
+        v = v_ref[pl.ds(i * block_k, block_k), :]
+        content = jnp.dot(qu, k.T.astype(jnp.float32), preferred_element_type=jnp.float32)
+
+        # position strip: rows [pad_lo + (T-1) - (i0 + bq - 1) + j0, ... + strip_w)
+        strip_start = pad_lo + (seq_len - 1) - (i0 + block_q - 1) + i * block_k
+        strip = p_ref[pl.ds(strip_start, strip_w), :]
+        pos = jnp.dot(qv, strip.T.astype(jnp.float32), preferred_element_type=jnp.float32)
+        # variable per-row left roll by (bq-1-r): log-step decomposition
+        for bit in range(n_bits):
+            amt = 1 << bit
+            # left-roll by amt == right-roll by (width - amt); pltpu.roll
+            # requires non-negative shifts
+            rolled = pltpu.roll(pos, strip_w - amt, 1)
+            take = ((shift_amount >> bit) & 1) == 1
+            pos = jnp.where(take, rolled, pos)
+        s = content + pos[:, :block_k]
+
+        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + i * block_k
+        s = jnp.where(col < seq_len, s, _NEG_INF)
+
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * alpha + jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        return m_new, l_new, acc_new
+
+    m0 = jnp.full((block_q, 1), _NEG_INF, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    acc0 = jnp.zeros((block_q, d), jnp.float32)
+    _, l, acc = jax.lax.fori_loop(0, num_kb, body, (m0, l0, acc0))
+    o_ref[:] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def _xl_forward(qu, qv, k, v, p, sm_scale, block_q=256, block_k=256, interpret=False):
+    """qu/qv/k/v: [B, H, T, d]; p: [H, 2T-1, d] projected position table."""
+    b, h, t, d = qu.shape
+    t_pad = _round_up(t, max(block_q, block_k))
+    n_bits = max(1, math.ceil(math.log2(block_q)))
+
+    def pad_bhtd(x):
+        return jnp.pad(x, ((0, 0), (0, 0), (0, t_pad - t), (0, 0)))
+
+    # pad P so every strip index is in range:
+    #   min start = (t-1) - (i0max + bq - 1) >= (t-1) - (t_pad - 1) = t - t_pad
+    #   max end   = (t-1) + (t_pad - 1) + strip_w
+    pad_lo = (t_pad - t) + 8
+    pad_hi = (t_pad - t) + block_q + block_k + 8
+    p_padded = jnp.pad(p, ((0, 0), (pad_lo, pad_hi), (0, 0)))
+    p_len = p_padded.shape[1]
+
+    grid = (b, h, t_pad // block_q)
+    out = pl.pallas_call(
+        functools.partial(
+            _xl_kernel,
+            block_k=block_k,
+            seq_len=t,
+            sm_scale=sm_scale,
+            pad_lo=pad_lo,
+            n_bits=n_bits,
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, None, block_q, d), lambda b_, h_, qi: (b_, h_, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, block_q, d), lambda b_, h_, qi: (b_, h_, qi, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, t_pad, d), lambda b_, h_, qi: (b_, h_, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, t_pad, d), lambda b_, h_, qi: (b_, h_, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, p_len, d), lambda b_, h_, qi: (h_, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (None, None, block_q, d), lambda b_, h_, qi: (b_, h_, qi, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, t_pad, d), qu.dtype),
+        interpret=interpret,
+    )(pad_bhtd(qu), pad_bhtd(qv), pad_bhtd(k), pad_bhtd(v), p_padded)
+    return out[:, :, :t]
+
+
+def _xla_xl_attention(qu, qv, k, v, p, sm_scale):
+    """Reference XLA path (blocked position scores) for fallback/backward."""
+    from transformer4sed_tpu.models.xl import _rel_position_scores
+
+    content = jnp.einsum("bhqd,bhkd->bhqk", qu, k, preferred_element_type=jnp.float32)
+    position = _rel_position_scores(
+        qv.transpose(0, 2, 1, 3), p.transpose(1, 0, 2)
+    )  # [B, H, T, T]
+    scores = (content + position) * sm_scale
+    attn = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", attn.astype(v.dtype), v)
+
+
+def _on_tpu() -> bool:
+    if jax.default_backend() != "tpu":
+        return False
+    dd = jax.config.jax_default_device
+    return dd is None or getattr(dd, "platform", "tpu") == "tpu"
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def flash_xl_attention(qu, qv, k, v, p, sm_scale: float):
+    """Fused XL attention: softmax(scale*(qu K^T + relshift(qv P^T))) V.
+
+    qu/qv: query + pos_bias_u / pos_bias_v, [B, H, T, d]; p: projected
+    position table [H, 2T-1, d] (offset order [T-1 .. -(T-1)]).
+    """
+    if _on_tpu():
+        return _xl_forward(qu, qv, k, v, p, sm_scale)
+    return _xla_xl_attention(qu, qv, k, v, p, sm_scale)
+
+
+def _fwd(qu, qv, k, v, p, sm_scale):
+    return flash_xl_attention(qu, qv, k, v, p, sm_scale), (qu, qv, k, v, p)
+
+
+def _bwd(sm_scale, residuals, g):
+    qu, qv, k, v, p = residuals
+
+    def f(qu, qv, k, v, p):
+        return _xla_xl_attention(qu, qv, k, v, p, sm_scale)
+
+    _, vjp = jax.vjp(f, qu, qv, k, v, p)
+    return vjp(g)
+
+
+flash_xl_attention.defvjp(_fwd, _bwd)

@@ -178,10 +178,44 @@ class RelPositionMultiheadAttention(nn.Module):
         bias_u = self.param("pos_bias_u", nn.initializers.xavier_uniform(), (h, hd))
         bias_v = self.param("pos_bias_v", nn.initializers.xavier_uniform(), (h, hd))
 
+        if self.use_flash and self.attn_drop == 0.0 and mask is None:
+            # fully-fused XL kernel: position scores computed in-kernel
+            from transformer4sed_tpu.kernels.xl_attention import flash_xl_attention
+
+            out = flash_xl_attention(
+                (q + bias_u).transpose(0, 2, 1, 3),
+                (q + bias_v).transpose(0, 2, 1, 3),
+                k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3),
+                p[0].transpose(1, 0, 2),  # [H, 2T-1, hd]
+                scale,
+            ).transpose(0, 2, 1, 3).reshape(b, t, d)
+            return nn.Dense(d, use_bias=True, dtype=self.dtype, name="out_proj")(out)
+
+        position = _rel_position_scores(q + bias_v, p[0])  # [B, H, T, T], pre-shifted
+
+        if self.use_flash and self.attn_drop == 0.0:
+            # masked path: fold position + band mask into an additive bias
+            from transformer4sed_tpu.kernels.flash_attention import flash_attention_bias
+
+            bias = position * scale
+            m = mask
+            while m.ndim < 4:
+                m = m[None]
+            bias = jnp.where(m, -1e30, bias)
+            bias = jnp.broadcast_to(bias, (b, h, t, t))
+            out = flash_attention_bias(
+                (q + bias_u).transpose(0, 2, 1, 3),
+                k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3),
+                bias,
+                scale,
+            ).transpose(0, 2, 1, 3).reshape(b, t, d)
+            return nn.Dense(d, use_bias=True, dtype=self.dtype, name="out_proj")(out)
+
         content = jnp.einsum(
             "bqhd,bkhd->bhqk", q + bias_u, k, preferred_element_type=jnp.float32
         )
-        position = _rel_position_scores(q + bias_v, p[0])  # [B, H, T, T], pre-shifted
         scores = (content + position) * scale
 
         if mask is not None:
