@@ -65,7 +65,10 @@ def _xl_kernel(
         content = jnp.dot(qu, k.T.astype(jnp.float32), preferred_element_type=jnp.float32)
 
         # position strip: rows [pad_lo + (T-1) - (i0 + bq - 1) + j0, ... + strip_w)
-        strip_start = pad_lo + (seq_len - 1) - (i0 + block_q - 1) + i * block_k
+        # pad_lo is chosen so this is always a multiple of 8 (sublane tile)
+        strip_start = pl.multiple_of(
+            pad_lo + (seq_len - 1) - (i0 + block_q - 1) + i * block_k, 8
+        )
         strip = p_ref[pl.ds(strip_start, strip_w), :]
         pos = jnp.dot(qv, strip.T.astype(jnp.float32), preferred_element_type=jnp.float32)
         # variable per-row left roll by (bq-1-r): log-step decomposition
@@ -107,8 +110,11 @@ def _xl_forward(qu, qv, k, v, p, sm_scale, block_q=256, block_k=256, interpret=F
     # pad P so every strip index is in range:
     #   min start = (t-1) - (i0max + bq - 1) >= (t-1) - (t_pad - 1) = t - t_pad
     #   max end   = (t-1) + (t_pad - 1) + strip_w
+    # and so strip starts are 8-aligned: start = pad_lo + t - bq (mod 8) == 0
+    # (block_q/block_k are multiples of 8 and i0/j0 are block multiples)
     pad_lo = (t_pad - t) + 8
-    pad_hi = (t_pad - t) + block_q + block_k + 8
+    pad_lo += (-(pad_lo + t - block_q)) % 8
+    pad_hi = (t_pad - t) + block_q + block_k + 16
     p_padded = jnp.pad(p, ((0, 0), (pad_lo, pad_hi), (0, 0)))
     p_len = p_padded.shape[1]
 
