@@ -191,3 +191,23 @@ class TestLoRA:
         only = lora_params(params)
         flat = flax.traverse_util.flatten_dict(only, sep="/")
         assert set(flat) == {"lora_A", "lora_B"}
+
+
+class TestDropBlock:
+    def test_identity_eval(self):
+        from transformer4sed_tpu.models.cnn import DropBlock2D
+
+        m = DropBlock2D(rate=0.5)
+        x = jnp.ones((1, 8, 8, 2))
+        out = m.apply({}, x, deterministic=True)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(x))
+
+    def test_drops_blocks_training(self):
+        from transformer4sed_tpu.models.cnn import DropBlock2D
+
+        m = DropBlock2D(rate=0.3, block_size=3)
+        x = jnp.ones((2, 16, 16, 1))
+        out = np.asarray(m.apply({}, x, deterministic=False, rngs={"dropout": KEY}))
+        assert (out == 0).any()
+        # kept values are rescaled
+        assert out.max() > 1.0

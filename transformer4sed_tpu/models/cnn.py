@@ -302,3 +302,30 @@ class ResNet(nn.Module):
                 s = jax.nn.relu(s)
             h = s[:, :, None, :]
         return jnp.transpose(h, (0, 3, 1, 2))
+
+
+class DropBlock2D(nn.Module):
+    """DropBlock regularisation (Ghiasi et al. 2018): drop contiguous
+    spatial blocks instead of iid units (reference ResNet's optional
+    drop_block, ``src/models/cnn/resnet.py``)."""
+
+    rate: float = 0.1
+    block_size: int = 3
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:  # NHWC
+        if deterministic or self.rate == 0.0:
+            return x
+        b, h, w, c = x.shape
+        bs = min(self.block_size, h, w)
+        gamma = (
+            self.rate / (bs ** 2) * (h * w) / max((h - bs + 1) * (w - bs + 1), 1)
+        )
+        rng = self.make_rng("dropout")
+        seeds = jax.random.bernoulli(rng, gamma, (b, h - bs + 1, w - bs + 1, c))
+        seeds = jnp.pad(seeds, ((0, 0), (bs // 2, bs - 1 - bs // 2), (bs // 2, bs - 1 - bs // 2), (0, 0)))
+        # expand seeds to blocks with a max-pool
+        mask = nn.max_pool(seeds.astype(jnp.float32), (bs, bs), strides=(1, 1), padding="SAME")
+        keep = 1.0 - mask
+        scale = keep.size / jnp.maximum(jnp.sum(keep), 1.0)
+        return x * keep * scale

@@ -114,6 +114,7 @@ class PaSST_SED(nn.Module):
                 num_heads=self.decoder_num_heads,
                 seq_len=self.decoder_pos_emd_len,
                 window_len=self.decoder_win_len,
+                use_flash=self.use_flash,
                 dtype=self.dtype,
             )
             cls_in = self.decoder_dim

@@ -317,6 +317,7 @@ class ConformerBlock(nn.Module):
     mlp_ratio: float = 1.0
     kernel_size: int = 31
     dropout: float = 0.0
+    use_flash: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -333,7 +334,8 @@ class ConformerBlock(nn.Module):
         x = x + 0.5 * ff("feed_forward_macaron", nn.LayerNorm(epsilon=1e-6, name="norm_ff_macaron")(x))
         h = nn.LayerNorm(epsilon=1e-6, name="norm_mha")(x)
         x = x + RelPositionMultiheadAttention(
-            num_heads=self.num_heads, dtype=self.dtype, name="self_attn"
+            num_heads=self.num_heads, use_flash=self.use_flash,
+            dtype=self.dtype, name="self_attn",
         )(h, pos_emb, mask=mask, deterministic=deterministic)
         h = nn.LayerNorm(epsilon=1e-6, name="norm_conv")(x)
         x = x + ConvolutionModule(kernel_size=self.kernel_size, dtype=self.dtype, name="conv_module")(h)
@@ -348,6 +350,7 @@ class ConformerDecoder(nn.Module):
     kernel_size: int = 31
     seq_len: int = 1000
     window_len: Optional[int] = None
+    use_flash: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -364,6 +367,7 @@ class ConformerDecoder(nn.Module):
                 num_heads=self.num_heads,
                 mlp_ratio=self.mlp_ratio,
                 kernel_size=self.kernel_size,
+                use_flash=self.use_flash,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
             )(x, pos_emb, mask=mask, deterministic=deterministic)
