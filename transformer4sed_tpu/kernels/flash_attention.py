@@ -219,8 +219,9 @@ def _bias_bwd(sm_scale, residuals, g):
     def f(q, k, v, bias):
         return _xla_attention_bias(q, k, v, bias, sm_scale)
 
+    out_dtype = jax.eval_shape(f, q, k, v, bias).dtype
     _, vjp = jax.vjp(f, q, k, v, bias)
-    return vjp(g)
+    return vjp(g.astype(out_dtype))
 
 
 flash_attention_bias.defvjp(_bias_fwd, _bias_bwd)
@@ -256,8 +257,9 @@ def _bwd(sm_scale, residuals, g):
     def f(q, k, v):
         return _xla_attention(q, k, v, scale)
 
+    out_dtype = jax.eval_shape(f, q, k, v).dtype
     _, vjp = jax.vjp(f, q, k, v)
-    return vjp(g)
+    return vjp(g.astype(out_dtype))
 
 
 flash_attention.defvjp(_fwd, _bwd)

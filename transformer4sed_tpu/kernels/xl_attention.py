@@ -187,8 +187,9 @@ def _bwd(sm_scale, residuals, g):
     def f(qu, qv, k, v, p):
         return _xla_xl_attention(qu, qv, k, v, p, sm_scale)
 
+    out_dtype = jax.eval_shape(f, qu, qv, k, v, p).dtype
     _, vjp = jax.vjp(f, qu, qv, k, v, p)
-    return vjp(g)
+    return vjp(g.astype(out_dtype))
 
 
 flash_xl_attention.defvjp(_fwd, _bwd)
