@@ -95,6 +95,111 @@ class TestDASMStep:
         assert float(_ce_multiclass(perfect, weak)) < 1e-3
 
 
+class _FakeLoader:
+    def __init__(self, batches):
+        self.batches = list(batches)
+
+    def __iter__(self):
+        return iter(self.batches)
+
+    def __len__(self):
+        return len(self.batches)
+
+    def set_epoch(self, epoch):
+        pass
+
+
+def _dasm_driver_config():
+    return {
+        "model_name": "DASM",
+        "DASM": {
+            "at_param": {"out_type": "sigmoid", "query_projector": False},
+            "train_kwargs": {},
+            "val_kwargs": {},
+        },
+        "training": {
+            "clip_grad": True,
+            "w_AT": 1.0,
+            "scheduler": {"n_epochs": 1, "n_epochs_cut": 1, "exponent": -1,
+                          "lr_warmup_epochs": 0, "lr_warmup_rate": 0.1},
+            "transform": {"choice": [1, 0, 0, 0]},
+        },
+        # weight decay off: the OV test asserts rare query rows are
+        # untouched, and decoupled decay moves zero-grad rows (as torch does)
+        "opt": {
+            "param_groups": {
+                "encoder": {"lr": 1e-4, "weight_decay": 0.0},
+                "decoder": {"lr": 1e-3, "weight_decay": 0.0},
+                "head": {"lr": 1e-3, "weight_decay": 0.0},
+            }
+        },
+        "backbone_depth": 2,
+    }
+
+
+class TestOVDASMTrainer:
+    def test_full_cycle(self):
+        """Open-vocab epoch + validation: train on common classes only,
+        validate with common-first queries + att mask, per-type PSDS."""
+        from tests.test_dasm import tiny_dasm
+        from transformer4sed_tpu.core.codec import LabelCodec
+        from transformer4sed_tpu.frontend import PasstFrontend
+        from transformer4sed_tpu.recipes.dasm_recipe import OVDASMTrainer
+        from transformer4sed_tpu.utils.logging import Logger
+
+        rng = np.random.RandomState(0)
+        classes = ("c0", "c1", "c2", "c3")
+        common_mask = np.array([True, False, True, False])
+        wav = rng.randn(2, 63681).astype(np.float32) * 0.05
+        labels = np.zeros((2, 4, 200), np.float32)
+        labels[:, 0, 30:90] = 1.0
+        labels[1, 2, 100:160] = 1.0
+        train_loader = _FakeLoader([{"wav": wav, "label": labels}])
+        val_loader = _FakeLoader(
+            [{"wav": wav, "label": labels, "pad_mask": np.zeros((2, 200), bool),
+              "filename": ["v0", "v1"]}]
+        )
+        codec = LabelCodec(
+            labels=classes, audio_len=63681 / 32000, frame_len=1024, frame_hop=320, sr=32000
+        )
+        assert codec.n_frames == 200
+
+        trainer = OVDASMTrainer(
+            tiny_dasm(), PasstFrontend(), _dasm_driver_config(), codec,
+            train_loader, val_loader, Logger(),
+            type_map={"c0": "common", "c1": "rare", "c2": "common", "c3": "rare"},
+            common_mask=common_mask,
+        )
+        q_before = np.asarray(trainer.state.params["at_query"]).copy()
+        metrics = trainer.train_epoch(0, KEY)
+        for k in ("loss_total", "loss_class_strong", "loss_class_at_specific"):
+            assert np.isfinite(metrics[k])
+        q_after = np.asarray(trainer.state.params["at_query"])
+        # only the common rows of the learnable query bank receive gradients
+        assert np.abs(q_after[common_mask] - q_before[common_mask]).max() > 0
+        np.testing.assert_array_equal(q_after[~common_mask], q_before[~common_mask])
+
+        gt = {"v0": [(0.3, 0.9, "c0")], "v1": [(0.3, 0.9, "c0"), (1.0, 1.6, "c2")]}
+        durations = {"v0": 2.0, "v1": 2.0}
+        results = trainer.validation(0, gt, durations, median_filter=5)
+        for k in ("psds", "at_mAP", "psds_common"):
+            assert k in results and np.isfinite(results[k])
+        assert 0.0 <= results["at_mAP"] <= 1.0
+
+
+class TestMacroAP:
+    def test_perfect_and_random(self):
+        from transformer4sed_tpu.recipes.dasm_recipe import macro_average_precision
+
+        targets = np.array([[1, 0], [0, 1], [1, 0], [0, 0]], np.float32)
+        perfect = targets + 0.0
+        assert macro_average_precision(perfect, targets) == pytest.approx(1.0)
+        # class with no positives is skipped, not zeroed
+        t2 = np.array([[1, 0], [0, 0]], np.float32)
+        p2 = np.array([[0.9, 0.4], [0.1, 0.6]], np.float32)
+        assert macro_average_precision(p2, t2) == pytest.approx(1.0)
+
+
 class TestPerTypePSDS:
     def test_split(self):
         single = {"a": 0.5, "b": 0.7, "c": 0.1}

@@ -298,6 +298,12 @@ class DASM(nn.Module):
     def _project_queries(self, query, query_type, train: bool):
         if query is None:
             return self.at_query  # learnable
+        if not self.query_projector:
+            # learnable-query model given an external tensor (e.g. a slice
+            # of its own trained query bank for open-vocab train/eval):
+            # use it directly (detect_any_sound.py:279 projects only when a
+            # query_projector exists).
+            return query
         if isinstance(query, (list, tuple)):
             projected = [proj(q) for proj, q in zip(self.query_projectors, query)]
             stacked = jnp.stack(projected, axis=1)  # [Q, n_modal, D]

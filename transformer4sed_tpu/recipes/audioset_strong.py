@@ -171,21 +171,26 @@ class SupervisedTrainer:
             return model.apply({"params": params}, mel, train=train, rngs=rngs, **kw)
 
         self.model_apply = model_apply
-        tr = config["training"]
-        cls_loss = config.get("class_loss", {})
-        cfg = SupervisedConfig(
-            loss_name=cls_loss.get("loss_name", "BCELoss"),
-            loss_kwargs=cls_loss.get("kwargs"),
-            transform_choice=tuple(tr.get("transform", {}).get("choice", (1, 0, 0, 0))),
-            model_kwargs=config.get(self.model_name, {}).get("train_kwargs", {}),
-        )
-        self._train_step = jax.jit(make_supervised_step(model_apply, frontend, self.optimizer, cfg))
+        self._train_step = jax.jit(self._build_train_step())
         self._eval_fn = jax.jit(
             lambda p, m, pm: model_apply(
                 p, m, train=False, pad_mask=pm,
                 **config.get(self.model_name, {}).get("val_kwargs", {}),
             )
         )
+
+    def _build_train_step(self):
+        """Construct the jittable (state, batch, key) -> (state, metrics) step.
+        Subclasses (DASM closed-set / open-vocab) override this."""
+        tr = self.config["training"]
+        cls_loss = self.config.get("class_loss", {})
+        cfg = SupervisedConfig(
+            loss_name=cls_loss.get("loss_name", "BCELoss"),
+            loss_kwargs=cls_loss.get("kwargs"),
+            transform_choice=tuple(tr.get("transform", {}).get("choice", (1, 0, 0, 0))),
+            model_kwargs=self.config.get(self.model_name, {}).get("train_kwargs", {}),
+        )
+        return make_supervised_step(self.model_apply, self.frontend, self.optimizer, cfg)
 
     def train_epoch(self, epoch: int, key) -> Dict[str, float]:
         self.train_loader.set_epoch(epoch)
@@ -204,6 +209,7 @@ class SupervisedTrainer:
     def validation(self, epoch: int, ground_truth, durations, median_filter=7) -> Dict[str, float]:
         from transformer4sed_tpu.eval.decode import batched_decode_preds
         from transformer4sed_tpu.eval.psds import compute_psds_from_scores
+        from transformer4sed_tpu.recipes.dasm_recipe import split_psds_by_type
 
         scores = {}
         for batch in self.val_loader:

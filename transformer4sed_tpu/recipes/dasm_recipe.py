@@ -78,6 +78,11 @@ class DASMTrainConfig:
     model_kwargs: Dict[str, Any] = field(default_factory=dict)
     # open-vocab: static common-class mask (None -> closed set)
     common_mask: Optional[Tuple[bool, ...]] = None
+    # open-vocab with learnable queries: slice the model's own ``at_query``
+    # param to the common subset inside the loss so gradients flow into the
+    # query bank (reference open_vocabulary.py:21-32 slices the nn.Parameter,
+    # which torch autograd scatters back through)
+    query_from_params: bool = False
 
 
 def _ce_multiclass(at_logits: jnp.ndarray, weak_targets: jnp.ndarray) -> jnp.ndarray:
@@ -138,6 +143,9 @@ def make_dasm_step(model_apply: Callable, frontend, optimizer, cfg: DASMTrainCon
             k: jax.random.fold_in(kfwd, i)
             for i, k in enumerate(("patchout", "dropout", "mlm", "query"))
         }
+        if common_idx is not None and cfg.query_from_params:
+            extra_kwargs = dict(extra_kwargs)
+            extra_kwargs["query"] = jnp.take(params["at_query"], common_idx, axis=0)
         out = model_apply(
             params, mel, train=True, rngs=rngs, **cfg.model_kwargs, **extra_kwargs
         )
@@ -163,6 +171,162 @@ def make_dasm_step(model_apply: Callable, frontend, optimizer, cfg: DASMTrainCon
         return state.replace(params=new_params, opt_state=new_opt, step=state.step + 1), metrics
 
     return step
+
+
+# -- epoch drivers --------------------------------------------------------------------
+
+def macro_average_precision(preds: np.ndarray, targets: np.ndarray) -> float:
+    """Macro mAP over classes with >=1 positive (torchmetrics
+    MultilabelAveragePrecision(average='macro') in open_vocabulary.py:147).
+
+    preds/targets: [N, C] scores and {0,1} labels.
+    """
+    preds = np.asarray(preds, dtype=np.float64)
+    targets = np.asarray(targets) > 0.5
+    aps = []
+    for c in range(preds.shape[1]):
+        pos = targets[:, c]
+        n_pos = int(pos.sum())
+        if n_pos == 0:
+            continue
+        order = np.argsort(-preds[:, c], kind="stable")
+        hits = pos[order]
+        precision = np.cumsum(hits) / (np.arange(hits.shape[0]) + 1)
+        aps.append(float((precision * hits).sum() / n_pos))
+    return float(np.mean(aps)) if aps else 0.0
+
+
+from transformer4sed_tpu.recipes.audioset_strong import SupervisedTrainer  # noqa: E402
+
+
+class DASMTrainer(SupervisedTrainer):
+    """Closed-set DASM epoch driver (reference
+    ``recipes/audioset_strong/detect_any_sound/passt/train.py:36-282``):
+    the supervised AudioSet-strong loop with the query-based AT-branch
+    loss (CE over (C+1)-way logits or BCE) added to the strong BCE.
+
+    Built on ``SupervisedTrainer``; only the train step differs.
+    """
+
+    def _dasm_config(self, common_mask=None) -> DASMTrainConfig:
+        tr = self.config["training"]
+        model_cfg = self.config.get(self.model_name, {})
+        return DASMTrainConfig(
+            out_type=model_cfg.get("at_param", {}).get("out_type", "sigmoid"),
+            w_at=tr.get("w_AT", 1.0),
+            transform_choice=tuple(tr.get("transform", {}).get("choice", (1, 0, 0, 0))),
+            model_kwargs=model_cfg.get("train_kwargs", {}),
+            common_mask=common_mask,
+            query_from_params=common_mask is not None
+            and not model_cfg.get("at_param", {}).get("query_projector", False),
+        )
+
+    def _build_train_step(self):
+        return make_dasm_step(
+            self.model_apply, self.frontend, self.optimizer, self._dasm_config()
+        )
+
+
+class OVDASMTrainer(DASMTrainer):
+    """Open-vocabulary DASM driver (reference ``open_vocabulary.py:16-305``).
+
+    Training sees only common classes: labels are restricted to the common
+    subset and the model runs with the common query slice (gradients flow
+    into the query bank via the in-loss slice). Validation/test run ALL
+    queries in common-first order with an attention mask hiding rare
+    queries from each other, then predictions are reordered back and PSDS
+    is reported per type (common/rare) alongside the AT-branch macro mAP.
+
+    ``common_mask``: length-C bool array, True for common (base) classes,
+    in codec label order.
+    """
+
+    def __init__(self, *args, common_mask=None, query_bank=None, **kwargs):
+        if common_mask is None:
+            raise ValueError("OVDASMTrainer requires common_mask")
+        self.common_mask = np.asarray(common_mask, dtype=bool)
+        # external query bank [C, query_dim] (query_projector models);
+        # None -> learnable queries sliced from params
+        self.query_bank = query_bank
+        super().__init__(*args, **kwargs)
+
+    def _build_train_step(self):
+        cfg = self._dasm_config(common_mask=tuple(bool(b) for b in self.common_mask))
+        step = make_dasm_step(self.model_apply, self.frontend, self.optimizer, cfg)
+        if self.query_bank is not None:
+            common_query = jnp.asarray(self.query_bank)[jnp.asarray(self.common_mask)]
+            return lambda state, batch, key: step(
+                state, batch, key, extra_kwargs={"query": common_query}
+            )
+        return step
+
+    def _eval_queries(self):
+        """Common-first query ordering + self-attention mask for eval
+        (open_vocabulary.py:98-132)."""
+        order = common_first_order(self.common_mask)
+        bank = (
+            jnp.asarray(self.query_bank)
+            if self.query_bank is not None
+            else self.state.params["at_query"]
+        )
+        query = jnp.take(bank, jnp.asarray(order), axis=0)
+        att_mask = jnp.asarray(open_vocab_att_mask(self.common_mask))
+        return query, att_mask
+
+    def validation(self, epoch: int, ground_truth, durations, median_filter=7):
+        from transformer4sed_tpu.eval.decode import batched_decode_preds
+        from transformer4sed_tpu.eval.psds import compute_psds_from_scores
+        from transformer4sed_tpu.recipes.audioset_strong import drop_absent_classes
+
+        query, att_mask = self._eval_queries()
+        val_kwargs = self.config.get(self.model_name, {}).get("val_kwargs", {})
+
+        @jax.jit
+        def eval_fn(params, mel, pad_mask):
+            out = self.model_apply(
+                params, mel, train=False, pad_mask=pad_mask,
+                query=query, tgt_mask=att_mask, **val_kwargs,
+            )
+            at_out = out.at_out
+            if at_out.ndim == 3:  # 'logit' head: clip score = softmax diagonal
+                probs = jax.nn.softmax(at_out, axis=-1)
+                qi = jnp.arange(probs.shape[1])
+                at_out = probs[:, qi, qi]
+            return (
+                reorder_pred(out.strong, self.common_mask),
+                reorder_pred(at_out, self.common_mask),
+            )
+
+        scores = {}
+        at_preds, at_targets = [], []
+        for batch in self.val_loader:
+            mel = self.frontend.normalize(self.frontend(jnp.asarray(batch["wav"])))
+            strong, at_out = eval_fn(
+                self.state.params, mel, jnp.asarray(batch["pad_mask"])
+            )
+            labels = np.asarray(batch["label"])
+            at_preds.append(np.asarray(at_out))
+            at_targets.append((labels.sum(-1) >= 1).astype(np.float32))
+            _, post = batched_decode_preds(
+                strong, batch["filename"], self.codec, filter=median_filter
+            )
+            scores.update(post)
+
+        psds, single = compute_psds_from_scores(
+            scores, ground_truth, durations,
+            dtc_threshold=0.7, gtc_threshold=0.7, alpha_ct=0.0, alpha_st=0.0,
+        )
+        single = drop_absent_classes(single, ground_truth, self.codec.labels)
+        results = {
+            "psds": psds,
+            "at_mAP": macro_average_precision(
+                np.concatenate(at_preds), np.concatenate(at_targets)
+            ),
+        }
+        if self.type_map:
+            results.update(split_psds_by_type(single, self.type_map))
+        self.logger.scalars("validation", results, epoch + 1)
+        return results
 
 
 # -- per-type PSDS reporting ----------------------------------------------------------
