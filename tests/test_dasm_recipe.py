@@ -187,6 +187,50 @@ class TestOVDASMTrainer:
         assert 0.0 <= results["at_mAP"] <= 1.0
 
 
+class TestOpensetEval:
+    def test_extended_vocabulary(self):
+        """Novel-class queries appended to a trained bank are detected
+        zero-shot over an extended codec."""
+        from tests.test_dasm import tiny_dasm
+        from transformer4sed_tpu.core.codec import LabelCodec
+        from transformer4sed_tpu.frontend import PasstFrontend
+        from transformer4sed_tpu.recipes.dasm_recipe import openset_evaluate
+
+        model = tiny_dasm()
+        frontend = PasstFrontend()
+        rng = np.random.RandomState(3)
+        wav = rng.randn(2, 63681).astype(np.float32) * 0.05
+        mel = frontend.normalize(frontend(jnp.asarray(wav)))
+        params = model.init({"params": KEY}, mel)["params"]
+
+        base = ("c0", "c1", "c2", "c3")
+        codec = LabelCodec(
+            labels=base + ("novel_a", "novel_b"),
+            audio_len=63681 / 32000, frame_len=1024, frame_hop=320, sr=32000,
+        )
+        extra_query = jnp.asarray(rng.randn(2, 32).astype(np.float32))
+        loader = [{"wav": wav, "pad_mask": np.zeros((2, 200), bool),
+                   "filename": ["o0", "o1"]}]
+        gt = {"o0": [(0.2, 0.8, "novel_a")], "o1": [(0.5, 1.2, "c1")]}
+        durations = {"o0": 2.0, "o1": 2.0}
+        psds, single, top10 = openset_evaluate(
+            model, frontend, params, codec, loader, extra_query, gt, durations,
+            median_filter=5,
+        )
+        assert np.isfinite(psds) and 0.0 <= psds <= 1.0
+        assert set(single) <= set(codec.labels)
+        assert len(top10) <= 10
+
+        # query-count mismatch is rejected
+        bad_codec = LabelCodec(
+            labels=base, audio_len=63681 / 32000, frame_len=1024, frame_hop=320, sr=32000
+        )
+        with pytest.raises(ValueError):
+            openset_evaluate(
+                model, frontend, params, bad_codec, loader, extra_query, gt, durations
+            )
+
+
 class TestMacroAP:
     def test_perfect_and_random(self):
         from transformer4sed_tpu.recipes.dasm_recipe import macro_average_precision

@@ -329,6 +329,68 @@ class OVDASMTrainer(DASMTrainer):
         return results
 
 
+def openset_evaluate(
+    model,
+    frontend,
+    params,
+    codec,
+    loader,
+    extra_query,
+    ground_truth,
+    durations,
+    *,
+    query_bank=None,
+    median_filter=7,
+    filter_type: str = "median",
+    model_kwargs: Optional[dict] = None,
+    query_type: Optional[str] = None,
+):
+    """Open-set evaluation (reference ``openset_evaluation.py:66-215``):
+    append novel-class query embeddings to the trained bank and detect the
+    extended vocabulary zero-shot.
+
+    ``codec`` must carry the extended label list (base + novel, in query
+    order). ``extra_query``: [C_novel, D] embeddings matching the bank's
+    space — decoder_dim for learnable-query models (sliced from a donor
+    bank) or query_dim for projector models (e.g. CLAP text embeddings,
+    projected in-model). Returns (psds, single_class_psds, top10).
+    """
+    bank = jnp.asarray(query_bank) if query_bank is not None else params["at_query"]
+    query = jnp.concatenate([bank, jnp.asarray(extra_query)], axis=0)
+    if query.shape[0] != codec.n_classes:
+        raise ValueError(
+            f"extended query count {query.shape[0]} != codec classes {codec.n_classes}"
+        )
+    kwargs = dict(model_kwargs or {})
+
+    from transformer4sed_tpu.eval.decode import batched_decode_preds
+    from transformer4sed_tpu.eval.psds import compute_psds_from_scores
+
+    @jax.jit
+    def eval_fn(p, mel, pad_mask):
+        out = model.apply(
+            {"params": p}, mel, train=False, pad_mask=pad_mask,
+            query=query, query_type=query_type, **kwargs,
+        )
+        return out.strong
+
+    scores = {}
+    for batch in loader:
+        mel = frontend.normalize(frontend(jnp.asarray(batch["wav"])))
+        strong = eval_fn(params, mel, jnp.asarray(batch["pad_mask"]))
+        _, post = batched_decode_preds(
+            strong, batch["filename"], codec, filter=median_filter, filter_type=filter_type
+        )
+        scores.update(post)
+
+    psds, single = compute_psds_from_scores(
+        scores, ground_truth, durations,
+        dtc_threshold=0.7, gtc_threshold=0.7, alpha_ct=0.0, alpha_st=0.0,
+    )
+    top10 = dict(sorted(single.items(), key=lambda kv: kv[1], reverse=True)[:10])
+    return psds, single, top10
+
+
 # -- per-type PSDS reporting ----------------------------------------------------------
 
 def split_psds_by_type(
