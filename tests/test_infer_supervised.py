@@ -51,8 +51,8 @@ class TestSupervisedStep:
         mel = frontend.normalize(frontend(wav))
         variables = model.init({"params": KEY}, mel)
 
-        def model_apply(params, m, train=False, rngs=None, **kw):
-            return model.apply({"params": params}, m, train=train, rngs=rngs, **kw)
+        def model_apply(params, m, train=False, rngs=None, model_state=None, **kw):
+            return model.apply({"params": params}, m, train=train, rngs=rngs, **kw), None
 
         tx = optax.adamw(1e-4)
         state = MLMState(

@@ -169,14 +169,22 @@ class WindowAttention(nn.Module):
 
 
 def _shift_attn_mask(h: int, width: int, w: int, shift: int) -> np.ndarray:
-    """Additive [-inf/0] mask for shifted windows, [nW, w², w²]."""
-    img = np.zeros((1, h, width, 1))
+    """Additive [-inf/0] mask for shifted windows, [nW, w², w²].
+
+    Pure numpy: under jit even constant jnp ops are staged to tracers,
+    and this mask must stay a compile-time constant.
+    """
+    img = np.zeros((h, width))
     cnt = 0
     for hs in (slice(0, -w), slice(-w, -shift), slice(-shift, None)):
         for ws in (slice(0, -w), slice(-w, -shift), slice(-shift, None)):
-            img[:, hs, ws, :] = cnt
+            img[hs, ws] = cnt
             cnt += 1
-    win = np.asarray(window_partition(jnp.asarray(img), w)).reshape(-1, w * w)
+    win = (
+        img.reshape(h // w, w, width // w, w)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, w * w)
+    )
     diff = win[:, None, :] - win[:, :, None]
     return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
 

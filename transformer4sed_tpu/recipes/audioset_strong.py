@@ -68,10 +68,15 @@ class SupervisedConfig:
 
 
 def make_supervised_step(model_apply: Callable, frontend, optimizer, cfg: SupervisedConfig):
-    """Supervised strong-label step (PaSST_CNN / HTSAT_CNN on AudioSet-strong)."""
+    """Supervised strong-label step (PaSST_CNN / HTSAT_CNN on AudioSet-strong).
+
+    ``model_apply(params, mel, train, rngs, model_state, **kw)`` must
+    return ``(SEDOutput, updated_model_state-or-None)`` — model_state
+    carries BatchNorm running stats for HTSAT-style backbones.
+    """
     loss_fn_cls = L.loss_function_factory(cfg.loss_name, cfg.loss_kwargs)
 
-    def loss_fn(params, batch, key):
+    def loss_fn(params, model_state, batch, key):
         kmel, kshift, kmix, kmixp, ktrans, kfwd = jax.random.split(key, 6)
         mel = frontend(batch["wav"], key=kmel, training=True)
         mel = frontend.normalize(mel)
@@ -94,15 +99,21 @@ def make_supervised_step(model_apply: Callable, frontend, optimizer, cfg: Superv
             filter_type=cfg.filter_type, norm_std=5.0,
         )
         rngs = {k: jax.random.fold_in(kfwd, i) for i, k in enumerate(("patchout", "dropout", "mlm"))}
-        out = model_apply(params, mel, train=True, rngs=rngs, **cfg.model_kwargs)
+        out, new_ms = model_apply(
+            params, mel, train=True, rngs=rngs, model_state=model_state, **cfg.model_kwargs
+        )
         loss_strong = loss_fn_cls(out.strong, labels)
-        return loss_strong, {"loss_class_strong": loss_strong}
+        return loss_strong, ({"loss_class_strong": loss_strong}, new_ms)
 
     def step(state, batch, key):
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params, batch, key)
+        (_, (metrics, new_ms)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.model_state, batch, key
+        )
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
-        return state.replace(params=new_params, opt_state=new_opt, step=state.step + 1), metrics
+        return state.replace(
+            params=new_params, opt_state=new_opt, step=state.step + 1, model_state=new_ms
+        ), metrics
 
     return step
 
@@ -155,28 +166,40 @@ class SupervisedTrainer:
         self.type_map = type_map
         self.model_name = config.get("model_name", "PaSST_CNN")
 
+        model_state = None
         if init_params is None:
             sample = next(iter(train_loader))
             mel = frontend.normalize(frontend(jnp.asarray(sample["wav"][:1])))
-            init_params = model.init({"params": jax.random.PRNGKey(0)}, mel)["params"]
+            variables = model.init({"params": jax.random.PRNGKey(0)}, mel)
+            init_params = variables["params"]
+            # BatchNorm backbones (HTSAT bn0) carry running stats that must
+            # ride along in the train state
+            model_state = {k: v for k, v in variables.items() if k != "params"} or None
         steps = len(train_loader)
         self.optimizer, _ = common.optimizer_from_config(init_params, config, steps)
         self.state = MLMState(
             params=init_params,
             opt_state=self.optimizer.init(init_params),
             step=jnp.zeros((), jnp.int32),
+            model_state=model_state,
         )
 
-        def model_apply(params, mel, train=False, rngs=None, **kw):
-            return model.apply({"params": params}, mel, train=train, rngs=rngs, **kw)
+        def model_apply(params, mel, train=False, rngs=None, model_state=None, **kw):
+            """Returns (output, updated_model_state-or-None)."""
+            variables = {"params": params, **(model_state or {})}
+            if train and model_state:
+                return model.apply(
+                    variables, mel, train=True, rngs=rngs, mutable=list(model_state), **kw
+                )
+            return model.apply(variables, mel, train=train, rngs=rngs, **kw), None
 
         self.model_apply = model_apply
         self._train_step = jax.jit(self._build_train_step())
         self._eval_fn = jax.jit(
-            lambda p, m, pm: model_apply(
-                p, m, train=False, pad_mask=pm,
+            lambda p, ms, m, pm: model_apply(
+                p, m, train=False, pad_mask=pm, model_state=ms,
                 **config.get(self.model_name, {}).get("val_kwargs", {}),
-            )
+            )[0]
         )
 
     def _build_train_step(self):
@@ -214,7 +237,9 @@ class SupervisedTrainer:
         scores = {}
         for batch in self.val_loader:
             mel = self.frontend.normalize(self.frontend(jnp.asarray(batch["wav"])))
-            out = self._eval_fn(self.state.params, mel, jnp.asarray(batch["pad_mask"]))
+            out = self._eval_fn(
+                self.state.params, self.state.model_state, mel, jnp.asarray(batch["pad_mask"])
+            )
             _, post = batched_decode_preds(
                 out.strong, batch["filename"], self.codec, filter=median_filter
             )

@@ -106,7 +106,7 @@ def make_dasm_step(model_apply: Callable, frontend, optimizer, cfg: DASMTrainCon
         else jnp.asarray(np.flatnonzero(np.asarray(cfg.common_mask, dtype=bool)))
     )
 
-    def loss_fn(params, batch, key, extra_kwargs):
+    def loss_fn(params, model_state, batch, key, extra_kwargs):
         kmel, kshift, kmix, kmixp, ktrans, kfwd = jax.random.split(key, 6)
         mel = frontend(batch["wav"], key=kmel, training=True)
         mel = frontend.normalize(mel)
@@ -146,8 +146,9 @@ def make_dasm_step(model_apply: Callable, frontend, optimizer, cfg: DASMTrainCon
         if common_idx is not None and cfg.query_from_params:
             extra_kwargs = dict(extra_kwargs)
             extra_kwargs["query"] = jnp.take(params["at_query"], common_idx, axis=0)
-        out = model_apply(
-            params, mel, train=True, rngs=rngs, **cfg.model_kwargs, **extra_kwargs
+        out, new_ms = model_apply(
+            params, mel, train=True, rngs=rngs, model_state=model_state,
+            **cfg.model_kwargs, **extra_kwargs
         )
 
         if cfg.out_type == "logit":
@@ -156,19 +157,22 @@ def make_dasm_step(model_apply: Callable, frontend, optimizer, cfg: DASMTrainCon
             loss_at = L.bce(out.at_out, labels_weak)
         loss_strong = L.bce(out.strong, labels)
         total = loss_strong + cfg.w_at * loss_at
-        return total, {
+        metrics = {
             "loss_total": total,
             "loss_class_strong": loss_strong,
             "loss_class_at_specific": loss_at,
         }
+        return total, (metrics, new_ms)
 
     def step(state, batch, key, extra_kwargs: Optional[dict] = None):
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, key, extra_kwargs or {}
+        (_, (metrics, new_ms)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.model_state, batch, key, extra_kwargs or {}
         )
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
-        return state.replace(params=new_params, opt_state=new_opt, step=state.step + 1), metrics
+        return state.replace(
+            params=new_params, opt_state=new_opt, step=state.step + 1, model_state=new_ms
+        ), metrics
 
     return step
 
@@ -282,9 +286,9 @@ class OVDASMTrainer(DASMTrainer):
         val_kwargs = self.config.get(self.model_name, {}).get("val_kwargs", {})
 
         @jax.jit
-        def eval_fn(params, mel, pad_mask):
-            out = self.model_apply(
-                params, mel, train=False, pad_mask=pad_mask,
+        def eval_fn(params, model_state, mel, pad_mask):
+            out, _ = self.model_apply(
+                params, mel, train=False, pad_mask=pad_mask, model_state=model_state,
                 query=query, tgt_mask=att_mask, **val_kwargs,
             )
             at_out = out.at_out
@@ -302,7 +306,7 @@ class OVDASMTrainer(DASMTrainer):
         for batch in self.val_loader:
             mel = self.frontend.normalize(self.frontend(jnp.asarray(batch["wav"])))
             strong, at_out = eval_fn(
-                self.state.params, mel, jnp.asarray(batch["pad_mask"])
+                self.state.params, self.state.model_state, mel, jnp.asarray(batch["pad_mask"])
             )
             labels = np.asarray(batch["label"])
             at_preds.append(np.asarray(at_out))
@@ -344,6 +348,7 @@ def openset_evaluate(
     filter_type: str = "median",
     model_kwargs: Optional[dict] = None,
     query_type: Optional[str] = None,
+    model_state: Optional[dict] = None,
 ):
     """Open-set evaluation (reference ``openset_evaluation.py:66-215``):
     append novel-class query embeddings to the trained bank and detect the
@@ -362,6 +367,8 @@ def openset_evaluate(
             f"extended query count {query.shape[0]} != codec classes {codec.n_classes}"
         )
     kwargs = dict(model_kwargs or {})
+    if query_type is not None:
+        kwargs["query_type"] = query_type  # CLAP_SED has no query_type arg
 
     from transformer4sed_tpu.eval.decode import batched_decode_preds
     from transformer4sed_tpu.eval.psds import compute_psds_from_scores
@@ -369,8 +376,8 @@ def openset_evaluate(
     @jax.jit
     def eval_fn(p, mel, pad_mask):
         out = model.apply(
-            {"params": p}, mel, train=False, pad_mask=pad_mask,
-            query=query, query_type=query_type, **kwargs,
+            {"params": p, **(model_state or {})}, mel, train=False, pad_mask=pad_mask,
+            query=query, **kwargs,
         )
         return out.strong
 

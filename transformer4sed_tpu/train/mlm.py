@@ -45,6 +45,9 @@ class MLMState:
     params: Any
     opt_state: Any
     step: jnp.ndarray
+    # non-param variable collections (e.g. {'batch_stats': ...} for
+    # BatchNorm backbones like HTSAT); None for pure-LN models
+    model_state: Any = None
 
 
 def create_mlm_state(params, optimizer: optax.GradientTransformation) -> MLMState:
