@@ -386,3 +386,37 @@ class TestPaSSTSEDDecoderVariants:
 
     def test_band_window(self):
         self._run("transformerXL", decoder_win_len=31)
+
+
+class TestPoolingLib:
+    """Frequency-pooling module inventory (reference src/models/pooling.py)."""
+
+    def test_shapes_all_variants(self):
+        import numpy as np
+
+        from transformer4sed_tpu.models.pooling import (
+            ActivateAttentionPooling,
+            AttentionPooling,
+            FrequencyWiseTransformerPooling,
+            MeanPool,
+        )
+
+        x = jnp.asarray(np.random.RandomState(0).randn(3, 8, 32).astype(np.float32))
+        for mod in (
+            MeanPool(),
+            AttentionPooling(num_heads=4),
+            FrequencyWiseTransformerPooling(num_heads=4),
+            ActivateAttentionPooling(num_heads=4),
+        ):
+            variables = mod.init(jax.random.PRNGKey(0), x)
+            out = mod.apply(variables, x)
+            assert out.shape == (3, 32), type(mod).__name__
+
+    def test_mean_pool_value(self):
+        import numpy as np
+
+        from transformer4sed_tpu.models.pooling import MeanPool
+
+        x = jnp.asarray(np.random.RandomState(1).randn(2, 5, 4).astype(np.float32))
+        out = MeanPool().apply({}, x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(x).mean(1), atol=1e-6)
