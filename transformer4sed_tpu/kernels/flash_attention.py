@@ -52,7 +52,10 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, seq_len: int, sm_
 
     q_ref: [block_q, d]; k_ref/v_ref: [T_pad, d]; o_ref: [block_q, d].
     """
-    q = q_ref[:].astype(jnp.float32) * sm_scale
+    # keep q/k in input dtype: bf16 x bf16 -> f32 runs on the MXU at full
+    # rate, while upcasting first would force an ~8x slower f32 matmul.
+    # sm_scale is applied to the f32 scores after the dot.
+    q = q_ref[:]
     block_q, d = q.shape
     t_pad = k_ref.shape[0]
     num_kb = t_pad // block_k
@@ -61,7 +64,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, seq_len: int, sm_
         m_prev, l_prev, acc = carry
         k = k_ref[pl.ds(i * block_k, block_k), :]
         v = v_ref[pl.ds(i * block_k, block_k), :]
-        s = jnp.dot(q, k.T.astype(jnp.float32), preferred_element_type=jnp.float32)
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * sm_scale
         # mask padded key columns
         col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + i * block_k
         s = jnp.where(col < seq_len, s, _NEG_INF)
@@ -90,6 +93,10 @@ def _flash_forward(q, k, v, sm_scale, block_q: int = 256, block_k: Optional[int]
     128x128 blocks under-utilise the MXU (24.5 ms).
     """
     b, h, t, d = q.shape
+    if t <= 1536:
+        # whole [T, T] score tile per program measures fastest on v5e
+        # (9.9 ms vs 11.0 ms at bq=256 for B=64, H=12, T=1190)
+        block_q = _round_up(t, 128)
     if block_k is None:
         block_k = _round_up(t, block_q) if t <= 2048 else 512
     t_pad = _round_up(t, max(block_q, block_k))
@@ -133,7 +140,7 @@ def _xla_attention(q, k, v, sm_scale):
 
 
 def _flash_bias_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, block_k, seq_len, sm_scale):
-    q = q_ref[:].astype(jnp.float32) * sm_scale
+    q = q_ref[:]  # input dtype: bf16 matmul on the MXU (see _flash_kernel)
     block_q, d = q.shape
     t_pad = k_ref.shape[0]
     num_kb = t_pad // block_k
@@ -143,7 +150,7 @@ def _flash_bias_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, block_k, seq_len
         k = k_ref[pl.ds(i * block_k, block_k), :]
         v = v_ref[pl.ds(i * block_k, block_k), :]
         bias = bias_ref[:, pl.ds(i * block_k, block_k)].astype(jnp.float32)
-        s = jnp.dot(q, k.T.astype(jnp.float32), preferred_element_type=jnp.float32) + bias
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * sm_scale + bias
         col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + i * block_k
         s = jnp.where(col < seq_len, s, _NEG_INF)
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
@@ -277,7 +284,7 @@ flash_attention.defvjp(_fwd, _bwd)
 
 
 def _fwd_lse_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k, seq_len, sm_scale):
-    q = q_ref[:].astype(jnp.float32) * sm_scale
+    q = q_ref[:]  # input dtype: bf16 matmul on the MXU (see _flash_kernel)
     block_q, d = q.shape
     t_pad = k_ref.shape[0]
     num_kb = t_pad // block_k
@@ -286,7 +293,7 @@ def _fwd_lse_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k, seq_len, sm
         m_prev, l_prev, acc = carry
         k = k_ref[pl.ds(i * block_k, block_k), :]
         v = v_ref[pl.ds(i * block_k, block_k), :]
-        s = jnp.dot(q, k.T.astype(jnp.float32), preferred_element_type=jnp.float32)
+        s = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * sm_scale
         col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) + i * block_k
         s = jnp.where(col < seq_len, s, _NEG_INF)
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
@@ -305,10 +312,9 @@ def _fwd_lse_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, block_k, seq_len, sm
 
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *, seq_len, sm_scale):
-    q = q_ref[:].astype(jnp.float32)
-    k = k_ref[:].astype(jnp.float32)
-    v = v_ref[:].astype(jnp.float32)
-    do = do_ref[:].astype(jnp.float32)
+    # operands stay in input dtype so every matmul runs at bf16 MXU rate;
+    # softmax/ds arithmetic is f32 via preferred_element_type
+    q, k, v, do = q_ref[:], k_ref[:], v_ref[:], do_ref[:]
     lse = lse_ref[:].reshape(-1, 1)
     delta = delta_ref[:].reshape(-1, 1)
     block_q = q.shape[0]
@@ -319,17 +325,14 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *, s
     s = jnp.where(col < seq_len, s, _NEG_INF)
     p = jnp.exp(s - lse)
     dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)
-    ds = p * (dp - delta)
+    ds = (p * (dp - delta)).astype(q.dtype)
     dq_ref[:] = (jnp.dot(ds, k, preferred_element_type=jnp.float32) * sm_scale).astype(dq_ref.dtype)
 
 
 def _bwd_dkv_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref, *, seq_len, sm_scale
 ):
-    q = q_ref[:].astype(jnp.float32)
-    k = k_ref[:].astype(jnp.float32)  # [block_kv, d]
-    v = v_ref[:].astype(jnp.float32)
-    do = do_ref[:].astype(jnp.float32)
+    q, k, v, do = q_ref[:], k_ref[:], v_ref[:], do_ref[:]  # k/v: [block_kv, d]
     lse = lse_ref[:].reshape(-1, 1)
     delta = delta_ref[:].reshape(-1, 1)
     t_pad = q.shape[0]
@@ -340,9 +343,11 @@ def _bwd_dkv_kernel(
     col = jax.lax.broadcasted_iota(jnp.int32, (t_pad, block_kv), 1) + kv_start
     s = jnp.where(col < seq_len, s, _NEG_INF)
     p = jnp.exp(s - lse)  # [T_pad, bkv]
-    dv_ref[:] = jnp.dot(p.T, do, preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+    dv_ref[:] = jnp.dot(p.astype(do.dtype).T, do, preferred_element_type=jnp.float32).astype(
+        dv_ref.dtype
+    )
     dp = jnp.dot(do, v.T, preferred_element_type=jnp.float32)  # [T_pad, bkv]
-    ds = p * (dp - delta)
+    ds = (p * (dp - delta)).astype(q.dtype)
     dk_ref[:] = (jnp.dot(ds.T, q, preferred_element_type=jnp.float32) * sm_scale).astype(dk_ref.dtype)
 
 

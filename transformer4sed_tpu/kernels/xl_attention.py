@@ -47,8 +47,10 @@ def _xl_kernel(
     qu/qv_ref: [block_q, d]; k/v_ref: [T_pad, d]; p_ref: [P_len, d]
     (position table padded by pad_lo on the left); o_ref: [block_q, d].
     """
-    qu = qu_ref[:].astype(jnp.float32) * sm_scale
-    qv = qv_ref[:].astype(jnp.float32) * sm_scale
+    # keep operands in input dtype: bf16 x bf16 -> f32 runs on the MXU at
+    # full rate; sm_scale is applied to the f32 products after each dot
+    qu = qu_ref[:]
+    qv = qv_ref[:]
     block_q, d = qu.shape
     t_pad = k_ref.shape[0]
     num_kb = t_pad // block_k
@@ -62,7 +64,7 @@ def _xl_kernel(
         m_prev, l_prev, acc = carry
         k = k_ref[pl.ds(i * block_k, block_k), :]
         v = v_ref[pl.ds(i * block_k, block_k), :]
-        content = jnp.dot(qu, k.T.astype(jnp.float32), preferred_element_type=jnp.float32)
+        content = jnp.dot(qu, k.T, preferred_element_type=jnp.float32) * sm_scale
 
         # position strip: rows [pad_lo + (T-1) - (i0 + bq - 1) + j0, ... + strip_w)
         # pad_lo is chosen so this is always a multiple of 8 (sublane tile)
@@ -70,7 +72,7 @@ def _xl_kernel(
             pad_lo + (seq_len - 1) - (i0 + block_q - 1) + i * block_k, 8
         )
         strip = p_ref[pl.ds(strip_start, strip_w), :]
-        pos = jnp.dot(qv, strip.T.astype(jnp.float32), preferred_element_type=jnp.float32)
+        pos = jnp.dot(qv, strip.T, preferred_element_type=jnp.float32) * sm_scale
         # variable per-row left roll by (bq-1-r): log-step decomposition
         for bit in range(n_bits):
             amt = 1 << bit
@@ -114,8 +116,8 @@ def _xl_row_kernel(
     fastest on v5e (MXU-shaped [128, d] strip matmuls, log2(128) rolls):
     20.7 ms vs the blocked kernel's 37.2 ms at B=64, H=12, T=1000.
     """
-    qu = qu_ref[:].astype(jnp.float32) * sm_scale
-    qv = qv_ref[:].astype(jnp.float32) * sm_scale
+    qu = qu_ref[:]  # input dtype: bf16 MXU matmuls; scale applied post-dot
+    qv = qv_ref[:]
     block_q, d = qu.shape
     t_pad = k_ref.shape[0]
     i0 = pl.program_id(2) * block_q
@@ -123,8 +125,8 @@ def _xl_row_kernel(
     strip_w = t_pad + group
 
     content = jnp.dot(
-        qu, k_ref[:].T.astype(jnp.float32), preferred_element_type=jnp.float32
-    )  # [bq, T_pad]
+        qu, k_ref[:].T, preferred_element_type=jnp.float32
+    ) * sm_scale  # [bq, T_pad]
 
     strip_start0 = pl.multiple_of(pad_lo + (seq_len - 1) - (i0 + block_q - 1), 8)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (group, strip_w), 0)
@@ -134,10 +136,13 @@ def _xl_row_kernel(
     for g in range(block_q // group):
         coarse = block_q - (g + 1) * group
         strip = p_ref[pl.ds(strip_start0 + coarse, strip_w), :]
-        prod = jnp.dot(
-            qv[g * group : (g + 1) * group],
-            strip.T.astype(jnp.float32),
-            preferred_element_type=jnp.float32,
+        prod = (
+            jnp.dot(
+                qv[g * group : (g + 1) * group],
+                strip.T,
+                preferred_element_type=jnp.float32,
+            )
+            * sm_scale
         )  # [G, T_pad + G]
         for bit in range(n_bits):
             amt = 1 << bit
