@@ -1,0 +1,142 @@
+"""Tensor-parallel partitioning tests on the 8-device CPU mesh:
+('data', 'model') = (4, 2)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from transformer4sed_tpu.parallel import (
+    make_2d_mesh,
+    partition_specs,
+    put_batch,
+    shard_params,
+)
+
+KEY = jax.random.PRNGKey(0)
+
+
+def tiny_model():
+    from transformer4sed_tpu.models.passt_sed import PaSST_SED
+
+    return PaSST_SED(
+        class_num=3,
+        embed_dim=32,
+        decoder_dim=32,
+        backbone_depth=2,
+        backbone_num_heads=4,
+        decoder_num_heads=4,
+        at_adapter_heads=4,
+        passt_feature_layer=2,
+        decoder="transformerXL",
+        decoder_layer_num=1,
+        decoder_pos_emd_len=120,
+        at_adapter=True,
+    )
+
+
+@pytest.fixture(scope="module")
+def setup():
+    from transformer4sed_tpu.frontend import PasstFrontend
+
+    model = tiny_model()
+    frontend = PasstFrontend()
+    t_mel = 120
+    n_samples = (t_mel - 1) * 320 + 1
+    wav = jnp.asarray(np.random.RandomState(0).randn(8, n_samples).astype(np.float32))
+    mel = frontend.normalize(frontend(wav))
+    params = model.init({"params": KEY}, mel)["params"]
+    return model, frontend, params, wav, mel
+
+
+class TestPartitionSpecs:
+    def test_rules_match_block_params(self, setup):
+        _, _, params, _, _ = setup
+        import flax
+
+        specs = flax.traverse_util.flatten_dict(partition_specs(params), sep="/")
+        assert specs["backbone/blocks_0/attn/qkv/kernel"] == P(None, "model")
+        assert specs["backbone/blocks_0/attn/proj/kernel"] == P("model", None)
+        assert specs["backbone/blocks_0/mlp/fc1/kernel"] == P(None, "model")
+        assert specs["backbone/blocks_0/mlp/fc2/kernel"] == P("model", None)
+        # XL decoder attention
+        xl = [k for k in specs if k.endswith("in_proj/kernel")]
+        assert xl and all(specs[k] == P(None, "model") for k in xl)
+        # norms replicated
+        assert specs["backbone/blocks_0/norm1/scale"] == P()
+
+    def test_sharded_leaves_are_distributed(self, setup):
+        _, _, params, _, _ = setup
+        mesh = make_2d_mesh(8, model_parallel=2)
+        sharded = shard_params(params, mesh)
+        leaf = sharded["backbone"]["blocks_0"]["attn"]["qkv"]["kernel"]
+        assert leaf.sharding.spec == P(None, "model")
+        # each shard holds half the output features
+        shard_shapes = {s.data.shape for s in leaf.addressable_shards}
+        assert shard_shapes == {(32, 48)}
+
+    def test_indivisible_falls_back_replicated(self, setup):
+        _, _, params, _, _ = setup
+        mesh = make_2d_mesh(8, model_parallel=2)
+        # class head [32, 3]: a hypothetical rule on its kernel would not
+        # divide 3 by 2 -> shard_params must replicate instead of crashing
+        from transformer4sed_tpu.parallel.partition import TP_RULES
+
+        rules = TP_RULES + ((r".*/head/kernel$", P(None, "model")),)
+        sharded = shard_params(params, mesh, rules=rules)
+        flat = jax.tree_util.tree_leaves(sharded)
+        assert all(x.is_fully_replicated or x.sharding.spec != P() for x in flat)
+
+
+class TestTPForwardParity:
+    def test_tp_matches_replicated(self, setup):
+        model, frontend, params, wav, mel = setup
+        mesh = make_2d_mesh(8, model_parallel=2)
+        sharded = shard_params(params, mesh)
+        batch = jax.device_put(mel, NamedSharding(mesh, P("data")))
+
+        @jax.jit
+        def forward(p, m):
+            return model.apply({"params": p}, m, temp_w=0.5).strong
+
+        ref = forward(params, mel)
+        out = forward(sharded, batch)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+class TestTPTrainStep:
+    def test_mean_teacher_step_on_2d_mesh(self, setup):
+        import optax
+
+        from transformer4sed_tpu.train.mean_teacher import (
+            MeanTeacherConfig,
+            create_mean_teacher_state,
+            make_mean_teacher_step,
+        )
+
+        model, frontend, params, wav, _ = setup
+        mesh = make_2d_mesh(8, model_parallel=2)
+        sharded = shard_params(params, mesh)
+        tx = optax.adamw(1e-4)
+        state = create_mean_teacher_state(sharded, tx)
+
+        cfg = MeanTeacherConfig(
+            strong_num=4, weak_num=2, unlabel_num=2, net_pooling=1,
+            self_loss_warmup_steps=10,
+        )
+
+        def model_apply(p, mel_in, train=False, rngs=None, **kw):
+            return model.apply({"params": p}, mel_in, train=train, rngs=rngs, **kw)
+
+        step = jax.jit(make_mean_teacher_step(model_apply, frontend, tx, cfg))
+        t_out = (((120 - 16) // 10 + 1) + 1) * 10
+        labels = np.zeros((8, 3, t_out), np.float32)
+        labels[:4] = (np.random.RandomState(1).rand(4, 3, t_out) > 0.8).astype(np.float32)
+        labels[4:6, :, 0] = 1.0
+        batch = put_batch({"wav": wav, "labels": jnp.asarray(labels)}, mesh)
+        new_state, metrics = step(state, batch, KEY)
+        assert np.isfinite(float(metrics["loss_total"]))
+        # TP shardings survive the step (params and adam moments)
+        qkv = new_state.params["backbone"]["blocks_0"]["attn"]["qkv"]["kernel"]
+        assert qkv.sharding.spec == P(None, "model")

@@ -4,6 +4,13 @@ from transformer4sed_tpu.parallel.mesh import (
     replicated_sharding,
     shard_train_step,
     put_batch,
+    device_prefetch,
+)
+from transformer4sed_tpu.parallel.partition import (
+    TP_RULES,
+    make_2d_mesh,
+    partition_specs,
+    shard_params,
 )
 
 __all__ = [
@@ -12,4 +19,9 @@ __all__ = [
     "replicated_sharding",
     "shard_train_step",
     "put_batch",
+    "device_prefetch",
+    "TP_RULES",
+    "make_2d_mesh",
+    "partition_specs",
+    "shard_params",
 ]
