@@ -182,3 +182,42 @@ class TestFlashXL:
         grads = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(qu, qv, k, v, p)
         for g in grads:
             assert bool(jnp.isfinite(g).all())
+
+
+class TestBandLocalXL:
+    """In-kernel band-diagonal local attention (no [T, T] mask tensor)."""
+
+    def test_band_matches_masked_xla(self):
+        from transformer4sed_tpu.kernels.xl_attention import (
+            _xl_forward,
+            _xla_xl_attention,
+        )
+
+        rng = np.random.RandomState(0)
+        b, h, t, d = 2, 4, 96, 16
+        f = lambda *s: jnp.asarray(rng.randn(*s).astype(np.float32) * 0.3)
+        qu, qv, k, v = f(b, h, t, d), f(b, h, t, d), f(b, h, t, d), f(b, h, t, d)
+        p = f(h, 2 * t - 1, d)
+        widths = (10, 20, 40, 96)
+        ref = _xla_xl_attention(qu, qv, k, v, p, 0.25, widths)
+        ours = _xl_forward(
+            qu, qv, k, v, p, 0.25, block_q=32, block_k=32, group=8,
+            band_widths=widths, interpret=True,
+        )
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5)
+
+    def test_decoder_band_flash_parity(self):
+        """TransformerXLDecoder with window_len: flash (in-kernel band via
+        XLA fallback off-TPU) vs explicit-mask path give identical output."""
+        from transformer4sed_tpu.models.xl import TransformerXLDecoder
+
+        x = jnp.asarray(np.random.RandomState(1).randn(2, 60, 32).astype(np.float32))
+        kw = dict(decoder_layer_num=1, num_heads=4, seq_len=60, window_len=[9, 17, 33, 60])
+        dec_mask = TransformerXLDecoder(**kw, use_flash=False)
+        dec_band = TransformerXLDecoder(**kw, use_flash=True)
+        params = dec_mask.init(jax.random.PRNGKey(0), x)
+        out_mask = dec_mask.apply(params, x)
+        out_band = dec_band.apply(params, x)
+        np.testing.assert_allclose(
+            np.asarray(out_band), np.asarray(out_mask), atol=2e-5
+        )

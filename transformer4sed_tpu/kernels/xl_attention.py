@@ -103,6 +103,7 @@ def _xl_kernel(
 def _xl_row_kernel(
     qu_ref, qv_ref, k_ref, v_ref, p_ref, o_ref,
     *, seq_len: int, sm_scale: float, pad_lo: int, group: int,
+    band_widths: Optional[tuple] = None,
 ):
     """Full-row variant: one (b, h, q-block) program holds the whole
     [block_q, T_pad] score row in VMEM (T <= ~2048), so no online
@@ -152,7 +153,22 @@ def _xl_row_kernel(
     s = content + jnp.concatenate(slabs, axis=0)
 
     col = jax.lax.broadcasted_iota(jnp.int32, (block_q, t_pad), 1)
-    s = jnp.where(col < seq_len, s, _NEG_INF)
+    valid = col < seq_len
+    if band_widths is not None:
+        # band-diagonal local attention (models/xl.diagonal_mask semantics:
+        # row i attends [i - w//2, i + w//2) plus the diagonal) — the mask
+        # is generated in-kernel from the static per-head widths, so no
+        # [B, H, T, T] tensor ever exists
+        # per-head width as a scalar switch over static ints (pallas kernels
+        # cannot capture array constants)
+        half = jax.lax.switch(
+            pl.program_id(1),
+            [lambda w=w: jnp.int32(w // 2) for w in band_widths],
+        )
+        row = jax.lax.broadcasted_iota(jnp.int32, (block_q, t_pad), 0) + i0
+        in_band = ((col >= row - half) & (col < row + half)) | (col == row)
+        valid = valid & in_band
+    s = jnp.where(valid, s, _NEG_INF)
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
     l = jnp.sum(e, axis=-1, keepdims=True)
@@ -164,13 +180,15 @@ _ROW_KERNEL_MAX_T = 2048  # [bq, T_pad] f32 scores + strips must fit VMEM
 
 
 def _xl_forward(
-    qu, qv, k, v, p, sm_scale, block_q=512, block_k=256, group=128, interpret=False
+    qu, qv, k, v, p, sm_scale, block_q=512, block_k=256, group=128,
+    band_widths=None, interpret=False,
 ):
     """qu/qv/k/v: [B, H, T, d]; p: [H, 2T-1, d] projected position table."""
     b, h, t, d = qu.shape
     t_pad = _round_up(t, max(block_q, block_k))
     n_bits = max(1, math.ceil(math.log2(block_q)))
     use_row_kernel = t_pad <= _ROW_KERNEL_MAX_T and block_q % group == 0
+    assert band_widths is None or use_row_kernel, "band masks need the row kernel"
 
     def pad_bhtd(x):
         return jnp.pad(x, ((0, 0), (0, 0), (0, t_pad - t), (0, 0)))
@@ -188,7 +206,8 @@ def _xl_forward(
 
     if use_row_kernel:
         kernel = functools.partial(
-            _xl_row_kernel, seq_len=t, sm_scale=sm_scale, pad_lo=pad_lo, group=group
+            _xl_row_kernel, seq_len=t, sm_scale=sm_scale, pad_lo=pad_lo, group=group,
+            band_widths=band_widths,
         )
     else:
         kernel = functools.partial(
@@ -219,15 +238,18 @@ def _xl_forward(
     return out[:, :, :t]
 
 
-def _xla_xl_attention(qu, qv, k, v, p, sm_scale):
+def _xla_xl_attention(qu, qv, k, v, p, sm_scale, band_widths=None):
     """Reference XLA path (blocked position scores) for fallback/backward."""
-    from transformer4sed_tpu.models.xl import _rel_position_scores
+    from transformer4sed_tpu.models.xl import _rel_position_scores, build_band_mask
 
     content = jnp.einsum("bhqd,bhkd->bhqk", qu, k, preferred_element_type=jnp.float32)
     position = _rel_position_scores(
         qv.transpose(0, 2, 1, 3), p.transpose(1, 0, 2)
     )  # [B, H, T, T]
     scores = (content + position) * sm_scale
+    if band_widths is not None:
+        mask = jnp.asarray(build_band_mask(qu.shape[2], list(band_widths)))
+        scores = jnp.where(mask[None], _NEG_INF, scores)
     attn = jax.nn.softmax(scores, axis=-1)
     return jnp.einsum("bhqk,bhkd->bhqd", attn.astype(v.dtype), v)
 
@@ -239,27 +261,35 @@ def _on_tpu() -> bool:
     return dd is None or getattr(dd, "platform", "tpu") == "tpu"
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def flash_xl_attention(qu, qv, k, v, p, sm_scale: float):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def flash_xl_attention(qu, qv, k, v, p, sm_scale: float, band_widths=None):
     """Fused XL attention: softmax(scale*(qu K^T + relshift(qv P^T))) V.
 
     qu/qv: query + pos_bias_u / pos_bias_v, [B, H, T, d]; p: projected
     position table [H, 2T-1, d] (offset order [T-1 .. -(T-1)]).
+    ``band_widths``: optional static per-head tuple of band-diagonal
+    window widths (``models/xl.diagonal_mask`` semantics) — local
+    attention generated in-kernel, no [T, T] mask materialised
+    (SURVEY.md §5.7 item 2's TPU equivalent).
     """
-    if _on_tpu():
-        return _xl_forward(qu, qv, k, v, p, sm_scale)
-    return _xla_xl_attention(qu, qv, k, v, p, sm_scale)
+    if _on_tpu() and (band_widths is None or _band_supported(qu.shape[2])):
+        return _xl_forward(qu, qv, k, v, p, sm_scale, band_widths=band_widths)
+    return _xla_xl_attention(qu, qv, k, v, p, sm_scale, band_widths)
 
 
-def _fwd(qu, qv, k, v, p, sm_scale):
-    return flash_xl_attention(qu, qv, k, v, p, sm_scale), (qu, qv, k, v, p)
+def _band_supported(t: int, block_q: int = 512, block_k: int = 256) -> bool:
+    return _round_up(t, max(block_q, block_k)) <= _ROW_KERNEL_MAX_T
 
 
-def _bwd(sm_scale, residuals, g):
+def _fwd(qu, qv, k, v, p, sm_scale, band_widths):
+    return flash_xl_attention(qu, qv, k, v, p, sm_scale, band_widths), (qu, qv, k, v, p)
+
+
+def _bwd(sm_scale, band_widths, residuals, g):
     qu, qv, k, v, p = residuals
 
     def f(qu, qv, k, v, p):
-        return _xla_xl_attention(qu, qv, k, v, p, sm_scale)
+        return _xla_xl_attention(qu, qv, k, v, p, sm_scale, band_widths)
 
     out_dtype = jax.eval_shape(f, qu, qv, k, v, p).dtype
     _, vjp = jax.vjp(f, qu, qv, k, v, p)

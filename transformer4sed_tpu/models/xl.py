@@ -160,6 +160,7 @@ class RelPositionMultiheadAttention(nn.Module):
         pos_emb: jnp.ndarray,  # [1, 2T-1, D]
         mask: Optional[jnp.ndarray] = None,  # bool, [T,T] | [H,T,T] | [B,H,T,T]; True = blocked
         deterministic: bool = True,
+        band_widths: Optional[tuple] = None,  # static per-head band widths (local attn)
     ) -> jnp.ndarray:
         b, t, d = x.shape
         h = self.num_heads
@@ -179,7 +180,9 @@ class RelPositionMultiheadAttention(nn.Module):
         bias_v = self.param("pos_bias_v", nn.initializers.xavier_uniform(), (h, hd))
 
         if self.use_flash and self.attn_drop == 0.0 and mask is None:
-            # fully-fused XL kernel: position scores computed in-kernel
+            # fully-fused XL kernel: position scores computed in-kernel;
+            # band_widths turns it into local attention (mask generated
+            # in-kernel, no [T, T] tensor)
             from transformer4sed_tpu.kernels.xl_attention import flash_xl_attention
 
             out = flash_xl_attention(
@@ -189,8 +192,13 @@ class RelPositionMultiheadAttention(nn.Module):
                 v.transpose(0, 2, 1, 3),
                 p[0].transpose(1, 0, 2),  # [H, 2T-1, hd]
                 scale,
+                band_widths,
             ).transpose(0, 2, 1, 3).reshape(b, t, d)
             return nn.Dense(d, use_bias=True, dtype=self.dtype, name="out_proj")(out)
+
+        if band_widths is not None and mask is None:
+            # non-fused paths consume the band as an explicit mask
+            mask = jnp.asarray(build_band_mask(t, list(band_widths)))
 
         position = _rel_position_scores(q + bias_v, p[0])  # [B, H, T, T], pre-shifted
 
@@ -240,13 +248,13 @@ class TransformerXLBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, pos_emb, mask=None, deterministic: bool = True):
+    def __call__(self, x, pos_emb, mask=None, deterministic: bool = True, band_widths=None):
         d = x.shape[-1]
         x = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
         x = x + RelPositionMultiheadAttention(
             num_heads=self.num_heads, attn_drop=self.attn_drop,
             use_flash=self.use_flash, dtype=self.dtype, name="attn",
-        )(x, pos_emb, mask=mask, deterministic=deterministic)
+        )(x, pos_emb, mask=mask, deterministic=deterministic, band_widths=band_widths)
         h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
         x = x + Mlp(hidden_features=int(d * self.mlp_ratio), dtype=self.dtype, name="mlp")(
             h, deterministic=deterministic
@@ -273,8 +281,16 @@ class TransformerXLDecoder(nn.Module):
         center = pe.shape[1] // 2
         pos_emb = jax.lax.dynamic_slice(pe, (0, center - t + 1, 0), (1, 2 * t - 1, d))
         x = x * math.sqrt(d)
-        mask = build_band_mask(t, self.window_len)
-        mask = None if mask is None else jnp.asarray(mask)
+        mask, band_widths = None, None
+        if self.window_len is not None:
+            if self.use_flash and self.attn_drop == 0.0:
+                # static widths -> in-kernel local attention, no [T, T] mask
+                wl = self.window_len
+                band_widths = (
+                    (int(wl),) * self.num_heads if isinstance(wl, int) else tuple(int(w) for w in wl)
+                )
+            else:
+                mask = jnp.asarray(build_band_mask(t, self.window_len))
         for i in range(self.decoder_layer_num):
             x = TransformerXLBlock(
                 num_heads=self.num_heads,
@@ -283,7 +299,7 @@ class TransformerXLDecoder(nn.Module):
                 use_flash=self.use_flash,
                 dtype=self.dtype,
                 name=f"encoder_blocks_{i}",
-            )(x, pos_emb, mask=mask, deterministic=deterministic)
+            )(x, pos_emb, mask=mask, deterministic=deterministic, band_widths=band_widths)
         return x
 
 
@@ -321,7 +337,7 @@ class ConformerBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, pos_emb, mask=None, deterministic: bool = True):
+    def __call__(self, x, pos_emb, mask=None, deterministic: bool = True, band_widths=None):
         d = x.shape[-1]
         ff_dim = int(d * self.mlp_ratio)
 
@@ -336,7 +352,7 @@ class ConformerBlock(nn.Module):
         x = x + RelPositionMultiheadAttention(
             num_heads=self.num_heads, use_flash=self.use_flash,
             dtype=self.dtype, name="self_attn",
-        )(h, pos_emb, mask=mask, deterministic=deterministic)
+        )(h, pos_emb, mask=mask, deterministic=deterministic, band_widths=band_widths)
         h = nn.LayerNorm(epsilon=1e-6, name="norm_conv")(x)
         x = x + ConvolutionModule(kernel_size=self.kernel_size, dtype=self.dtype, name="conv_module")(h)
         x = x + 0.5 * ff("feed_forward", nn.LayerNorm(epsilon=1e-6, name="norm_ff")(x))
@@ -360,8 +376,15 @@ class ConformerDecoder(nn.Module):
         center = pe.shape[1] // 2
         pos_emb = jax.lax.dynamic_slice(pe, (0, center - t + 1, 0), (1, 2 * t - 1, d))
         x = x * math.sqrt(d)
-        mask = build_band_mask(t, self.window_len)
-        mask = None if mask is None else jnp.asarray(mask)
+        mask, band_widths = None, None
+        if self.window_len is not None:
+            if self.use_flash:
+                wl = self.window_len
+                band_widths = (
+                    (int(wl),) * self.num_heads if isinstance(wl, int) else tuple(int(w) for w in wl)
+                )
+            else:
+                mask = jnp.asarray(build_band_mask(t, self.window_len))
         for i in range(self.decoder_layer_num):
             x = ConformerBlock(
                 num_heads=self.num_heads,
@@ -370,7 +393,7 @@ class ConformerDecoder(nn.Module):
                 use_flash=self.use_flash,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
-            )(x, pos_emb, mask=mask, deterministic=deterministic)
+            )(x, pos_emb, mask=mask, deterministic=deterministic, band_widths=band_widths)
         return x
 
 
