@@ -69,20 +69,34 @@ def stft_magnitude(
         wav = wav[None]
     pad = n_fft // 2
     x = jnp.pad(wav, ((0, 0), (pad, pad)), mode="reflect")
-    idx = jnp.asarray(_frame_indices(wav.shape[-1], n_fft, hop_length))
-    frames = x[:, idx]  # [B, T, n_fft]
 
     if win_length < n_fft:
         left = (n_fft - win_length) // 2
         full_window = jnp.zeros((n_fft,), dtype=window.dtype).at[left : left + win_length].set(window)
     else:
         full_window = window
-    frames = frames * full_window
 
-    spec = jnp.fft.rfft(frames, n=n_fft, axis=-1)  # [B, T, n_bins]
-    mag = jnp.abs(spec)
-    out = mag ** power if power != 1.0 else mag
-    return jnp.transpose(out, (0, 2, 1))  # [B, n_bins, T]
+    # windowed DFT as frame-gather + one MXU matmul. TPU's FFT lowering
+    # measured 23.7 ms at the PaSST shape (B=64, 1001 frames of 1024);
+    # this path runs 5.8 ms. Default matmul precision (bf16 passes for
+    # f32 operands) costs ~0.4% relative spectrogram error — ~1e-3 in
+    # the normalized log-mel features, far below augmentation noise —
+    # while HIGH/HIGHEST measured 15.9/18.1 ms. CPU (tests/parity)
+    # computes in full f32 regardless of the precision flag.
+    bins = n_fft // 2 + 1
+    k = np.arange(bins)[:, None] * np.arange(n_fft)[None, :]
+    ang = 2.0 * np.pi * k / n_fft
+    basis = jnp.asarray(
+        np.concatenate([np.cos(ang), -np.sin(ang)], axis=0), dtype=jnp.float32
+    ) * full_window[None, :]
+    idx = jnp.asarray(_frame_indices(wav.shape[-1], n_fft, hop_length))
+    frames = x[:, idx]  # [B, T, n_fft]
+    out = jnp.einsum("btn,cn->bct", frames.astype(jnp.float32), basis)  # [B, 2*bins, T]
+    mag2 = out[:, :bins] ** 2 + out[:, bins:] ** 2
+    if power == 2.0:
+        return mag2
+    mag = jnp.sqrt(jnp.maximum(mag2, 0.0))
+    return mag ** power if power != 1.0 else mag
 
 
 # -- mel filterbanks ----------------------------------------------------------
