@@ -1,0 +1,113 @@
+"""End-to-end CLI test for the AudioSet-strong supervised stage:
+synthetic mini-AudioSet -> one training epoch -> PSDS validation via
+``recipes.cli audioset_supervised``."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+import yaml
+from scipy.io import wavfile
+
+SR = 32000
+CLIP_SECONDS = 1.2
+N_SAMPLES = int(SR * CLIP_SECONDS)
+CLASSES = ["dog", "cat", "rain"]
+
+
+@pytest.fixture(scope="module")
+def mini_audioset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("mini_audioset")
+    rng = np.random.RandomState(0)
+
+    def write(folder, name, wav):
+        os.makedirs(root / folder, exist_ok=True)
+        wavfile.write(str(root / folder / name), SR, (wav * 32767).astype(np.int16))
+
+    def rows(folder, n, prefix):
+        out = []
+        for i in range(n):
+            wav = rng.randn(N_SAMPLES).astype(np.float32) * 0.05
+            write(folder, f"{prefix}{i}.wav", wav)
+            out.append((f"{prefix}{i}.wav", 0.2, 0.9, CLASSES[i % 3]))
+        return out
+
+    train_tsv, val_tsv, dur_tsv = root / "train.tsv", root / "val.tsv", root / "val_dur.tsv"
+    pd.DataFrame(rows("train", 4, "t"), columns=["filename", "onset", "offset", "event_label"]).to_csv(
+        train_tsv, sep="\t", index=False
+    )
+    val_rows = rows("val", 2, "v")
+    pd.DataFrame(val_rows, columns=["filename", "onset", "offset", "event_label"]).to_csv(
+        val_tsv, sep="\t", index=False
+    )
+    pd.DataFrame(
+        [(r[0], CLIP_SECONDS) for r in val_rows], columns=["filename", "duration"]
+    ).to_csv(dur_tsv, sep="\t", index=False)
+
+    label_dict = root / "labeldict.json"
+    with open(label_dict, "w") as f:
+        json.dump({c: i for i, c in enumerate(CLASSES)}, f)
+    state_json = root / "state.json"
+    with open(state_json, "w") as f:
+        json.dump({"dog": "common", "cat": "common", "rain": "rare"}, f)
+
+    config = {
+        "generals": {"num_workers": 0},
+        "model_name": "PaSST_SED",
+        "PaSST_SED": {
+            "init_kwargs": {
+                "class_num": 3, "embed_dim": 32, "decoder_dim": 32,
+                "backbone_depth": 2, "backbone_num_heads": 4,
+                "decoder_num_heads": 4, "at_adapter_heads": 4,
+                "passt_feature_layer": 2, "decoder": "transformerXL",
+                "decoder_layer_num": 1, "decoder_pos_emd_len": 120,
+                "at_adapter": True,
+            },
+            "train_kwargs": {"temp_w": 1},
+            "val_kwargs": {"temp_w": 0.5},
+        },
+        "feature": {"pred_len": 120, "sr": SR, "hopsize": 320, "n_fft": 1024,
+                    "audio_max_len": CLIP_SECONDS, "net_subsample": 1},
+        "dataset": {
+            "label_dict_path": str(label_dict),
+            "state_json": str(state_json),
+            "train_tsv": str(train_tsv), "train_folder": f"{root}/train",
+            "val_tsv": str(val_tsv), "val_folder": f"{root}/val",
+            "val_dur": str(dur_tsv),
+        },
+        "training": {
+            "batch_size": 2, "batch_size_val": 2, "num_samples": 4,
+            "clip_grad": True, "median_window": 5,
+            "scheduler": {"n_epochs": 1, "n_epochs_cut": 1, "exponent": -1,
+                          "lr_warmup_epochs": 0, "lr_warmup_rate": 0.1},
+        },
+        "opt": {"param_groups": {
+            "encoder": {"lr": 1e-4, "weight_decay": 1e-4},
+            "decoder": {"lr": 1e-3, "weight_decay": 1e-4},
+            "head": {"lr": 1e-3, "weight_decay": 1e-4},
+        }},
+        "backbone_depth": 2,
+    }
+    config_path = root / "config.yaml"
+    with open(config_path, "w") as f:
+        yaml.safe_dump(config, f)
+    return {"root": str(root), "config": str(config_path)}
+
+
+class TestAudioSetCLI:
+    def test_supervised_stage(self, mini_audioset, tmp_path):
+        from transformer4sed_tpu.recipes.cli import main
+
+        rc = main([
+            "audioset_supervised",
+            "--config_dir", mini_audioset["config"],
+            "--save_folder", str(tmp_path / "run"),
+            "--random_seed", "0",
+        ])
+        assert rc == 0
+        # best params saved
+        assert any((tmp_path / "run").rglob("best_student*")) or any(
+            p for p in (tmp_path / "run").rglob("*") if "best" in p.name
+        )

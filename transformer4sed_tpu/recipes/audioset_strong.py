@@ -50,6 +50,43 @@ def load_type_map(state_json: str) -> Dict[str, str]:
         return json.load(f)
 
 
+def audioset_dataset_setting(config: Dict, codec, seed: int = 0):
+    """Train/val loaders for AudioSet-strong (reference
+    ``recipes/audioset_strong/setting.py:55-269``): strongly-labeled train
+    set drawn via the weighted sampler (100k clips/epoch) when
+    ``dataset.weight_tsv`` is configured, plus a named val set."""
+    import pandas as pd
+
+    from transformer4sed_tpu.data import DataLoader, StronglyLabeledDataset
+    from transformer4sed_tpu.data.sampler import RandomSampler
+
+    ds = config["dataset"]
+    tr = config["training"]
+    workers = config.get("generals", {}).get("num_workers", 4)
+
+    train = StronglyLabeledDataset(
+        pd.read_csv(ds["train_tsv"], sep="\t"), ds["train_folder"], False, codec
+    )
+    if ds.get("weight_tsv"):
+        sampler = get_weighted_sampler(
+            ds["weight_tsv"], num_samples=tr.get("num_samples", 100_000), seed=seed
+        )
+    else:
+        sampler = RandomSampler(len(train), seed)
+    train_loader = DataLoader(
+        train, sampler=sampler, batch_size=tr["batch_size"], num_workers=workers
+    )
+
+    val = StronglyLabeledDataset(
+        pd.read_csv(ds["val_tsv"], sep="\t"), ds["val_folder"], True, codec
+    )
+    val_loader = DataLoader(
+        val, batch_size=tr.get("batch_size_val", tr["batch_size"]),
+        drop_last=False, num_workers=workers,
+    )
+    return train_loader, val_loader
+
+
 @dataclass(frozen=True)
 class SupervisedConfig:
     loss_name: str = "BCELoss"

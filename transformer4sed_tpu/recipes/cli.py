@@ -7,6 +7,14 @@ chaining (``exps/mat-sed/base/train.sh``):
   matsed_finetune  — mean-teacher semi-supervised fine-tune (stages 2-3;
                      finetune2 differs only by config: encoder_win)
   matsed_test      — test with median/max filter
+  pmam_extract / pmam_gmm / pmam_pseudo_labels — PMAM loop stages
+  audioset_supervised — supervised AudioSet-strong (PaSST_CNN/HTSAT_CNN)
+  dasm_train       — closed-set DASM (strong BCE + AT-branch loss)
+  dasm_ov          — open-vocabulary DASM (common-only training,
+                     common-first eval; needs dataset.state_json)
+  clap_train       — common-only CLAP-SED (needs dataset.query_bank)
+  openset_eval     — zero-shot extended-vocabulary evaluation
+                     (dataset.openset_{label,embedding,tsv,dur,folder})
 
 Stage hand-off uses ``--pretrained_ckpt`` (orbax param tree) with the
 reference's strict=False key-drop conventions.
@@ -22,19 +30,28 @@ import jax.numpy as jnp
 
 def build_model(config):
     from transformer4sed_tpu.frontend import PasstFrontend
-    from transformer4sed_tpu.models.passt_sed import PaSST_SED
-    from transformer4sed_tpu.models.passt_cnn import PaSST_CNN
     from transformer4sed_tpu.models.dasm import DASM
+    from transformer4sed_tpu.models.htsat import HTSATFrontend
+    from transformer4sed_tpu.models.htsat_heads import CLAP_SED, DASM_HTSAT, HTSAT_CNN
+    from transformer4sed_tpu.models.passt_cnn import PaSST_CNN
+    from transformer4sed_tpu.models.passt_sed import PaSST_SED
 
     name = config.get("model_name", "PaSST_SED")
     kwargs = dict(config.get(name, {}).get("init_kwargs", {}))
-    model_cls = {"PaSST_SED": PaSST_SED, "PaSST_CNN": PaSST_CNN, "DASM": DASM}[name]
+    model_cls = {
+        "PaSST_SED": PaSST_SED,
+        "PaSST_CNN": PaSST_CNN,
+        "DASM": DASM,
+        "HTSAT_CNN": HTSAT_CNN,
+        "CLAP_SED": CLAP_SED,
+        "DASM_HTSAT": DASM_HTSAT,
+    }[name]
     # tuple-ify yaml lists that flax attributes expect hashable
     for key in ("mlm_dict",):
         if isinstance(kwargs.get(key), dict):
             kwargs[key] = dict(kwargs[key])
     model = model_cls(**kwargs)
-    frontend = PasstFrontend()
+    frontend = HTSATFrontend() if name in ("HTSAT_CNN", "CLAP_SED", "DASM_HTSAT") else PasstFrontend()
     return model, frontend
 
 
@@ -42,7 +59,8 @@ def load_pretrained(model, frontend, config, args, logger):
     """Init params, optionally warm-started from an orbax or torch ckpt."""
     from transformer4sed_tpu.utils.checkpoint import load_partial, restore_params
 
-    mel = frontend.normalize(frontend(jnp.zeros((1, int(10 * frontend.sr)))))
+    audio_len = config.get("feature", {}).get("audio_max_len", 10.0)
+    mel = frontend.normalize(frontend(jnp.zeros((1, int(audio_len * frontend.sr)))))
     rngs = {"params": jax.random.PRNGKey(args.random_seed)}
     if config.get(config.get("model_name", "PaSST_SED"), {}).get("init_kwargs", {}).get("mlm"):
         rngs["mlm"] = jax.random.PRNGKey(1)
@@ -75,6 +93,11 @@ def main(argv=None):
     parser = common.build_argparser()
     args = parser.parse_args(rest)
     config, paths, logger = common.prepare_run(args)
+    if config.get("dataset", {}).get("label_dict_path"):
+        # AudioSet-strong: 447-class list from labeldict json (setting.py:55-64)
+        from transformer4sed_tpu.recipes.audioset_strong import load_label_dict
+
+        config["dataset"]["labels"] = list(load_label_dict(config["dataset"]["label_dict_path"]))
     codec = common.codec_from_config(config)
     model, frontend = build_model(config)
     params = load_pretrained(model, frontend, config, args, logger)
@@ -200,6 +223,115 @@ def main(argv=None):
                 args.random_seed, start_epoch=start_epoch,
             )
         trainer.test(filter_type=config["training"].get("filter_type", "median"))
+        return 0
+
+    if stage in ("audioset_supervised", "dasm_train", "dasm_ov", "clap_train"):
+        # AudioSet-strong family (reference recipes/audioset_strong/*):
+        # supervised PaSST_CNN/HTSAT_CNN, closed-set DASM, open-vocab DASM,
+        # common-only CLAP
+        import numpy as np
+
+        from transformer4sed_tpu.recipes.audioset_strong import (
+            SupervisedTrainer,
+            audioset_dataset_setting,
+            load_type_map,
+        )
+        from transformer4sed_tpu.utils.checkpoint import save_params
+
+        train_loader, val_loader = audioset_dataset_setting(config, codec, args.random_seed)
+        type_map = (
+            load_type_map(config["dataset"]["state_json"])
+            if config["dataset"].get("state_json")
+            else None
+        )
+        base = dict(
+            init_params=params, type_map=type_map,
+        )
+        if stage == "audioset_supervised":
+            trainer = SupervisedTrainer(
+                model, frontend, config, codec, train_loader, val_loader, logger, **base
+            )
+        elif stage == "dasm_train":
+            from transformer4sed_tpu.recipes.dasm_recipe import DASMTrainer
+
+            trainer = DASMTrainer(
+                model, frontend, config, codec, train_loader, val_loader, logger, **base
+            )
+        else:
+            if type_map is None:
+                raise SystemExit(f"{stage} needs dataset.state_json (common/rare map)")
+            common_mask = np.asarray([type_map.get(c) == "common" for c in codec.labels])
+            bank_path = config["dataset"].get("query_bank")
+            bank = np.load(bank_path) if bank_path else None
+            if stage == "dasm_ov":
+                from transformer4sed_tpu.recipes.dasm_recipe import OVDASMTrainer
+
+                trainer = OVDASMTrainer(
+                    model, frontend, config, codec, train_loader, val_loader, logger,
+                    common_mask=common_mask, query_bank=bank, **base,
+                )
+            else:
+                from transformer4sed_tpu.recipes.clap import CommonOnlyClapTrainer
+
+                trainer = CommonOnlyClapTrainer(
+                    model, frontend, config, codec, train_loader, val_loader, logger,
+                    common_mask=common_mask, query_bank=bank, **base,
+                )
+
+        gt = common.load_ground_truth(config["dataset"]["val_tsv"])
+        durations = common.load_durations(config["dataset"]["val_dur"])
+        median = common.median_filter_from_config(config, codec)
+        key = jax.random.PRNGKey(args.random_seed)
+        best = -1.0
+        for epoch in range(config["training"]["scheduler"]["n_epochs"]):
+            metrics = trainer.train_epoch(epoch, key)
+            results = trainer.validation(epoch, gt, durations, median_filter=median)
+            logger.info(f"epoch {epoch + 1}: train {metrics} val {results}")
+            if results["psds"] > best:
+                best = results["psds"]
+                save_params(f"{paths['best_paths']}/best_student", trainer.state.params)
+        return 0
+
+    if stage == "openset_eval":
+        # zero-shot extended-vocabulary evaluation
+        # (reference detect_any_sound/passt/openset_evaluation.py and clap/)
+        import json
+
+        import numpy as np
+        import pandas as pd
+
+        from transformer4sed_tpu.core.codec import LabelCodec
+        from transformer4sed_tpu.data import DataLoader, StronglyLabeledDataset
+        from transformer4sed_tpu.recipes.dasm_recipe import openset_evaluate
+
+        ds = config["dataset"]
+        with open(ds["openset_label"]) as f:
+            extra_labels = json.load(f)
+        codec_open = LabelCodec(
+            labels=tuple(codec.labels) + tuple(extra_labels),
+            audio_len=codec.audio_len, frame_len=codec.frame_len,
+            frame_hop=codec.frame_hop, net_pooling=codec.net_pooling, sr=codec.sr,
+        )
+        extra_query = np.load(ds["openset_embedding"])
+        bank = np.load(ds["query_bank"]) if ds.get("query_bank") else None
+        test = StronglyLabeledDataset(
+            pd.read_csv(ds["openset_tsv"], sep="\t"), ds["openset_folder"], True, codec_open
+        )
+        loader = DataLoader(
+            test, batch_size=config["training"].get("batch_size_val", 16),
+            drop_last=False, num_workers=config["generals"].get("num_workers", 4),
+        )
+        gt = common.load_ground_truth(ds["openset_tsv"])
+        durations = common.load_durations(ds["openset_dur"])
+        psds, single, top10 = openset_evaluate(
+            model, frontend, params, codec_open, loader, extra_query, gt, durations,
+            query_bank=bank,
+            median_filter=common.median_filter_from_config(config, codec_open),
+            model_kwargs=config.get(config.get("model_name", "DASM"), {}).get("test_kwargs", {}),
+        )
+        with open(f"{paths['save_folder']}/single_psds.json", "w") as f:
+            json.dump({k: round(v, 4) for k, v in sorted(single.items(), key=lambda kv: kv[1])}, f, indent=4)
+        logger.info(f"openset psds={psds:.4f}; top10={top10}")
         return 0
 
     raise SystemExit(f"unknown stage {stage!r}")
