@@ -6,6 +6,23 @@
 # TPU is released at process exit.
 set -euo pipefail
 
+# Re-entrant stages: each fine-tune passes --resume_ckpt auto, so a
+# preempted/crashed stage restarts from its per-epoch last_state
+# checkpoint instead of from scratch. retry() bounds the restarts.
+MAX_RETRIES="${MAX_RETRIES:-3}"
+retry() {
+    local n=0
+    until "$@"; do
+        n=$((n + 1))
+        if [ "$n" -ge "$MAX_RETRIES" ]; then
+            echo "stage failed after $n attempts" >&2
+            return 1
+        fi
+        echo "stage attempt $n failed; resuming from last_state..." >&2
+        sleep 5
+    done
+}
+
 REPO="$(cd "$(dirname "$0")/../.." && pwd)"
 EXP_DIR="${1:-$REPO/exps/mat-sed/run1}"
 SEED="${2:-42}"
@@ -19,17 +36,19 @@ python -m transformer4sed_tpu.recipes.cli matsed_pretrain \
     --random_seed "$SEED"
 
 echo "=== stage 2: mean-teacher fine-tune (global) ==="
-python -m transformer4sed_tpu.recipes.cli matsed_finetune \
+retry python -m transformer4sed_tpu.recipes.cli matsed_finetune \
     --config_dir config/mat-sed/finetune1.yaml \
     --save_folder "$EXP_DIR/finetune1" \
     --pretrained_ckpt "$EXP_DIR/pretrain/best/best_student" \
+    --resume_ckpt auto \
     --random_seed "$SEED"
 
 echo "=== stage 3: fine-tune with sliding-window fusion ==="
-python -m transformer4sed_tpu.recipes.cli matsed_finetune \
+retry python -m transformer4sed_tpu.recipes.cli matsed_finetune \
     --config_dir config/mat-sed/finetune2.yaml \
     --save_folder "$EXP_DIR/finetune2" \
     --pretrained_ckpt "$EXP_DIR/finetune1/best/best_student" \
+    --resume_ckpt auto \
     --random_seed "$SEED"
 
 echo "=== done: results in $EXP_DIR ==="

@@ -236,3 +236,42 @@ class TestEndToEnd:
         assert np.isfinite(loss)
         val_loss = trainer.validation()
         assert np.isfinite(val_loss)
+
+
+class TestCheckpointResume:
+    def test_save_restore_roundtrip(self, mini_desed, tmp_path):
+        """Elastic-recovery path: full train state (params+EMA+opt+step)
+        survives a save/restore cycle and training continues from it."""
+        import jax.numpy as jnp
+
+        from transformer4sed_tpu.frontend import PasstFrontend
+        from transformer4sed_tpu.utils.logging import Logger
+
+        config = make_config(mini_desed)
+        codec = common.codec_from_config(config)
+        train_loader, val_loader, test_loader = common.desed_dataset_setting(config, codec)
+        trainer = MATSEDTrainer(
+            tiny_sed_model(), PasstFrontend(), config, codec,
+            train_loader, val_loader, test_loader, Logger(),
+        )
+        trainer.train_epoch(0, jax.random.PRNGKey(0))
+        step_before = int(trainer.state.step)
+        leaf_before = np.asarray(
+            trainer.state.params["decoder_module"]["encoder_blocks_0"]["attn"]["in_proj"]["kernel"]
+        )
+        trainer.save_state(str(tmp_path / "last_state"))
+
+        trainer2 = MATSEDTrainer(
+            tiny_sed_model(), PasstFrontend(), config, codec,
+            train_loader, val_loader, test_loader, Logger(),
+        )
+        steps = trainer2.restore_state(str(tmp_path / "last_state"))
+        assert steps == step_before
+        np.testing.assert_array_equal(
+            np.asarray(
+                trainer2.state.params["decoder_module"]["encoder_blocks_0"]["attn"]["in_proj"]["kernel"]
+            ),
+            leaf_before,
+        )
+        trainer2.train_epoch(1, jax.random.PRNGKey(1))
+        assert int(trainer2.state.step) == step_before + len(train_loader)

@@ -213,10 +213,22 @@ def main(argv=None):
             init_params=params,
         )
         start_epoch = 0
-        if args.resume_ckpt:
-            steps = trainer.restore_state(args.resume_ckpt)
+        resume = args.resume_ckpt
+        if resume == "auto":
+            # elastic recovery: pick up the per-epoch last_state if a prior
+            # (possibly preempted) run of this stage left one (SURVEY §5.3's
+            # re-entrant stage runner; the reference only polls nvidia-smi
+            # between stages)
+            import os
+
+            candidate = f"{paths['best_paths']}/last_state"
+            resume = candidate if os.path.isdir(candidate) else None
+            if resume is None:
+                logger.info("auto-resume: no last_state found, starting fresh")
+        if resume:
+            steps = trainer.restore_state(resume)
             start_epoch = steps // max(len(train_loader), 1)
-            logger.info(f"resumed from {args.resume_ckpt} at step {steps} (epoch {start_epoch})")
+            logger.info(f"resumed from {resume} at step {steps} (epoch {start_epoch})")
         if stage == "matsed_finetune" and not args.test_only:
             trainer.run(
                 config["training"]["scheduler"]["n_epochs"], paths["best_paths"],
