@@ -221,3 +221,64 @@ class TestBandLocalXL:
         np.testing.assert_allclose(
             np.asarray(out_band), np.asarray(out_mask), atol=2e-5
         )
+
+
+class TestXLPallasBackward:
+    """Fully-Pallas XL backward (dqu/dqv/dk/dv/dp from saved O + LSE)."""
+
+    def _setup(self, widths=None):
+        rng = np.random.RandomState(7)
+        b, h, t, d = 2, 3, 96, 16
+        f = lambda *s: jnp.asarray(rng.randn(*s).astype(np.float32) * 0.3)
+        qu, qv, k, v = f(b, h, t, d), f(b, h, t, d), f(b, h, t, d), f(b, h, t, d)
+        p = f(h, 2 * t - 1, d)
+        g = f(b, h, t, d)
+        return qu, qv, k, v, p, g, 0.25, widths
+
+    @pytest.mark.parametrize("widths", [None, (10, 20, 96)])
+    def test_matches_jax_grad(self, widths):
+        from transformer4sed_tpu.kernels.xl_attention import (
+            _xl_backward,
+            _xl_forward_lse,
+            _xla_xl_attention,
+        )
+
+        qu, qv, k, v, p, g, sm, widths = self._setup(widths)
+
+        def loss(qu, qv, k, v, p):
+            return jnp.sum(_xla_xl_attention(qu, qv, k, v, p, sm, widths) * g)
+
+        ref = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(qu, qv, k, v, p)
+        out, lse = _xl_forward_lse(
+            qu, qv, k, v, p, sm, block_q=32, block_k=32, group=8,
+            band_widths=widths, interpret=True,
+        )
+        grads = _xl_backward(
+            qu, qv, k, v, p, out, lse, g, sm,
+            block_q=32, block_k=32, block_kv=32, group=8,
+            band_widths=widths, interpret=True,
+        )
+        for name, ours, want in zip(("dqu", "dqv", "dk", "dv", "dp"), grads, ref):
+            np.testing.assert_allclose(
+                np.asarray(ours), np.asarray(want), atol=5e-6, err_msg=name
+            )
+
+    def test_lse_matches_softmax_normalizer(self):
+        from transformer4sed_tpu.kernels.xl_attention import (
+            _xl_forward_lse,
+            _xla_xl_attention,
+        )
+        from transformer4sed_tpu.models.xl import _rel_position_scores
+
+        qu, qv, k, v, p, g, sm, _ = self._setup()
+        out, lse = _xl_forward_lse(
+            qu, qv, k, v, p, sm, block_q=32, block_k=32, group=8, interpret=True
+        )
+        content = jnp.einsum("bhqd,bhkd->bhqk", qu, k)
+        position = _rel_position_scores(qv.transpose(0, 2, 1, 3), p.transpose(1, 0, 2))
+        s = (content + position) * sm
+        want = jax.scipy.special.logsumexp(s, axis=-1)
+        t = qu.shape[2]
+        np.testing.assert_allclose(
+            np.asarray(lse[:, :, 0, :t]), np.asarray(want), atol=1e-4
+        )

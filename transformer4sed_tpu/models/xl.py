@@ -185,9 +185,12 @@ class RelPositionMultiheadAttention(nn.Module):
             # in-kernel, no [T, T] tensor)
             from transformer4sed_tpu.kernels.xl_attention import flash_xl_attention
 
+            # cast the bias-shifted queries back to the compute dtype: the
+            # f32 pos_bias params promote q + bias to f32, which would
+            # force f32 kernel matmuls
             out = flash_xl_attention(
-                (q + bias_u).transpose(0, 2, 1, 3),
-                (q + bias_v).transpose(0, 2, 1, 3),
+                (q + bias_u).astype(self.dtype).transpose(0, 2, 1, 3),
+                (q + bias_v).astype(self.dtype).transpose(0, 2, 1, 3),
                 k.transpose(0, 2, 1, 3),
                 v.transpose(0, 2, 1, 3),
                 p[0].transpose(1, 0, 2),  # [H, 2T-1, hd]
