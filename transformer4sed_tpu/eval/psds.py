@@ -142,6 +142,71 @@ def evaluate_operating_point(
     return tp, fp, ct
 
 
+def _native_sweeper(scores, gt_by_clip_class, classes):
+    """Build a per-class threshold-sweep closure over the C++ core
+    (``native/psds_core.cpp``), or None when the library is unavailable.
+    Arrays are flattened once; the sweep releases the GIL (ctypes), so
+    the per-class ThreadPool parallelises across real cores."""
+    try:
+        from transformer4sed_tpu.native import load_psds_core
+    except Exception:  # pragma: no cover - packaging edge
+        return None
+    lib = load_psds_core()
+    if lib is None:
+        return None
+    import ctypes
+
+    clip_ids = list(scores)
+    n_classes = len(classes)
+    score_off = np.zeros(len(clip_ids) + 1, np.int64)
+    stamp_off = np.zeros(len(clip_ids) + 1, np.int64)
+    for i, cid in enumerate(clip_ids):
+        score_off[i + 1] = score_off[i] + scores[cid].scores.shape[0]
+        stamp_off[i + 1] = stamp_off[i] + len(scores[cid].timestamps)
+    stamps = np.concatenate([scores[c].timestamps for c in clip_ids]).astype(np.float64)
+    score_mat = np.concatenate([scores[c].scores for c in clip_ids]).astype(np.float32)
+    # [n_total_frames, C], per-class columns taken contiguously on demand
+
+    gt_rows: List[np.ndarray] = []
+    gt_off = np.zeros(len(clip_ids) * n_classes + 1, np.int64)
+    pos = 0
+    for i, cid in enumerate(clip_ids):
+        per = gt_by_clip_class.get(cid, {})
+        for j, c in enumerate(classes):
+            rows = per.get(c)
+            if rows is not None and len(rows):
+                gt_rows.append(np.asarray(rows, np.float64).reshape(-1, 2))
+                pos += len(gt_rows[-1])
+            gt_off[i * n_classes + j + 1] = pos
+    gt_flat = (
+        np.concatenate(gt_rows, axis=0) if gt_rows else np.zeros((0, 2))
+    ).astype(np.float64)
+
+    def ptr(a, typ):
+        return a.ctypes.data_as(ctypes.POINTER(typ))
+
+    def sweep(ci, thresholds, dtc, gtc, cttc, compute_ct):
+        col = np.ascontiguousarray(score_mat[:, ci], np.float32)
+        thr = np.ascontiguousarray(thresholds, np.float64)
+        tp = np.zeros(len(thr), np.int64)
+        fp = np.zeros(len(thr), np.int64)
+        ct = np.zeros((len(thr), n_classes), np.int64)
+        lib.psds_class_sweep(
+            ptr(col, ctypes.c_float), ptr(score_off, ctypes.c_int64),
+            ptr(stamps, ctypes.c_double), ptr(stamp_off, ctypes.c_int64),
+            len(clip_ids),
+            ptr(gt_flat, ctypes.c_double), ptr(gt_off, ctypes.c_int64),
+            n_classes, ci,
+            ptr(thr, ctypes.c_double), len(thr),
+            float(dtc), float(gtc), float(cttc), int(bool(compute_ct)),
+            ptr(tp, ctypes.c_int64), ptr(fp, ctypes.c_int64),
+            ptr(ct, ctypes.c_int64),
+        )
+        return tp, fp, ct
+
+    return sweep
+
+
 def compute_psd_roc(
     scores: Dict[str, ClipScores],
     ground_truth: GroundTruth,
@@ -181,11 +246,34 @@ def compute_psd_roc(
             uniq = np.unique(np.quantile(sample, np.linspace(0.0, 1.0, max_thresholds)))
         return uniq - 1e-9
 
+    native = _native_sweeper(scores, gt_by_clip_class, classes)
+
+    def _rates(c, thr_count, tp_arr, fp_arr, ct_mat):
+        """(tp, fp, ct) count arrays over thresholds -> (efpr, tpr) points."""
+        pts = []
+        for ti in range(thr_count):
+            tpr = tp_arr[ti] / n_events[c] if n_events[c] else np.nan
+            rate = fp_arr[ti] / max(total_hours, 1e-12)
+            if alpha_ct > 0:
+                ctr = [
+                    ct_mat[ti][c2i] / max(gt_dur[c2] / 3600.0, 1e-12)
+                    for c2i, c2 in enumerate(classes)
+                    if c2 != c and gt_dur[c2] > 0
+                ]
+                rate += alpha_ct * (np.mean(ctr) if ctr else 0.0)
+            pts.append((rate, tpr))
+        return np.asarray(pts)
+
     def eval_class(ci: int):
         """Sweep one class: returns arrays (efpr, tpr) over its thresholds."""
         c = classes[ci]
-        pts = []
-        for thr in class_thresholds(ci):
+        thrs = class_thresholds(ci)
+        if native is not None:
+            tp_arr, fp_arr, ct_mat = native(ci, thrs, dtc_threshold, gtc_threshold,
+                                            cttc_threshold, alpha_ct > 0)
+            return _rates(c, len(thrs), tp_arr, fp_arr, ct_mat)
+        tp_arr, fp_arr, ct_rows = [], [], []
+        for thr in thrs:
             detections = {
                 clip_id: {c: _intervals_from_binary(clip.scores[:, ci] > thr, clip.timestamps)}
                 for clip_id, clip in scores.items()
@@ -193,18 +281,10 @@ def compute_psd_roc(
             tp, fp, ct = evaluate_operating_point(
                 detections, gt_by_clip_class, classes, dtc_threshold, gtc_threshold, cttc_threshold
             )
-            tpr = tp[c] / n_events[c] if n_events[c] else np.nan
-            rate = fp[c] / max(total_hours, 1e-12)
-            if alpha_ct > 0:
-                others = [c2 for c2 in classes if c2 != c]
-                ctr = [
-                    ct[c][c2] / max(gt_dur[c2] / 3600.0, 1e-12)
-                    for c2 in others
-                    if gt_dur[c2] > 0
-                ]
-                rate += alpha_ct * (np.mean(ctr) if ctr else 0.0)
-            pts.append((rate, tpr))
-        return np.asarray(pts)
+            tp_arr.append(tp[c])
+            fp_arr.append(fp[c])
+            ct_rows.append([ct[c][c2] for c2 in classes])
+        return _rates(c, len(thrs), tp_arr, fp_arr, ct_rows)
 
     live_classes = [c for c in classes if n_events[c] > 0]
     live_idx = [classes.index(c) for c in live_classes]
