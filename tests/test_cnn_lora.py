@@ -211,3 +211,32 @@ class TestDropBlock:
         assert (out == 0).any()
         # kept values are rescaled
         assert out.max() > 1.0
+
+
+class TestLoRATrainableGroups:
+    def test_lora_leaves_train_in_frozen_backbone(self):
+        """PMAM policy (pmam/main.py:107): encoder lr 0 freezes the
+        backbone but LoRA adapters keep training at the decoder LR."""
+        from transformer4sed_tpu.train.optim import (
+            GroupSpec,
+            ParamGroupConfig,
+            label_params,
+        )
+
+        model = PaSST(
+            embed_dim=32, depth=2, num_heads=4, img_size=(32, 100), tap_layers=(2,), lora_rank=2
+        )
+        params = {"backbone": model.init({"params": KEY}, jnp.zeros((1, 1, 32, 100)))["params"]}
+        cfg = ParamGroupConfig(
+            encoder=GroupSpec(lr=0.0), decoder=GroupSpec(lr=1e-3), head=GroupSpec(lr=1e-3),
+            backbone_depth=2, lora_trainable=True,
+        )
+        labels = label_params(params, cfg)
+        flat = flax.traverse_util.flatten_dict(labels, sep="/")
+        assert flat["backbone/blocks_0/attn/qkv/lora_A"] == "decoder"
+        assert flat["backbone/blocks_0/attn/qkv/kernel"] == "frozen"
+        # without the flag, lora freezes with the backbone
+        labels0 = label_params(params, ParamGroupConfig(
+            encoder=GroupSpec(lr=0.0), backbone_depth=2))
+        flat0 = flax.traverse_util.flatten_dict(labels0, sep="/")
+        assert flat0["backbone/blocks_0/attn/qkv/lora_A"] == "frozen"

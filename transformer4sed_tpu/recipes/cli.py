@@ -185,9 +185,14 @@ def main(argv=None):
         from transformer4sed_tpu.pmam import GaussianMixture, generate_pseudo_labels
 
         pm = config.get("pmam", {})
-        gmm = GaussianMixture(num_components=1)
+        covs = np.load(f"{paths['save_folder']}/gmm_covariances.npy")
+        # covariance layout identifies the type: [K, D] diag vs [K, D, D] full
+        gmm = GaussianMixture(
+            num_components=covs.shape[0],
+            covariance_type="diag" if covs.ndim == 2 else "full",
+        )
         gmm.means = np.load(f"{paths['save_folder']}/gmm_means.npy")
-        gmm.covariances = np.load(f"{paths['save_folder']}/gmm_covariances.npy")
+        gmm.covariances = covs
         gmm.weights = np.load(f"{paths['save_folder']}/gmm_weights.npy")
         ds = UnlabeledDataset(config["dataset"]["unlabeled_folder"], True, codec)
         loader = DataLoader(ds, batch_size=config["training"].get("batch_size_val", 16),
@@ -202,6 +207,65 @@ def main(argv=None):
             feature_layer=pm.get("feature_layer", "transformer_0"),
         )
         logger.info(f"wrote {n} pseudo-label TSVs")
+        return 0
+
+    if stage == "pmam_train":
+        # PMAM stage 4 (post-pretrain): prototype-BCE on masked frames vs
+        # GMM pseudo-labels, LoRA-only backbone updates
+        # (reference recipes/desed/pmam/{main,train}.py)
+        import numpy as np
+
+        from transformer4sed_tpu.data import DataLoader, FrameWiseLabeledDataset
+        from transformer4sed_tpu.pmam.train import PMAMConfig, make_pmam_step
+        from transformer4sed_tpu.train.mlm import MLMState
+        from transformer4sed_tpu.utils.checkpoint import save_params
+
+        pm = config.get("pmam", {})
+        gmm_means = np.load(
+            pm.get("gmm_means_path", f"{paths['save_folder']}/gmm_means.npy")
+        )
+        ds = FrameWiseLabeledDataset(
+            pm.get("pseudo_label_dir", f"{paths['save_folder']}/pseudo_labels"),
+            config["dataset"]["unlabeled_folder"], False, codec,
+        )
+        loader = DataLoader(
+            ds, batch_size=config["training"]["batch_size"]
+            if isinstance(config["training"]["batch_size"], int)
+            else sum(config["training"]["batch_size"]),
+            num_workers=config["generals"].get("num_workers", 4),
+        )
+        config.setdefault("opt", {}).setdefault("lora_trainable", True)
+        optimizer, _ = common.optimizer_from_config(params, config, len(loader))
+        state = MLMState(params=params, opt_state=optimizer.init(params),
+                         step=jnp.zeros((), jnp.int32))
+
+        def model_apply(p, mel, train=False, rngs=None, **kw):
+            return model.apply({"params": p}, mel, train=train, rngs=rngs, **kw)
+
+        model_name = config.get("model_name", "PaSST_CNN")
+        cfg = PMAMConfig(
+            temperature=pm.get("temperature", 0.1),
+            w_at=config["training"].get("w_AT", 0.0),
+            model_kwargs=config.get(model_name, {}).get("train_kwargs", {}),
+        )
+        step = jax.jit(make_pmam_step(model_apply, frontend, optimizer, gmm_means, cfg))
+        key = jax.random.PRNGKey(args.random_seed)
+        best = float("inf")
+        n = len(loader)
+        for epoch in range(config["training"]["scheduler"]["n_epochs"]):
+            loader.set_epoch(epoch)
+            acc = 0.0
+            for i, batch in enumerate(loader):
+                state, metrics = step(
+                    state,
+                    {"wav": jnp.asarray(batch["wav"]), "labels": jnp.asarray(batch["label"])},
+                    jax.random.fold_in(key, epoch * n + i),
+                )
+                acc += float(metrics["loss_total"]) / n
+            logger.scalars("Train", {"loss_total": acc}, epoch + 1)
+            if acc < best:
+                best = acc
+                save_params(f"{paths['best_paths']}/best_student", state.params)
         return 0
 
     if stage in ("matsed_finetune", "matsed_test"):

@@ -169,6 +169,7 @@ def optimizer_from_config(params, config: Dict, steps_per_epoch: int):
         ),
         backbone_depth=config.get("backbone_depth", 12),
         clip_grad=20.0 if config["training"].get("clip_grad") else 0.0,
+        lora_trainable=bool(config["opt"].get("lora_trainable", False)),
     )
     sch = config["training"]["scheduler"]
     schedule = schedules.exponential_down(

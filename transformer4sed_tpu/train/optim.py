@@ -48,6 +48,9 @@ class ParamGroupConfig:
     head: GroupSpec = field(default_factory=GroupSpec)
     backbone_depth: int = 12
     clip_grad: float = 20.0
+    # PMAM/LoRA mode (pmam/main.py:107 mark_only_lora_as_trainable): LoRA
+    # adapters inside an otherwise-frozen backbone train at the decoder LR
+    lora_trainable: bool = False
 
 
 _DECODER_KEYWORDS = ("decoder", "f_pool_module", "transformer_projector")
@@ -62,6 +65,8 @@ def label_params(params, cfg: ParamGroupConfig):
 
     def label_of(path, _):
         name = _path_str(path)
+        if cfg.lora_trainable and ("lora_A" in name or "lora_B" in name):
+            return "decoder"
         if name.startswith("backbone/") or "/backbone/" in name:
             m = re.search(r"blocks_(\d+)", name)
             block_idx = int(m.group(1)) if m else None

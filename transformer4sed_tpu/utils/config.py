@@ -24,8 +24,7 @@ def load_yaml_with_include(path: str) -> Dict:
         base_path = include["base_path"]
         if not os.path.isabs(base_path):
             base_path = os.path.join(os.path.dirname(path), base_path)
-        with open(base_path) as f:
-            base = yaml.safe_load(f)
+        base = load_yaml_with_include(base_path)  # bases may include too
         for key in include["keys"]:
             if key not in config:
                 config[key] = base[key]
