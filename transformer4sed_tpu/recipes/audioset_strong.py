@@ -63,25 +63,27 @@ def audioset_dataset_setting(config: Dict, codec, seed: int = 0):
     ds = config["dataset"]
     tr = config["training"]
     workers = config.get("generals", {}).get("num_workers", 4)
+    batch = tr["batch_size"]
+    batch = sum(batch) if isinstance(batch, (list, tuple)) else batch
 
     train = StronglyLabeledDataset(
         pd.read_csv(ds["train_tsv"], sep="\t"), ds["train_folder"], False, codec
     )
     if ds.get("weight_tsv"):
         sampler = get_weighted_sampler(
-            ds["weight_tsv"], num_samples=tr.get("num_samples", 100_000), seed=seed
+            ds["weight_tsv"],
+            num_samples=tr.get("num_samples", tr.get("samples_per_epoch", 100_000)),
+            seed=seed,
         )
     else:
         sampler = RandomSampler(len(train), seed)
-    train_loader = DataLoader(
-        train, sampler=sampler, batch_size=tr["batch_size"], num_workers=workers
-    )
+    train_loader = DataLoader(train, sampler=sampler, batch_size=batch, num_workers=workers)
 
     val = StronglyLabeledDataset(
         pd.read_csv(ds["val_tsv"], sep="\t"), ds["val_folder"], True, codec
     )
     val_loader = DataLoader(
-        val, batch_size=tr.get("batch_size_val", tr["batch_size"]),
+        val, batch_size=tr.get("batch_size_val", batch),
         drop_last=False, num_workers=workers,
     )
     return train_loader, val_loader

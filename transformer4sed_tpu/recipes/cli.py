@@ -93,11 +93,14 @@ def main(argv=None):
     parser = common.build_argparser()
     args = parser.parse_args(rest)
     config, paths, logger = common.prepare_run(args)
-    if config.get("dataset", {}).get("label_dict_path"):
+    _label_dict = config.get("dataset", {}).get("label_dict_path") or config.get(
+        "dataset", {}
+    ).get("label_dict")
+    if _label_dict:
         # AudioSet-strong: 447-class list from labeldict json (setting.py:55-64)
         from transformer4sed_tpu.recipes.audioset_strong import load_label_dict
 
-        config["dataset"]["labels"] = list(load_label_dict(config["dataset"]["label_dict_path"]))
+        config["dataset"]["labels"] = list(load_label_dict(_label_dict))
     codec = common.codec_from_config(config)
     model, frontend = build_model(config)
     params = load_pretrained(model, frontend, config, args, logger)
@@ -315,11 +318,8 @@ def main(argv=None):
         from transformer4sed_tpu.utils.checkpoint import save_params
 
         train_loader, val_loader = audioset_dataset_setting(config, codec, args.random_seed)
-        type_map = (
-            load_type_map(config["dataset"]["state_json"])
-            if config["dataset"].get("state_json")
-            else None
-        )
+        state_json = config["dataset"].get("state_json") or config["dataset"].get("type_map")
+        type_map = load_type_map(state_json) if state_json else None
         base = dict(
             init_params=params, type_map=type_map,
         )
@@ -337,7 +337,9 @@ def main(argv=None):
             if type_map is None:
                 raise SystemExit(f"{stage} needs dataset.state_json (common/rare map)")
             common_mask = np.asarray([type_map.get(c) == "common" for c in codec.labels])
-            bank_path = config["dataset"].get("query_bank")
+            bank_path = config["dataset"].get("query_bank") or config["dataset"].get(
+                "text_query"
+            )
             bank = np.load(bank_path) if bank_path else None
             if stage == "dasm_ov":
                 from transformer4sed_tpu.recipes.dasm_recipe import OVDASMTrainer
