@@ -140,3 +140,22 @@ class TestTPTrainStep:
         # TP shardings survive the step (params and adam moments)
         qkv = new_state.params["backbone"]["blocks_0"]["attn"]["qkv"]["kernel"]
         assert qkv.sharding.spec == P(None, "model")
+
+
+class TestTPFlashAttention:
+    def test_head_sharded_matches_replicated(self):
+        from transformer4sed_tpu.kernels import flash_attention
+        from transformer4sed_tpu.parallel.partition import tp_flash_attention
+
+        mesh = make_2d_mesh(8, model_parallel=2)
+        rng = np.random.RandomState(0)
+        q, k, v = (
+            jnp.asarray(rng.randn(2, 4, 64, 16).astype(np.float32)) for _ in range(3)
+        )
+        ref = flash_attention(q, k, v)
+        out = jax.jit(lambda q, k, v: tp_flash_attention(q, k, v, mesh))(
+            *(jax.device_put(x, NamedSharding(mesh, P(None, "model"))) for x in (q, k, v))
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+        # trailing Nones are normalized away in the reported spec
+        assert tuple(out.sharding.spec)[:2] == (None, "model")

@@ -14,10 +14,11 @@ column-/row-parallel layout for every transformer block in the zoo:
 
 Nothing here is hand-scheduled: params are ``device_put`` with these
 shardings and ``jit`` propagates them — XLA chooses and places the
-collectives. The Pallas flash kernels are not GSPMD-partitioned; run
-TP configs with ``use_flash=False`` (XLA attention) or wrap the kernel
-in ``shard_map`` — the model-zoo sizes (<=90 M params) make TP optional
-(the mesh exists for scale headroom, e.g. giant AudioSet label spaces).
+collectives. Pallas flash kernels are opaque to GSPMD; under TP either
+run ``use_flash=False`` (XLA attention) or use :func:`tp_flash_attention`
+(shard_map over the head axis — attention is head-parallel, zero
+collectives). The model-zoo sizes (<=90 M params) make TP optional;
+the mesh exists for scale headroom (e.g. giant AudioSet label spaces).
 """
 
 from __future__ import annotations
@@ -100,3 +101,25 @@ def make_2d_mesh(n_devices: Optional[int] = None, model_parallel: int = 2) -> Me
         raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
     arr = np.array(devices).reshape(n // model_parallel, model_parallel)
     return Mesh(arr, ("data", "model"))
+
+
+def tp_flash_attention(q, k, v, mesh: Mesh, sm_scale: Optional[float] = None,
+                       axis: str = "model"):
+    """Flash attention with the head axis sharded over ``axis``.
+
+    Pallas kernels are opaque to GSPMD (it would all-gather the operands
+    and replicate the kernel); ``shard_map`` instead runs the kernel on
+    each shard's local heads — attention is embarrassingly parallel over
+    heads, so no collective is needed at all. q/k/v: [B, H, T, d] with H
+    divisible by the axis size.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from transformer4sed_tpu.kernels import flash_attention
+
+    spec = P(None, axis, None, None)
+    fn = shard_map(
+        lambda q_, k_, v_: flash_attention(q_, k_, v_, sm_scale),
+        mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+    )
+    return fn(q, k, v)
