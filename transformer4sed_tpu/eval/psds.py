@@ -204,6 +204,30 @@ def _native_sweeper(scores, gt_by_clip_class, classes):
         )
         return tp, fp, ct
 
+    def exact(ci, gt_dur_hours, dtc, gtc, cttc, compute_ct):
+        """Exact per-class curves at EVERY observed score value
+        (sed_scores_eval semantics): returns (thr, tp, fp, ctr) arrays."""
+        col = np.ascontiguousarray(score_mat[:, ci], np.float32)
+        cap = int(score_off[-1])
+        thr = np.zeros(cap, np.float64)
+        tp = np.zeros(cap, np.int64)
+        fp = np.zeros(cap, np.int64)
+        ctr = np.zeros(cap, np.float64)
+        durs = np.ascontiguousarray(gt_dur_hours, np.float64)
+        n = lib.psds_class_exact(
+            ptr(col, ctypes.c_float), ptr(score_off, ctypes.c_int64),
+            ptr(stamps, ctypes.c_double), ptr(stamp_off, ctypes.c_int64),
+            len(clip_ids),
+            ptr(gt_flat, ctypes.c_double), ptr(gt_off, ctypes.c_int64),
+            n_classes, ci,
+            ptr(durs, ctypes.c_double), int(bool(compute_ct)),
+            float(dtc), float(gtc), float(cttc),
+            ptr(thr, ctypes.c_double), ptr(tp, ctypes.c_int64),
+            ptr(fp, ctypes.c_int64), ptr(ctr, ctypes.c_double),
+        )
+        return thr[:n], tp[:n], fp[:n], ctr[:n]
+
+    sweep.exact = exact
     return sweep
 
 
@@ -267,11 +291,18 @@ def compute_psd_roc(
     def eval_class(ci: int):
         """Sweep one class: returns arrays (efpr, tpr) over its thresholds."""
         c = classes[ci]
-        thrs = class_thresholds(ci)
         if native is not None:
-            tp_arr, fp_arr, ct_mat = native(ci, thrs, dtc_threshold, gtc_threshold,
-                                            cttc_threshold, alpha_ct > 0)
-            return _rates(c, len(thrs), tp_arr, fp_arr, ct_mat)
+            # exact curves at every observed score value (sed_scores_eval
+            # semantics); the cross-trigger rate arrives pre-aggregated
+            gt_dur_hours = np.asarray([gt_dur[c2] / 3600.0 for c2 in classes])
+            _, tp_arr, fp_arr, ctr_arr = native.exact(
+                ci, gt_dur_hours, dtc_threshold, gtc_threshold,
+                cttc_threshold, alpha_ct > 0,
+            )
+            tpr = tp_arr / n_events[c] if n_events[c] else np.full(len(tp_arr), np.nan)
+            rate = fp_arr / max(total_hours, 1e-12) + alpha_ct * ctr_arr
+            return np.stack([rate, tpr], axis=1)
+        thrs = class_thresholds(ci)
         tp_arr, fp_arr, ct_rows = [], [], []
         for thr in thrs:
             detections = {

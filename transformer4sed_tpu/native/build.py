@@ -66,6 +66,18 @@ def load_psds_core() -> Optional[ctypes.CDLL]:
                     ctypes.c_int,                              # compute_ct
                     i64p, i64p, i64p,                          # tp, fp, ct
                 ]
+                dp = ctypes.POINTER(ctypes.c_double)
+                lib.psds_class_exact.restype = ctypes.c_int64
+                lib.psds_class_exact.argtypes = [
+                    ctypes.POINTER(ctypes.c_float), i64p,      # scores, score_off
+                    dp, i64p,                                  # stamps, stamp_off
+                    ctypes.c_int64,                            # n_clips
+                    dp, i64p,                                  # gt, gt_off
+                    ctypes.c_int64, ctypes.c_int64,            # n_classes, class_idx
+                    dp, ctypes.c_int,                          # gt_dur_hours, compute_ct
+                    ctypes.c_double, ctypes.c_double, ctypes.c_double,  # dtc/gtc/cttc
+                    dp, i64p, i64p, dp,                        # thr/tp/fp/ctr out
+                ]
             except OSError:
                 lib = None
         _CACHE["psds"] = lib
