@@ -282,3 +282,40 @@ class TestXLPallasBackward:
         np.testing.assert_allclose(
             np.asarray(lse[:, :, 0, :t]), np.asarray(want), atol=1e-4
         )
+
+
+class TestXLOddLengths:
+    """Padding congruence: T not a multiple of the block or sublane sizes."""
+
+    @pytest.mark.parametrize("t", [37, 100, 130])
+    def test_forward_and_backward(self, t):
+        from transformer4sed_tpu.kernels.xl_attention import (
+            _xl_backward,
+            _xl_forward_lse,
+            _xla_xl_attention,
+        )
+
+        rng = np.random.RandomState(t)
+        b, h, d = 2, 2, 16
+        f = lambda *s: jnp.asarray(rng.randn(*s).astype(np.float32) * 0.3)
+        qu, qv, k, v = f(b, h, t, d), f(b, h, t, d), f(b, h, t, d), f(b, h, t, d)
+        p = f(h, 2 * t - 1, d)
+        g = f(b, h, t, d)
+        ref_out = _xla_xl_attention(qu, qv, k, v, p, 0.25)
+        out, lse = _xl_forward_lse(
+            qu, qv, k, v, p, 0.25, block_q=32, block_k=32, group=8, interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), atol=2e-5)
+
+        def loss(qu, qv, k, v, p):
+            return jnp.sum(_xla_xl_attention(qu, qv, k, v, p, 0.25) * g)
+
+        ref = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(qu, qv, k, v, p)
+        grads = _xl_backward(
+            qu, qv, k, v, p, out, lse, g, 0.25,
+            block_q=32, block_k=32, block_kv=32, group=8, interpret=True,
+        )
+        for name, ours, want in zip(("dqu", "dqv", "dk", "dv", "dp"), grads, ref):
+            np.testing.assert_allclose(
+                np.asarray(ours), np.asarray(want), atol=5e-6, err_msg=f"T={t} {name}"
+            )
