@@ -114,3 +114,30 @@ class TestAudioQueries:
         q = extract_audio_queries(embed, [batch, batch], n_classes=c, embed_dim=d,
                                   cap_classes=[1], cap_threshold=0)
         np.testing.assert_allclose(q, 1.0, atol=1e-6)
+
+
+class TestInferLongAudio:
+    def test_sliding_overlap_add(self):
+        """3 s of audio through a 1.2 s-window model: windows overlap-add
+        into per-second segment scores and event decoding spans windows."""
+        from tests.test_recipes_e2e import tiny_sed_model
+        from transformer4sed_tpu.frontend import PasstFrontend
+        from transformer4sed_tpu.recipes.infer import infer_long_audio
+
+        codec = LabelCodec(
+            labels=("a", "b"), audio_len=1.2, frame_len=1024, frame_hop=320, sr=32000
+        )
+        model = tiny_sed_model(class_num=2)
+        frontend = PasstFrontend()
+        mel = frontend.normalize(frontend(jnp.zeros((1, int(1.2 * 32000)))))
+        params = model.init({"params": KEY}, mel)["params"]
+        wav = np.random.RandomState(0).randn(3 * 32000).astype(np.float32) * 0.05
+        events, seg_scores = infer_long_audio(
+            model, frontend, params, wav, codec,
+            threshold=0.3, median_filter=3, stride=0.6,
+            model_kwargs={"temp_w": 0.5},
+        )
+        assert seg_scores.shape == (3, 2)  # ceil(3 s / 1 s) segments
+        assert np.isfinite(seg_scores).all()
+        for label, onset, offset in events:
+            assert label in ("a", "b") and 0 <= onset < offset <= 3.0

@@ -92,7 +92,9 @@ def segment_scores_overlap_add(
             n_seg = math.ceil(audio_durations[file_id] / segment_length)
             acc[file_id] = np.zeros((n_seg, len(event_classes)))
             cnt[file_id] = np.zeros_like(acc[file_id])
-        seg = get_segment_scores(clip, clip_length=clip_off - clip_on, segment_length=1.0).scores
+        seg = get_segment_scores(
+            clip, clip_length=clip_off - clip_on, segment_length=segment_length
+        ).scores
         idx = int(clip_on // segment_length)
         acc[file_id][idx : idx + len(seg)] += seg
         cnt[file_id][idx : idx + len(seg)] += 1
