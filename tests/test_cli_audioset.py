@@ -111,3 +111,41 @@ class TestAudioSetCLI:
         assert any((tmp_path / "run").rglob("best_student*")) or any(
             p for p in (tmp_path / "run").rglob("*") if "best" in p.name
         )
+
+
+class TestDASMOVCLI:
+    def test_ov_stage(self, mini_audioset, tmp_path):
+        """Open-vocab DASM through the CLI: labels restricted to common
+        classes, learnable query bank sliced in-loss, common-first eval."""
+        import yaml as _yaml
+
+        from transformer4sed_tpu.recipes.cli import main
+
+        with open(mini_audioset["config"]) as f:
+            config = _yaml.safe_load(f)
+        config["model_name"] = "DASM"
+        config["DASM"] = {
+            "init_kwargs": {
+                "class_num": 3, "decoder_dim": 32, "num_heads": 4,
+                "decoder": "transformerXL", "decoder_layer_num": 1,
+                "decoder_pos_emd_len": 120, "embed_dim": 32,
+                "backbone_depth": 2, "backbone_num_heads": 4,
+                "passt_feature_layer": 2, "at_decoder_layer": 1,
+                "f_pool_heads": 4, "out_type": "sigmoid", "cnn_param": None,
+            },
+            "at_param": {"out_type": "sigmoid", "query_projector": False},
+            "train_kwargs": {},
+            "val_kwargs": {},
+        }
+        config["training"]["w_AT"] = 1.0
+        cfg_path = tmp_path / "dasm_ov.yaml"
+        with open(cfg_path, "w") as f:
+            _yaml.safe_dump(config, f)
+
+        rc = main([
+            "dasm_ov",
+            "--config_dir", str(cfg_path),
+            "--save_folder", str(tmp_path / "run"),
+            "--random_seed", "0",
+        ])
+        assert rc == 0
