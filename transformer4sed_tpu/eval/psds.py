@@ -83,21 +83,6 @@ def _merged_coverage(intervals: np.ndarray, target: Tuple[float, float]) -> floa
     return covered
 
 
-def _thresholds_from_scores(
-    scores: Dict[str, ClipScores], max_thresholds: int
-) -> np.ndarray:
-    sample = np.concatenate([c.scores.reshape(-1) for c in scores.values()])
-    uniq = np.unique(sample)
-    if len(uniq) <= max_thresholds:
-        thr = uniq
-    else:
-        qs = np.linspace(0.0, 1.0, max_thresholds)
-        thr = np.unique(np.quantile(sample, qs))
-    # evaluate *at* observed values (binarisation is score > thr, so shift
-    # slightly below each value to include it)
-    return thr - 1e-9
-
-
 def evaluate_operating_point(
     detections: Dict[str, Dict[str, np.ndarray]],  # clip -> class -> [k, 2]
     gt_by_clip_class: Dict[str, Dict[str, np.ndarray]],
