@@ -141,3 +141,46 @@ class TestInferLongAudio:
         assert np.isfinite(seg_scores).all()
         for label, onset, offset in events:
             assert label in ("a", "b") and 0 <= onset < offset <= 3.0
+
+
+class TestServeEngine:
+    def test_batch_scoring_dir(self, tmp_path):
+        """Compile-once engine scores a wav directory: TSVs in the
+        sed_scores_eval layout + events JSONL; ragged tail batch padded."""
+        import json
+        import os
+
+        from scipy.io import wavfile
+
+        from tests.test_recipes_e2e import tiny_sed_model
+        from transformer4sed_tpu.data import DataLoader, UnlabeledDataset
+        from transformer4sed_tpu.frontend import PasstFrontend
+        from transformer4sed_tpu.recipes.serve import InferenceEngine
+
+        codec = LabelCodec(
+            labels=("a", "b"), audio_len=1.2, frame_len=1024, frame_hop=320, sr=32000
+        )
+        wav_dir = tmp_path / "wavs"
+        os.makedirs(wav_dir)
+        rng = np.random.RandomState(0)
+        for i in range(5):  # 5 clips with batch 2 -> ragged final batch
+            wav = (rng.randn(int(1.2 * 32000)) * 0.05 * 32767).astype(np.int16)
+            wavfile.write(str(wav_dir / f"c{i}.wav"), 32000, wav)
+
+        model = tiny_sed_model(class_num=2)
+        frontend = PasstFrontend()
+        mel = frontend.normalize(frontend(jnp.zeros((1, int(1.2 * 32000)))))
+        params = model.init({"params": KEY}, mel)["params"]
+
+        engine = InferenceEngine(
+            model, frontend, params, codec, batch_size=2,
+            median_filter=3, model_kwargs={"temp_w": 0.5},
+        )
+        ds = UnlabeledDataset(str(wav_dir), True, codec)
+        loader = DataLoader(ds, batch_size=2, drop_last=False, num_workers=0)
+        seen = []
+        for names, scores, weak in engine.score_batches(iter(loader)):
+            assert scores.shape[1:] == (120, 2) and weak.shape[1:] == (2,)
+            assert np.isfinite(scores).all()
+            seen.extend(names)
+        assert sorted(seen) == [f"c{i}.wav" for i in range(5)]

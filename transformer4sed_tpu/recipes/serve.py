@@ -1,0 +1,157 @@
+"""Batch serving: score a directory of clips with a compile-once engine.
+
+The reference's closest equivalent is re-running a recipe ``test()``
+stage; this is the production path: one jitted forward reused across
+fixed-size batches (ragged tails padded to keep a single compiled
+shape), host I/O overlapped with device compute via
+``parallel.device_prefetch``, per-clip score TSVs in the
+sed_scores_eval layout plus an events JSONL.
+
+Usage:
+  python -m transformer4sed_tpu.recipes.serve \
+      --config_dir config/mat-sed/finetune1.yaml --ckpt <orbax params> \
+      --wav_dir /data/clips --out_dir scores/ [--batch_size 64]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class InferenceEngine:
+    """Compile-once batched scorer for fixed-length clips."""
+
+    def __init__(self, model, frontend, params, codec, batch_size: int = 64,
+                 median_filter=7, threshold: float = 0.5, model_kwargs=None):
+        from transformer4sed_tpu.core.filters import apply_class_filter
+
+        self.codec = codec
+        self.batch_size = batch_size
+        self.threshold = threshold
+        self.params = jax.device_put(params, jax.devices()[0])
+        model_kwargs = dict(model_kwargs or {})
+        if isinstance(median_filter, list):
+            median_filter = tuple(median_filter)
+
+        @jax.jit
+        def forward(params, wav, pad_mask):
+            mel = frontend.normalize(frontend(wav))
+            out = model.apply({"params": params}, mel, pad_mask=pad_mask, **model_kwargs)
+            scores = jnp.transpose(out.strong, (0, 2, 1))  # [B, T, C]
+            return apply_class_filter(scores, median_filter, kind="median"), out.weak
+
+        self._forward = forward
+
+    def score_batches(self, batches):
+        """Iterate (filenames, scores [B,T,C], weak [B,C]) over host batches
+        of dicts with 'wav' [B, S], 'pad_mask' [B, T], 'filename'."""
+        import collections
+        import itertools
+
+        # H2D transfer lookahead: jnp.asarray dispatches the copy
+        # asynchronously, so enqueueing 2 batches ahead rides the copy
+        # under the previous batch's compute (strings stay host-side)
+        def put(batch):
+            return (
+                batch["filename"],
+                jnp.asarray(batch["wav"]),
+                jnp.asarray(batch["pad_mask"]),
+            )
+
+        it = iter(batches)
+        queue = collections.deque(put(b) for b in itertools.islice(it, 2))
+
+        def staged():
+            while queue:
+                yield queue.popleft()
+                try:
+                    queue.append(put(next(it)))
+                except StopIteration:
+                    pass
+
+        pending = []
+        for names, wav, pm in staged():
+            n = len(names)
+            if n < self.batch_size:  # pad ragged tail: keep ONE compiled shape
+                reps = self.batch_size - n
+                wav = jnp.concatenate([wav, jnp.zeros((reps,) + wav.shape[1:], wav.dtype)])
+                pm = jnp.concatenate([pm, jnp.ones((reps,) + pm.shape[1:], pm.dtype)])
+            scores, weak = self._forward(self.params, wav, pm)
+            # async dispatch: yield the PREVIOUS batch's (already ready)
+            # results while this one computes
+            pending.append((names, scores[:n], weak[:n]))
+            if len(pending) > 1:
+                names, s, w = pending.pop(0)
+                yield names, np.asarray(s), np.asarray(w)
+        for names, s, w in pending:
+            yield names, np.asarray(s), np.asarray(w)
+
+
+def main(argv=None):
+    from transformer4sed_tpu.data import DataLoader, UnlabeledDataset
+    from transformer4sed_tpu.recipes import common
+    from transformer4sed_tpu.recipes.cli import build_model
+    from transformer4sed_tpu.utils.checkpoint import restore_params
+    from transformer4sed_tpu.utils.config import load_yaml_with_include
+
+    parser = argparse.ArgumentParser(description="batch SED scoring")
+    parser.add_argument("--config_dir", required=True)
+    parser.add_argument("--ckpt", required=True)
+    parser.add_argument("--wav_dir", required=True)
+    parser.add_argument("--out_dir", required=True)
+    parser.add_argument("--batch_size", type=int, default=64)
+    parser.add_argument("--threshold", type=float, default=0.5)
+    args = parser.parse_args(argv)
+
+    config = load_yaml_with_include(args.config_dir)
+    codec = common.codec_from_config(config)
+    model, frontend = build_model(config)
+    params = restore_params(args.ckpt)
+    model_name = config.get("model_name", "PaSST_SED")
+    engine = InferenceEngine(
+        model, frontend, params, codec, batch_size=args.batch_size,
+        median_filter=common.median_filter_from_config(config, codec),
+        threshold=args.threshold,
+        model_kwargs=config.get(model_name, {}).get("test_kwargs", {}),
+    )
+
+    ds = UnlabeledDataset(args.wav_dir, True, codec)
+    loader = DataLoader(ds, batch_size=args.batch_size, drop_last=False,
+                        num_workers=config.get("generals", {}).get("num_workers", 4))
+    os.makedirs(args.out_dir, exist_ok=True)
+    t_frames = None
+    n_clips = 0
+    t0 = time.perf_counter()
+    with open(os.path.join(args.out_dir, "events.jsonl"), "w") as events_f:
+        for names, scores, weak in engine.score_batches(iter(loader)):
+            for i, name in enumerate(names):
+                stem = os.path.splitext(name)[0]
+                t_frames = scores.shape[1]
+                ts = np.linspace(0.0, codec.audio_len, t_frames + 1)
+                header = "onset\toffset\t" + "\t".join(codec.labels)
+                rows = np.concatenate(
+                    [ts[:-1, None], ts[1:, None], scores[i]], axis=1
+                )
+                np.savetxt(os.path.join(args.out_dir, f"{stem}.tsv"), rows,
+                           delimiter="\t", header=header, comments="")
+                binary = (scores[i] > args.threshold).astype(np.float32)
+                events = [
+                    {"event": label, "onset": onset, "offset": offset}
+                    for label, onset, offset in codec.decode_strong(binary)
+                ]
+                events_f.write(json.dumps({"filename": name, "events": events}) + "\n")
+                n_clips += 1
+    dt = time.perf_counter() - t0
+    print(f"scored {n_clips} clips in {dt:.1f}s ({n_clips / max(dt, 1e-9):.1f} clips/s)")
+
+
+if __name__ == "__main__":
+    main()
