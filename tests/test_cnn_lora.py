@@ -240,3 +240,43 @@ class TestLoRATrainableGroups:
             encoder=GroupSpec(lr=0.0), backbone_depth=2))
         flat0 = flax.traverse_util.flatten_dict(labels0, sep="/")
         assert flat0["backbone/blocks_0/attn/qkv/lora_A"] == "frozen"
+
+
+class TestPasstComplexCNN:
+    def test_dual_spectrogram_forward(self):
+        from transformer4sed_tpu.models.passt_cnn import PasstComplexCNN
+
+        model = PasstComplexCNN(
+            class_num=4,
+            embed_dim=32,
+            decoder_dim=32,
+            backbone_depth=2,
+            backbone_num_heads=4,
+            decoder_num_heads=4,
+            at_adapter_heads=4,
+            passt_feature_layer=2,
+            decoder="transformerXL",
+            decoder_layer_num=1,
+            decoder_pos_emd_len=200,
+            at_adapter=True,
+            cnn_name="base",
+            cnn_param={
+                "nb_filters": (8, 8, 16),
+                # time pool x4 so the fixed x4 upsample lands back on the
+                # decoder grid (reference passt_complex_spec_cnn.py:62-63)
+                "pooling": ((2, 4), (2, 4), (1, 8)),
+                "normalization": "layer",
+                "activation": "glu",
+            },
+        )
+        rng = np.random.RandomState(0)
+        mel_trans = jnp.asarray(rng.randn(2, 128, 200).astype(np.float32))
+        mel_cnn = jnp.asarray(rng.randn(2, 128, 200).astype(np.float32))
+        variables = model.init({"params": KEY}, mel_trans, mel_cnn)
+        out = model.apply(variables, mel_trans, mel_cnn)
+        assert out.strong.shape == (2, 4, 200)
+        assert out.weak.shape == (2, 4)
+        assert out.at_out.shape == (2, 4)
+        # the CNN spectrogram actually matters: different mel_cnn -> different output
+        out2 = model.apply(variables, mel_trans, mel_cnn + 1.0)
+        assert not np.allclose(np.asarray(out.strong), np.asarray(out2.strong))

@@ -52,3 +52,38 @@ class TestXLWithClsToken:
         assert out.shape == x.shape
         assert bool(jnp.isfinite(out).all())
         assert "cls_pos_emb" in params["params"]["attn"]
+
+
+class TestVanillaCrossAttentionBlock:
+    def test_residual_from_v_and_shapes(self):
+        import jax
+        from transformer4sed_tpu.models.xl import VanillaCrossAttentionBlock
+
+        blk = VanillaCrossAttentionBlock(num_heads=4, mlp_ratio=2.0)
+        rng = np.random.RandomState(0)
+        q = jnp.asarray(rng.randn(2, 6, 16).astype(np.float32))
+        k = jnp.asarray(rng.randn(2, 6, 16).astype(np.float32))
+        v = jnp.asarray(rng.randn(2, 6, 16).astype(np.float32))
+        variables = blk.init(jax.random.PRNGKey(0), q, k, v)
+        out = blk.apply(variables, q, k, v)
+        assert out.shape == (2, 6, 16)
+        # reference wiring: attention residual is taken from v, not q
+        # (vanilla.py:51) -> with zeroed attn+mlp output the block would
+        # return v; check sensitivity: changing q changes output only
+        # through attention, changing v shifts the residual directly.
+        out_q = blk.apply(variables, q + 100.0, k, v)
+        out_v = blk.apply(variables, q, k, v + 1.0)
+        assert not np.allclose(np.asarray(out), np.asarray(out_q))
+        assert not np.allclose(np.asarray(out), np.asarray(out_v))
+
+    def test_cross_lengths(self):
+        import jax
+        from transformer4sed_tpu.models.xl import VanillaCrossAttention
+
+        attn = VanillaCrossAttention(num_heads=2)
+        q = jnp.zeros((1, 5, 8))
+        k = jnp.ones((1, 9, 8))
+        v = jnp.ones((1, 9, 8))
+        variables = attn.init(jax.random.PRNGKey(0), q, k, v)
+        out = attn.apply(variables, q, k, v)
+        assert out.shape == (1, 5, 8)

@@ -550,3 +550,72 @@ class TransformerXLWithClsToken(nn.Module):
             h, deterministic=deterministic
         )
         return x
+
+
+class VanillaCrossAttention(nn.Module):
+    """Separate-projection cross attention (``src/models/transformer/
+    vanilla.py:4-31``): distinct ``f_q``/``f_k``/``f_v`` Dense layers
+    (no bias by default, matching the reference's ``qkv_bias=False``),
+    softmax over source positions, output projection.
+
+    The reference reshapes k/v with q's length and so requires equal
+    lengths; here source length may differ (q decides the output grid).
+    """
+
+    num_heads: int = 8
+    qkv_bias: bool = False
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q, k, v, deterministic: bool = True):
+        b, n, c = q.shape
+        h = self.num_heads
+        hd = c // h
+        scale = hd ** -0.5
+        qh = nn.Dense(c, use_bias=self.qkv_bias, dtype=self.dtype, name="f_q")(q)
+        kh = nn.Dense(c, use_bias=self.qkv_bias, dtype=self.dtype, name="f_k")(k)
+        vh = nn.Dense(c, use_bias=self.qkv_bias, dtype=self.dtype, name="f_v")(v)
+        qh = qh.reshape(b, n, h, hd)
+        kh = kh.reshape(b, k.shape[1], h, hd)
+        vh = vh.reshape(b, v.shape[1], h, hd)
+        attn = jnp.einsum("bnhd,bmhd->bhnm", qh, kh) * scale
+        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(qh.dtype)
+        attn = nn.Dropout(self.attn_drop)(attn, deterministic=deterministic)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, vh).reshape(b, n, c)
+        out = nn.Dense(c, dtype=self.dtype, name="proj")(out)
+        return nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+
+
+class VanillaCrossAttentionBlock(nn.Module):
+    """Cross-attention block with the reference's unusual wiring
+    (``src/models/transformer/vanilla.py:34-60``): one shared ``norm1``
+    applied to q, k AND v, the attention residual taken from **v** (not
+    q — flagged by the reference's own TODO comment), then a standard
+    pre-norm MLP residual. Preserved exactly so checkpoints/behavior
+    match if the block is ever wired in (it is dead code in the
+    reference — no importers — but part of the §2.2 inventory).
+    """
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = False
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, q, k, v, deterministic: bool = True):
+        norm1 = nn.LayerNorm(epsilon=1e-6, name="norm1")
+        x = v + VanillaCrossAttention(
+            num_heads=self.num_heads, qkv_bias=self.qkv_bias,
+            attn_drop=self.attn_drop, proj_drop=self.drop,
+            dtype=self.dtype, name="attn",
+        )(norm1(q), norm1(k), norm1(v), deterministic=deterministic)
+        h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
+        x = x + Mlp(
+            hidden_features=int(x.shape[-1] * self.mlp_ratio),
+            dropout=self.drop, dtype=self.dtype, name="mlp",
+        )(h, deterministic=deterministic)
+        return x
