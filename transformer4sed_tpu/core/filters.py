@@ -75,7 +75,12 @@ def apply_class_filter(
     widths = list(widths)
     if len(widths) != n_classes:
         raise ValueError(f"got {len(widths)} widths for {n_classes} classes")
-    fn = median_filter if kind == "median" else max_filter
+    if kind == "median":
+        fn = median_filter
+    elif kind == "max":
+        fn = max_filter
+    else:
+        raise ValueError(f"unknown filter kind {kind!r}; expected 'median' or 'max'")
 
     out = scores
     for width in sorted(set(widths)):

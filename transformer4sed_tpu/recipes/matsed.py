@@ -250,28 +250,40 @@ class MATSEDTrainer:
         return last_val
 
     def test(self, filter_type: str = "median", save_dir: Optional[str] = None) -> Dict[str, float]:
-        """Test with median or max filtering (reference test stage).
+        """Test with median/max filtering or cSEBB post-processing.
 
+        ``filter_type``: "median" / "max" (reference test stage) or
+        "sebb" — change-point Sound Event Bounding Boxes on the *raw*
+        scores (the post-processing behind the reference's best
+        published PSDS1, ``docs/mat-sed/readme.md:44``); parameters from
+        ``training.sebb`` in the config (step_filter_length /
+        merge_threshold_abs / merge_threshold_rel).
         ``save_dir``: when set, dumps per-class PSDS as single_psds.json
         sorted ascending (reference base/passt_cnn/train.py:311-312) and
         the PSD-ROC plot.
         """
+        use_sebb = filter_type == "sebb"
         scores_post = {}
         for batch in self.test_loader:
             mel = self.frontend.normalize(self.frontend(jnp.asarray(batch["wav"])))
             out = self._eval_apply(
                 self.state.teacher_params, mel, jnp.asarray(batch["pad_mask"]), "test_kwargs"
             )
-            _, post = batched_decode_preds(
+            raw, post = batched_decode_preds(
                 out.strong,
                 batch["filename"],
                 self.codec,
                 filter=self.median_filter,
-                filter_type=filter_type,
+                filter_type="median" if use_sebb else filter_type,
                 weak_preds=out.weak,
                 need_weak_mask=self.config["training"].get("weak_mask", False),
             )
-            scores_post.update(post)
+            scores_post.update(raw if use_sebb else post)
+        if use_sebb:
+            from transformer4sed_tpu.eval.sebbs import CSEBBParams, apply_csebbs
+
+            sebb_cfg = self.config["training"].get("sebb", {})
+            scores_post = apply_csebbs(scores_post, CSEBBParams(**sebb_cfg))
         psds1, single1 = compute_psds_from_scores(
             scores_post, self.ground_truth, self.durations,
             dtc_threshold=0.7, gtc_threshold=0.7, alpha_ct=0.0, alpha_st=1.0,
