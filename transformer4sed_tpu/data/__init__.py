@@ -1,4 +1,4 @@
-from transformer4sed_tpu.data.audio_io import load_audio, pad_wav, to_mono, waveform_modification
+from transformer4sed_tpu.data.audio_io import load_audio, load_wav_batch, pad_wav, to_mono, waveform_modification
 from transformer4sed_tpu.data.datasets import (
     StronglyLabeledDataset,
     WeaklyLabeledDataset,
@@ -19,6 +19,7 @@ __all__ = [
     "pad_wav",
     "to_mono",
     "waveform_modification",
+    "load_wav_batch",
     "StronglyLabeledDataset",
     "WeaklyLabeledDataset",
     "UnlabeledDataset",

@@ -4,15 +4,17 @@ Reference semantics (``src/preprocess/feats_extraction.py:7-38``):
 librosa.load at the codec sample rate, downmix to mono, zero-pad or
 truncate to ``audio_len * sr`` samples, and build a frame-level pad
 mask (True where frames are padding). librosa is not available in this
-image, so decoding uses scipy.io.wavfile (PCM + IEEE-float WAV) with
-polyphase resampling; other containers must be pre-converted (the
-reference repo ships a resample CLI for the same reason —
-``src/utils/resample.py``).
+image; the hot path is the native C++ core (``native/wav_core.cpp``:
+RIFF decode + windowed-sinc resample, GIL-free, batch thread pool) with
+a scipy.io.wavfile + resample_poly fallback. Other containers must be
+pre-converted (the reference repo ships a resample CLI for the same
+reason — ``src/utils/resample.py``).
 """
 
 from __future__ import annotations
 
 import math
+import os
 from fractions import Fraction
 from typing import Tuple
 
@@ -77,6 +79,76 @@ def pad_wav(wav: np.ndarray, pad_to: int, codec) -> Tuple[np.ndarray, np.ndarray
     return wav.astype(np.float32), pad_mask
 
 
+def _pad_mask_from_len(true_len: int, codec) -> np.ndarray:
+    pad_idx = math.ceil(float(codec.time_to_frame(true_len / codec.sr)))
+    return np.arange(codec.n_frames) >= pad_idx
+
+
 def waveform_modification(path: str, pad_to: int, codec) -> Tuple[np.ndarray, np.ndarray]:
+    """Decode -> mono -> resample(sr) -> pad/truncate + frame pad mask.
+
+    Uses the native C++ core (``native/wav_core.cpp``: GIL-free decode +
+    windowed-sinc resample) when a toolchain is available; otherwise the
+    scipy path above. Disable with ``T4S_DISABLE_NATIVE_WAV=1``.
+    """
+    if not os.environ.get("T4S_DISABLE_NATIVE_WAV"):
+        from transformer4sed_tpu.native.build import load_wav_core
+
+        lib = load_wav_core()
+        if lib is not None:
+            import ctypes
+
+            out = np.empty(pad_to, dtype=np.float32)
+            true_len = ctypes.c_long(0)
+            err = lib.t4s_load_wav(
+                str(path).encode(), int(codec.sr), int(pad_to),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                ctypes.byref(true_len),
+            )
+            if err == 0:
+                return out, _pad_mask_from_len(int(true_len.value), codec)
+            # fall through to scipy on decode errors (e.g. exotic codecs)
     wav = load_audio(path, codec.sr)
     return pad_wav(wav, pad_to, codec)
+
+
+def load_wav_batch(paths, pad_to: int, codec, n_threads: int = 8):
+    """Batch-parallel native load: (wavs [N, pad_to] f32, pad_masks [N, F]).
+
+    One C call decodes/resamples the whole batch on a thread pool with
+    the GIL released (ctypes) — the serving engine's IO path. Falls back
+    to per-file :func:`waveform_modification` without the native lib.
+    """
+    paths = [str(p) for p in paths]
+    n = len(paths)
+    if not os.environ.get("T4S_DISABLE_NATIVE_WAV"):
+        from transformer4sed_tpu.native.build import load_wav_core
+
+        lib = load_wav_core()
+        if lib is not None and n:
+            import ctypes
+
+            out = np.empty((n, pad_to), dtype=np.float32)
+            true_len = np.zeros(n, dtype=np.int64)
+            err = np.zeros(n, dtype=np.int32)
+            arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+            lib.t4s_load_wav_batch(
+                arr, n, int(codec.sr), int(pad_to),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                true_len.ctypes.data_as(ctypes.POINTER(ctypes.c_long)),
+                err.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+                int(n_threads),
+            )
+            if not err.any():
+                masks = np.stack([_pad_mask_from_len(int(t), codec) for t in true_len])
+                return out, masks
+            # some file failed natively: redo the failures via scipy below
+    wavs, masks = [], []
+    for p in paths:
+        w, m = waveform_modification(p, pad_to, codec)
+        wavs.append(w)
+        masks.append(m)
+    return (
+        np.stack(wavs) if wavs else np.zeros((0, pad_to), np.float32),
+        np.stack(masks) if masks else np.zeros((0, codec.n_frames), bool),
+    )

@@ -82,3 +82,31 @@ def load_psds_core() -> Optional[ctypes.CDLL]:
                 lib = None
         _CACHE["psds"] = lib
         return lib
+
+
+def load_wav_core() -> Optional[ctypes.CDLL]:
+    """The native waveform loader, or None when it cannot be built."""
+    with _LOCK:
+        if "wav" in _CACHE:
+            return _CACHE["wav"]
+        lib = None
+        so = _build(os.path.join(_SRC_DIR, "wav_core.cpp"), "wav_core")
+        if so is not None:
+            try:
+                lib = ctypes.CDLL(so)
+                lib.t4s_load_wav.restype = ctypes.c_int
+                lib.t4s_load_wav.argtypes = [
+                    ctypes.c_char_p, ctypes.c_int, ctypes.c_long,
+                    ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_long),
+                ]
+                lib.t4s_load_wav_batch.restype = None
+                lib.t4s_load_wav_batch.argtypes = [
+                    ctypes.POINTER(ctypes.c_char_p), ctypes.c_long,
+                    ctypes.c_int, ctypes.c_long,
+                    ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_long),
+                    ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+                ]
+            except OSError:
+                lib = None
+        _CACHE["wav"] = lib
+        return lib
