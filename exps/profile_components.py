@@ -6,8 +6,11 @@ optimization effort goes where the milliseconds are. Run on the real
 chip: `python exps/profile_components.py [B]`.
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

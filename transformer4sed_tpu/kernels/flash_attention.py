@@ -85,18 +85,22 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, seq_len: int, sm_
     o_ref[:] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
-def _flash_forward(q, k, v, sm_scale, block_q: int = 256, block_k: Optional[int] = None, interpret: bool = False):
+def _flash_forward(q, k, v, sm_scale, block_q: Optional[int] = None, block_k: Optional[int] = None, interpret: bool = False):
     """q/k/v: [B, H, T, d] -> [B, H, T, d].
 
     Default blocks from a v5e sweep at T=1190/d=64: block_q=256 with a
     single full-row K block (6.9 ms vs XLA's 10.4 ms at B=32xH=12);
-    128x128 blocks under-utilise the MXU (24.5 ms).
+    128x128 blocks under-utilise the MXU (24.5 ms). Explicit block_q /
+    block_k always win over the heuristics (used by the sweep tooling).
     """
     b, h, t, d = q.shape
-    if t <= 1536:
-        # whole [T, T] score tile per program measures fastest on v5e
-        # (9.9 ms vs 11.0 ms at bq=256 for B=64, H=12, T=1190)
-        block_q = _round_up(t, 128)
+    if block_q is None:
+        if t <= 1536:
+            # whole [T, T] score tile per program measures fastest on v5e
+            # (9.9 ms vs 11.0 ms at bq=256 for B=64, H=12, T=1190)
+            block_q = _round_up(t, 128)
+        else:
+            block_q = 256
     if block_k is None:
         block_k = _round_up(t, block_q) if t <= 2048 else 512
     t_pad = _round_up(t, max(block_q, block_k))
