@@ -123,3 +123,64 @@ class TestFallbackPath:
         ref, ref_mask = pad_wav(load_audio(str(path), sr), sr, c)
         np.testing.assert_allclose(out, ref)
         np.testing.assert_array_equal(mask, ref_mask)
+
+
+@needs_lib
+class TestMalformedInputs:
+    """The native parser must fail with error codes, never crash."""
+
+    def _load(self, path, c):
+        import ctypes
+
+        out = np.zeros(32000, dtype=np.float32)
+        tl = ctypes.c_long(0)
+        return LIB.t4s_load_wav(
+            str(path).encode(), 32000, 32000,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), ctypes.byref(tl),
+        )
+
+    def test_error_codes(self, tmp_path):
+        c = codec()
+        cases = {
+            "missing.wav": 1,            # open fails
+            "empty.wav": 2,              # too short
+            "not_riff.wav": 2,           # wrong magic
+        }
+        (tmp_path / "empty.wav").write_bytes(b"")
+        (tmp_path / "not_riff.wav").write_bytes(b"OggS" + b"\0" * 100)
+        for name, want in cases.items():
+            assert self._load(tmp_path / name, c) == want, name
+
+    def test_truncated_and_fuzzed(self, tmp_path):
+        rng = np.random.RandomState(0)
+        sr = 32000
+        wav = sine(sr, 0.5)
+        good = tmp_path / "good.wav"
+        wavfile.write(str(good), sr, (wav * 32767).astype(np.int16))
+        blob = good.read_bytes()
+        c = codec()
+        # truncations at various points: must return 0 (short data chunk
+        # is clipped) or an error code, never crash
+        for cut in (10, 20, 44, 100, len(blob) // 2):
+            p = tmp_path / f"cut{cut}.wav"
+            p.write_bytes(blob[:cut])
+            assert self._load(p, c) in (0, 1, 2, 3, 4)
+        # random byte corruption of the header
+        for trial in range(20):
+            b = bytearray(blob)
+            for _ in range(8):
+                b[rng.randint(0, min(len(b), 64))] = rng.randint(0, 256)
+            p = tmp_path / f"fuzz{trial}.wav"
+            p.write_bytes(bytes(b))
+            assert self._load(p, c) in (0, 1, 2, 3, 4)
+
+    def test_chunk_len_overflow(self, tmp_path):
+        # fmt chunk with a huge declared length must not walk off the buffer
+        import struct
+
+        body = b"RIFF" + struct.pack("<I", 100) + b"WAVE"
+        body += b"fmt " + struct.pack("<I", 0xFFFFFFF0) + b"\x01\x00\x01\x00"
+        p = tmp_path / "overflow.wav"
+        p.write_bytes(body)
+        c = codec()
+        assert self._load(p, c) in (2, 3, 4)

@@ -148,3 +148,22 @@ class TestFilterKindValidation:
 
         with pytest.raises(ValueError, match="unknown filter kind"):
             apply_class_filter(jnp.zeros((2, 10, 3)), 5, kind="bogus")
+
+
+class TestPartitionProperty:
+    def test_boxes_tile_the_clip(self):
+        # cSEBB output must partition [0, T) for any input
+        rng = np.random.RandomState(3)
+        for trial in range(20):
+            t = rng.randint(2, 300)
+            s = np.clip(rng.randn(t) * 0.3 + 0.3, 0, 1)
+            boxes = csebbs_1d(s, 10.0, CSEBBParams(
+                step_filter_length=float(rng.choice([0.16, 0.48, 1.0])),
+                merge_threshold_abs=float(rng.uniform(0, 0.3)),
+                merge_threshold_rel=float(rng.uniform(1.0, 3.0)),
+            ))
+            assert boxes[0][0] == 0 and boxes[-1][1] == t
+            for (a1, b1, _), (a2, b2, _) in zip(boxes, boxes[1:]):
+                assert b1 == a2, "boxes must be contiguous"
+            for a, b, v in boxes:
+                assert b > a and 0.0 <= v <= 1.0
