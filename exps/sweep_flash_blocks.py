@@ -52,9 +52,7 @@ def main():
         (128, 1280),
     ]
     for bq, bk in configs:
-        kw = {}
         if bq is not None:
-            kw = dict(block_q=bq, block_k=bk)
 
             def fn(q, k, v, bq=bq, bk=bk):
                 return _flash_forward(q, k, v, sm_scale=d ** -0.5, block_q=bq, block_k=bk)

@@ -167,3 +167,18 @@ class TestPartitionProperty:
                 assert b1 == a2, "boxes must be contiguous"
             for a, b, v in boxes:
                 assert b > a and 0.0 <= v <= 1.0
+
+
+class TestRelativeMergeRegression:
+    def test_rel_qualifying_pair_merges_despite_distant_min_pair(self):
+        # regression: the most-similar pair (0.01 vs 0.2) fails both
+        # criteria, but (0.5, 0.75) qualifies relatively (ratio 1.5) and
+        # must still merge — the loop may not stop at the first failure.
+        from transformer4sed_tpu.eval.sebbs import _merge_segments
+
+        bounds = np.array([0, 10, 20, 30, 40])
+        scores = [0.01, 0.2, 0.5, 0.75]
+        out_bounds, out_scores = _merge_segments(bounds, scores, abs_thr=0.15, rel_thr=1.5)
+        assert len(out_scores) == 3
+        assert abs(out_scores[-1] - 0.625) < 1e-9  # length-weighted mean
+        assert list(out_bounds) == [0, 10, 20, 40]

@@ -139,10 +139,12 @@ def load_wav_batch(paths, pad_to: int, codec, n_threads: int = 8):
                 err.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
                 int(n_threads),
             )
-            if not err.any():
-                masks = np.stack([_pad_mask_from_len(int(t), codec) for t in true_len])
-                return out, masks
-            # some file failed natively: redo the failures via scipy below
+            masks = np.stack([_pad_mask_from_len(int(t), codec) for t in true_len])
+            # redo ONLY the failed files through the scipy path (exotic
+            # codecs the native parser rejects); successes are kept
+            for i in np.nonzero(err)[0]:
+                out[i], masks[i] = pad_wav(load_audio(paths[i], codec.sr), pad_to, codec)
+            return out, masks
     wavs, masks = [], []
     for p in paths:
         w, m = waveform_modification(p, pad_to, codec)

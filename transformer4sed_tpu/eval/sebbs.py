@@ -89,16 +89,24 @@ def _change_points(delta: np.ndarray) -> np.ndarray:
 def _merge_segments(
     bounds: np.ndarray, scores: List[float], abs_thr: float, rel_thr: float
 ) -> Tuple[np.ndarray, List[float]]:
-    """Agglomerative most-similar-adjacent-pair merging."""
+    """Agglomerative merging: among all adjacent pairs that satisfy the
+    absolute-or-relative criterion, merge the most similar first; repeat
+    until no pair qualifies."""
+
+    def qualifies(a: float, b: float) -> bool:
+        ratio = max(a, b) / max(min(a, b), 1e-12)
+        return abs(a - b) <= abs_thr or ratio <= rel_thr
+
     bounds = list(bounds)
     scores = list(scores)
     while len(scores) > 1:
-        diffs = [abs(scores[i] - scores[i + 1]) for i in range(len(scores) - 1)]
-        i = int(np.argmin(diffs))
-        a, b = scores[i], scores[i + 1]
-        ratio = max(a, b) / max(min(a, b), 1e-12)
-        if not (diffs[i] <= abs_thr or ratio <= rel_thr):
+        candidates = [
+            i for i in range(len(scores) - 1) if qualifies(scores[i], scores[i + 1])
+        ]
+        if not candidates:
             break
+        i = min(candidates, key=lambda j: abs(scores[j] - scores[j + 1]))
+        a, b = scores[i], scores[i + 1]
         la = bounds[i + 1] - bounds[i]
         lb = bounds[i + 2] - bounds[i + 1]
         scores[i] = (a * la + b * lb) / (la + lb)

@@ -47,6 +47,14 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+
+def _check_blocks(t_pad: int, block_q: int, block_k: int) -> None:
+    if t_pad % block_q or t_pad % block_k:
+        raise ValueError(
+            f"block_q={block_q}/block_k={block_k} must divide t_pad={t_pad}; "
+            "rows would otherwise be silently left unwritten"
+        )
+
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, block_k: int, seq_len: int, sm_scale: float):
     """One (batch*head, q-block) program: stream K/V blocks with online softmax.
 
@@ -104,6 +112,7 @@ def _flash_forward(q, k, v, sm_scale, block_q: Optional[int] = None, block_k: Op
     if block_k is None:
         block_k = _round_up(t, block_q) if t <= 2048 else 512
     t_pad = _round_up(t, max(block_q, block_k))
+    _check_blocks(t_pad, block_q, block_k)
 
     def pad(x):
         return jnp.pad(x, ((0, 0), (0, 0), (0, t_pad - t), (0, 0))).reshape(b * h, t_pad, d)
@@ -177,6 +186,7 @@ def _flash_bias_forward(q, k, v, bias, sm_scale, block_q=256, block_k=None, inte
     if block_k is None:
         block_k = _round_up(t, block_q) if t <= 2048 else 512
     t_pad = _round_up(t, max(block_q, block_k))
+    _check_blocks(t_pad, block_q, block_k)
 
     def pad_qkv(x):
         return jnp.pad(x, ((0, 0), (0, 0), (0, t_pad - t), (0, 0))).reshape(b * h, t_pad, d)
@@ -360,6 +370,7 @@ def _flash_forward_lse(q, k, v, sm_scale, block_q=256, block_k=None, interpret=F
     if block_k is None:
         block_k = _round_up(t, block_q) if t <= 2048 else 512
     t_pad = _round_up(t, max(block_q, block_k))
+    _check_blocks(t_pad, block_q, block_k)
 
     def pad(x):
         return jnp.pad(x, ((0, 0), (0, 0), (0, t_pad - t), (0, 0))).reshape(b * h, t_pad, d)

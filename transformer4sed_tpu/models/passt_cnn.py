@@ -53,21 +53,14 @@ class PaSST_CNN(PaSST_SED):
             self.merge_weight = self.param("merge_weight", nn.initializers.constant(0.5), (1,))
         self.transformer_projector = nn.Dense(self.decoder_dim)
 
-    def __call__(
-        self,
-        mel: jnp.ndarray,  # [B, F, T]
-        train: bool = False,
-        encoder_win: bool = False,
-        mix_rate: float = 0.5,
-        win_param: Tuple[int, int] = (512, 49),
-        temp_w: float = 1.0,
-        pad_mask: Optional[jnp.ndarray] = None,
-    ) -> SEDOutput:
+    # -- shared pieces (used by PaSST_CNN and PasstComplexCNN) ------------
+
+    def _encode_frames(self, mel, train, encoder_win, mix_rate, win_param):
+        """Backbone -> f_pool -> pad+interp (-> window fusion): [B, T, D]."""
         backbone_out = self.backbone(mel[:, None], train=train)
         x = self._f_pool(backbone_out, train)
         x = jnp.concatenate([x, x[:, -1:, :]], axis=1)
         x = interpolate_time(x, self.decode_ratio, self.interpolate_mode)
-
         if encoder_win:
             x_local = slide_window_encode(
                 lambda w: self._encode_window(w, train),
@@ -77,30 +70,18 @@ class PaSST_CNN(PaSST_SED):
                 step=win_param[1],
             )
             x = mix_rate * x_local + (1.0 - mix_rate) * x
+        return x, backbone_out
 
-        if self.cnn_param is not None:
-            cnn_in = jnp.transpose(mel, (0, 2, 1))[:, None]  # [B, 1, T, F]
-            cnn_feat = self.cnn(cnn_in, train=train)  # [B, C, T', F']
-            b, c, t_c, f_c = cnn_feat.shape
-            assert f_c == 1, "CNN branch must pool frequency to 1"
-            cnn_feat = cnn_feat[:, :, :, 0].transpose(0, 2, 1)  # [B, T', C]
-            ratio = x.shape[1] // t_c
-            if ratio * t_c != x.shape[1]:
-                # generic resize to the decoder length
-                from transformer4sed_tpu.models.interpolate import interpolate_time as _it
+    def _cnn_features(self, mel_cnn, train):
+        """CNN branch on [B, F, T] mel -> [B, T', C] frame features."""
+        cnn_in = jnp.transpose(mel_cnn, (0, 2, 1))[:, None]  # [B, 1, T, F]
+        cnn_feat = self.cnn(cnn_in, train=train)  # [B, C, T', F']
+        assert cnn_feat.shape[1] == self.cnn_feat_dim
+        assert cnn_feat.shape[3] == 1, "CNN branch must pool frequency to 1"
+        return cnn_feat[:, :, :, 0].transpose(0, 2, 1)  # [B, T', C]
 
-                idx_len = x.shape[1]
-                coords = (jnp.arange(idx_len) + 0.5) * t_c / idx_len - 0.5
-                lo = jnp.clip(jnp.floor(coords).astype(jnp.int32), 0, t_c - 1)
-                hi = jnp.clip(lo + 1, 0, t_c - 1)
-                w = (coords - lo)[None, :, None]
-                cnn_feat = jnp.take(cnn_feat, lo, axis=1) * (1 - w) + jnp.take(cnn_feat, hi, axis=1) * w
-            else:
-                cnn_feat = interpolate_time(cnn_feat, ratio, self.interpolate_mode)
-            x = self.transformer_projector(x) + self.merge_weight * self.cnn_projector(cnn_feat)
-        else:
-            x = self.transformer_projector(x)
-
+    def _finish(self, x, backbone_out, train, temp_w, pad_mask) -> SEDOutput:
+        """MLM mask -> decoder -> AT branch -> classifier/pools."""
         frame_before_mask = x
         mask_id_seq = None
         if self.mlm:
@@ -133,6 +114,38 @@ class PaSST_CNN(PaSST_SED):
             at_out=at_out,
             frame_before_mask=frame_before_mask,
         )
+
+    def __call__(
+        self,
+        mel: jnp.ndarray,  # [B, F, T]
+        train: bool = False,
+        encoder_win: bool = False,
+        mix_rate: float = 0.5,
+        win_param: Tuple[int, int] = (512, 49),
+        temp_w: float = 1.0,
+        pad_mask: Optional[jnp.ndarray] = None,
+    ) -> SEDOutput:
+        x, backbone_out = self._encode_frames(mel, train, encoder_win, mix_rate, win_param)
+
+        if self.cnn_param is not None:
+            cnn_feat = self._cnn_features(mel, train)
+            t_c = cnn_feat.shape[1]
+            ratio = x.shape[1] // t_c
+            if ratio * t_c != x.shape[1]:
+                # generic linear resize to the decoder length
+                idx_len = x.shape[1]
+                coords = (jnp.arange(idx_len) + 0.5) * t_c / idx_len - 0.5
+                lo = jnp.clip(jnp.floor(coords).astype(jnp.int32), 0, t_c - 1)
+                hi = jnp.clip(lo + 1, 0, t_c - 1)
+                w = (coords - lo)[None, :, None]
+                cnn_feat = jnp.take(cnn_feat, lo, axis=1) * (1 - w) + jnp.take(cnn_feat, hi, axis=1) * w
+            else:
+                cnn_feat = interpolate_time(cnn_feat, ratio, self.interpolate_mode)
+            x = self.transformer_projector(x) + self.merge_weight * self.cnn_projector(cnn_feat)
+        else:
+            x = self.transformer_projector(x)
+
+        return self._finish(x, backbone_out, train, temp_w, pad_mask)
 
 
 class PasstComplexCNN(PaSST_CNN):
@@ -165,26 +178,9 @@ class PasstComplexCNN(PaSST_CNN):
             mel_cnn = mel
         assert self.cnn_param is not None, "PasstComplexCNN requires cnn_param"
 
-        backbone_out = self.backbone(mel[:, None], train=train)
-        x = self._f_pool(backbone_out, train)
-        x = jnp.concatenate([x, x[:, -1:, :]], axis=1)
-        x = interpolate_time(x, self.decode_ratio, self.interpolate_mode)
+        x, backbone_out = self._encode_frames(mel, train, encoder_win, mix_rate, win_param)
 
-        if encoder_win:
-            x_local = slide_window_encode(
-                lambda w: self._encode_window(w, train),
-                mel,
-                emb_len=x.shape[1],
-                win_width=win_param[0],
-                step=win_param[1],
-            )
-            x = mix_rate * x_local + (1.0 - mix_rate) * x
-
-        cnn_in = jnp.transpose(mel_cnn, (0, 2, 1))[:, None]  # [B, 1, T, F]
-        cnn_feat = self.cnn(cnn_in, train=train)  # [B, C, T', F']
-        assert cnn_feat.shape[1] == self.cnn_feat_dim
-        assert cnn_feat.shape[3] == 1, "CNN branch must pool frequency to 1"
-        cnn_feat = cnn_feat[:, :, :, 0].transpose(0, 2, 1)  # [B, T', C]
+        cnn_feat = self._cnn_features(mel_cnn, train)
         # fixed x4 upsample (reference passt_complex_spec_cnn.py:62-63)
         cnn_feat = interpolate_time(cnn_feat, 4, self.interpolate_mode)
         assert cnn_feat.shape[1] == x.shape[1], (
@@ -192,35 +188,4 @@ class PasstComplexCNN(PaSST_CNN):
         )
         x = self.transformer_projector(x) + self.merge_weight * self.cnn_projector(cnn_feat)
 
-        frame_before_mask = x
-        mask_id_seq = None
-        if self.mlm:
-            x, mask_id_seq = self.masker(self.make_rng("mlm"), x, self.mask_token)
-
-        x = self._run_decoder(x, train)
-
-        at_out = None
-        if self.at_adapter:
-            at_tokens = backbone_out["frame"][:, 2:, :]
-            at_out = jax.nn.sigmoid(self.at_head(self.at_pool(at_tokens, deterministic=not train)))
-
-        if self.mlm:
-            mlm_pred = self.mlm_fc2(nn.gelu(self.mlm_fc1(x), approximate=False))
-            return SEDOutput(
-                mlm_pred=mlm_pred,
-                frame_before_mask=frame_before_mask,
-                mask_id_seq=mask_id_seq,
-                at_out=at_out,
-            )
-
-        logits = self.classifier(x)
-        sed = jax.nn.sigmoid(logits / temp_w)
-        if pad_mask is not None:
-            sed = jnp.where(pad_mask[:, :, None], 0.0, sed)
-        weak = linear_softmax_pool(sed, axis=1)
-        return SEDOutput(
-            strong=sed.transpose(0, 2, 1),
-            weak=weak,
-            at_out=at_out,
-            frame_before_mask=frame_before_mask,
-        )
+        return self._finish(x, backbone_out, train, temp_w, pad_mask)

@@ -273,7 +273,9 @@ class MATSEDTrainer:
                 out.strong,
                 batch["filename"],
                 self.codec,
-                filter=self.median_filter,
+                # sebb runs on raw scores: filter=None skips the on-device
+                # median filtering entirely
+                filter=None if use_sebb else self.median_filter,
                 filter_type="median" if use_sebb else filter_type,
                 weak_preds=out.weak,
                 need_weak_mask=self.config["training"].get("weak_mask", False),
