@@ -282,10 +282,23 @@ class MATSEDTrainer:
             )
             scores_post.update(raw if use_sebb else post)
         if use_sebb:
-            from transformer4sed_tpu.eval.sebbs import CSEBBParams, apply_csebbs
+            from transformer4sed_tpu.eval.sebbs import CSEBBParams, apply_csebbs, tune_csebbs
 
             sebb_cfg = self.config["training"].get("sebb", {})
-            scores_post = apply_csebbs(scores_post, CSEBBParams(**sebb_cfg))
+            if isinstance(sebb_cfg, str) and sebb_cfg != "auto":
+                raise ValueError(
+                    f"training.sebb must be 'auto' or a parameter mapping, got {sebb_cfg!r}"
+                )
+            if sebb_cfg == "auto":
+                # per-class grid search against PSDS1 on the validation
+                # scores (the same set the reference tunes its median
+                # windows and thresholds on; the fast native PSDS core
+                # makes the 27-point grid cheap)
+                params, best = tune_csebbs(scores_post, self.ground_truth, self.durations)
+                self.logger.info(f"sebb auto-tune (best global psds1 {best:.4f}): {params}")
+                scores_post = apply_csebbs(scores_post, params)
+            else:
+                scores_post = apply_csebbs(scores_post, CSEBBParams(**sebb_cfg))
         psds1, single1 = compute_psds_from_scores(
             scores_post, self.ground_truth, self.durations,
             dtc_threshold=0.7, gtc_threshold=0.7, alpha_ct=0.0, alpha_st=1.0,
