@@ -184,3 +184,76 @@ class TestServeEngine:
             assert np.isfinite(scores).all()
             seen.extend(names)
         assert sorted(seen) == [f"c{i}.wav" for i in range(5)]
+
+
+class TestServeOpenVocab:
+    def test_serve_main_with_external_queries(self, tmp_path):
+        """serve.main end-to-end with a DASM model and --query/--query_names:
+        per-query score TSVs + events JSONL under the query names."""
+        import json
+        import os
+        import sys
+
+        import yaml
+        from scipy.io import wavfile
+
+        from tests.test_dasm import tiny_dasm
+        from transformer4sed_tpu.frontend import PasstFrontend
+        from transformer4sed_tpu.recipes import serve
+        from transformer4sed_tpu.utils.checkpoint import save_params
+
+        sr, dur = 32000, 1.2
+        wav_dir = tmp_path / "wavs"
+        os.makedirs(wav_dir)
+        rng = np.random.RandomState(0)
+        for i in range(3):
+            wav = (rng.randn(int(dur * sr)) * 0.05 * 32767).astype(np.int16)
+            wavfile.write(str(wav_dir / f"q{i}.wav"), sr, wav)
+
+        dasm_kwargs = dict(
+            class_num=4, decoder_dim=32, num_heads=4, decoder="transformerXL",
+            decoder_layer_num=1, decoder_pos_emd_len=120, embed_dim=32,
+            backbone_depth=2, backbone_num_heads=4, passt_feature_layer=2,
+            at_decoder_layer=1, f_pool_heads=4, out_type="sigmoid", cnn_param=None,
+            query_projector=True, query_dim=16,
+        )
+        config = {
+            "model_name": "DASM",
+            "feature": {"pred_len": 120, "sr": sr, "hopsize": 320, "n_fft": 1024,
+                        "audio_max_len": dur, "net_subsample": 1},
+            "dataset": {"labels": ["a", "b", "c", "d"]},
+            "training": {"median_window": 3},
+            "DASM": {"init_kwargs": dasm_kwargs, "test_kwargs": {"temp_w": 0.5}},
+        }
+        cfg_path = tmp_path / "cfg.yaml"
+        with open(cfg_path, "w") as f:
+            yaml.safe_dump(config, f)
+
+        queries = rng.randn(4, 16).astype(np.float32)
+        np.save(tmp_path / "queries.npy", queries)
+        with open(tmp_path / "names.txt", "w") as f:
+            f.write("dog_bark\ncar_horn\nsiren\nspeech\n")
+
+        model = tiny_dasm(**dasm_kwargs)
+        frontend = PasstFrontend()
+        mel = frontend.normalize(frontend(jnp.zeros((1, int(dur * sr)))))
+        params = model.init(
+            {"params": KEY}, mel, query=jnp.asarray(queries), query_type="text"
+        )["params"]
+        save_params(str(tmp_path / "ckpt"), params)
+
+        out_dir = tmp_path / "out"
+        serve.main([
+            "--config_dir", str(cfg_path), "--ckpt", str(tmp_path / "ckpt"),
+            "--wav_dir", str(wav_dir), "--out_dir", str(out_dir),
+            "--batch_size", "2", "--query", str(tmp_path / "queries.npy"),
+            "--query_type", "text", "--query_names", str(tmp_path / "names.txt"),
+        ])
+
+        tsv = (out_dir / "q0.tsv").read_text().splitlines()
+        assert tsv[0].split("\t") == ["onset", "offset", "dog_bark", "car_horn", "siren", "speech"]
+        events = [json.loads(l) for l in (out_dir / "events.jsonl").read_text().splitlines()]
+        assert {e["filename"] for e in events} == {f"q{i}.wav" for i in range(3)}
+        for e in events:
+            for ev in e["events"]:
+                assert ev["event"] in ("dog_bark", "car_horn", "siren", "speech")

@@ -109,18 +109,40 @@ def main(argv=None):
     parser.add_argument("--out_dir", required=True)
     parser.add_argument("--batch_size", type=int, default=64)
     parser.add_argument("--threshold", type=float, default=0.5)
+    parser.add_argument("--query", default=None,
+                        help=".npy of external query embeddings (open-vocab DASM)")
+    parser.add_argument("--query_type", default="text", choices=["text", "audio"])
+    parser.add_argument("--query_names", default=None,
+                        help="text file, one event name per query row; becomes the output class list")
     args = parser.parse_args(argv)
 
     config = load_yaml_with_include(args.config_dir)
-    codec = common.codec_from_config(config)
+    labels = None
+    if args.query_names:
+        with open(args.query_names) as f:
+            labels = [ln.strip() for ln in f if ln.strip()]
+    codec = common.codec_from_config(config, labels=labels)
     model, frontend = build_model(config)
     params = restore_params(args.ckpt)
     model_name = config.get("model_name", "PaSST_SED")
+    model_kwargs = dict(config.get(model_name, {}).get("test_kwargs", {}))
+    if args.query:
+        # open-vocab serving: the notebook's text/audio query flow
+        # (SURVEY.md §3.5) batched — queries are fixed per run, so they
+        # compile into the engine's single jitted forward
+        query = jnp.asarray(np.load(args.query))
+        if labels is not None and len(labels) != query.shape[0]:
+            parser.error(
+                f"--query_names lists {len(labels)} names but --query has "
+                f"{query.shape[0]} rows; they must match one-to-one"
+            )
+        model_kwargs["query"] = query
+        model_kwargs["query_type"] = args.query_type
     engine = InferenceEngine(
         model, frontend, params, codec, batch_size=args.batch_size,
         median_filter=common.median_filter_from_config(config, codec),
         threshold=args.threshold,
-        model_kwargs=config.get(model_name, {}).get("test_kwargs", {}),
+        model_kwargs=model_kwargs,
     )
 
     ds = UnlabeledDataset(args.wav_dir, True, codec)
