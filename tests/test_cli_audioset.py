@@ -149,3 +149,48 @@ class TestDASMOVCLI:
             "--random_seed", "0",
         ])
         assert rc == 0
+
+
+class TestHTSATSupervisedCLI:
+    def test_htsat_cnn_stage(self, mini_audioset, tmp_path):
+        """audioset_supervised with the HTSAT(Swin) backbone through the
+        CLI: BatchNorm state threaded, tiny config, one epoch."""
+        import yaml as _yaml
+
+        from transformer4sed_tpu.recipes.cli import main
+
+        with open(mini_audioset["config"]) as f:
+            config = _yaml.safe_load(f)
+        config["model_name"] = "HTSAT_CNN"
+        # HTSAT tiny on 1.2 s emits 32 latent frames x10 upsample = 320
+        # output frames; the label grid must match (fractional pooling,
+        # reference audioset HTSAT configs do the same via net_subsample)
+        config["feature"]["net_subsample"] = 120.0 / 320.0
+        config["feature"]["pred_len"] = 320
+        config["HTSAT_CNN"] = {
+            "init_kwargs": {
+                "class_num": 3, "decoder_dim": 32, "num_heads": 4,
+                "decoder": "transformerXL", "decoder_layer_num": 1,
+                "decoder_pos_emd_len": 512, "htsat_config": "tiny",
+                "cnn_param": {
+                    "nb_filters": [8, 8],
+                    "pooling": [[1, 8], [1, 8]],
+                    "normalization": "layer",
+                    "activation": "glu",
+                },
+            },
+            "train_kwargs": {"temp_w": 1},
+            "val_kwargs": {"temp_w": 0.5},
+        }
+        cfg_path = tmp_path / "htsat_config.yaml"
+        with open(cfg_path, "w") as f:
+            _yaml.safe_dump(config, f)
+
+        rc = main([
+            "audioset_supervised",
+            "--config_dir", str(cfg_path),
+            "--save_folder", str(tmp_path / "run"),
+            "--random_seed", "0",
+        ])
+        assert rc == 0
+        assert any("best" in p.name for p in (tmp_path / "run").rglob("*"))

@@ -110,8 +110,20 @@ class HTSAT_CNN(nn.Module):
             cnn_feat = self.cnn(mel, train=train)  # [B, C, T'', 1]
             assert cnn_feat.shape[-1] == 1
             cnn_feat = cnn_feat[:, :, :, 0].transpose(0, 2, 1)
-            ratio = x.shape[1] // cnn_feat.shape[1]
-            cnn_feat = interpolate_time(cnn_feat, ratio, "linear")
+            t_c = cnn_feat.shape[1]
+            ratio = x.shape[1] // t_c
+            if ratio * t_c != x.shape[1]:
+                # generic linear resize for clip lengths where the branch
+                # grids do not divide (the reference only ever sees 10-s
+                # clips where they do; same fallback as PaSST_CNN)
+                idx_len = x.shape[1]
+                coords = (jnp.arange(idx_len) + 0.5) * t_c / idx_len - 0.5
+                lo = jnp.clip(jnp.floor(coords).astype(jnp.int32), 0, t_c - 1)
+                hi = jnp.clip(lo + 1, 0, t_c - 1)
+                w = (coords - lo)[None, :, None]
+                cnn_feat = jnp.take(cnn_feat, lo, axis=1) * (1 - w) + jnp.take(cnn_feat, hi, axis=1) * w
+            else:
+                cnn_feat = interpolate_time(cnn_feat, ratio, "linear")
             x = self.transformer_projector(x) + self.merge_weight * self.cnn_projector(cnn_feat)
         else:
             x = self.transformer_projector(x)

@@ -119,6 +119,12 @@ def make_supervised_step(model_apply: Callable, frontend, optimizer, cfg: Superv
         kmel, kshift, kmix, kmixp, ktrans, kfwd = jax.random.split(key, 6)
         mel = frontend(batch["wav"], key=kmel, training=True)
         mel = frontend.normalize(mel)
+        # HTSAT-style frontends emit [B, 1, T, F]; the augmentation
+        # library works in the [B, F, T] layout (same adaptor as the
+        # CLAP step, recipes/clap.py:52-75)
+        is_4d = mel.ndim == 4
+        if is_4d:
+            mel = mel[:, 0].transpose(0, 2, 1)
         labels = batch["labels"]
         net_pooling = mel.shape[-1] / labels.shape[-1]
         mel, labels = augment.frame_shift(
@@ -137,6 +143,8 @@ def make_supervised_step(model_apply: Callable, frontend, optimizer, cfg: Superv
             filter_minimum_bandwidth=cfg.filter_minimum_bandwidth,
             filter_type=cfg.filter_type, norm_std=5.0,
         )
+        if is_4d:
+            mel = mel.transpose(0, 2, 1)[:, None]
         rngs = {k: jax.random.fold_in(kfwd, i) for i, k in enumerate(("patchout", "dropout", "mlm"))}
         out, new_ms = model_apply(
             params, mel, train=True, rngs=rngs, model_state=model_state, **cfg.model_kwargs
@@ -205,15 +213,16 @@ class SupervisedTrainer:
         self.type_map = type_map
         self.model_name = config.get("model_name", "PaSST_CNN")
 
-        model_state = None
+        # BatchNorm backbones (HTSAT bn0) carry running stats that must
+        # ride along in the train state; derive the non-params collections
+        # by a sample init even when params come from a checkpoint (the
+        # CLI path passes init_params, which carries only "params")
+        sample = next(iter(train_loader))
+        mel = frontend.normalize(frontend(jnp.asarray(sample["wav"][:1])))
+        variables = model.init({"params": jax.random.PRNGKey(0)}, mel)
         if init_params is None:
-            sample = next(iter(train_loader))
-            mel = frontend.normalize(frontend(jnp.asarray(sample["wav"][:1])))
-            variables = model.init({"params": jax.random.PRNGKey(0)}, mel)
             init_params = variables["params"]
-            # BatchNorm backbones (HTSAT bn0) carry running stats that must
-            # ride along in the train state
-            model_state = {k: v for k, v in variables.items() if k != "params"} or None
+        model_state = {k: v for k, v in variables.items() if k != "params"} or None
         steps = len(train_loader)
         self.optimizer, _ = common.optimizer_from_config(init_params, config, steps)
         self.state = MLMState(

@@ -33,7 +33,7 @@ def build_model(config):
     from transformer4sed_tpu.models.dasm import DASM
     from transformer4sed_tpu.models.htsat import HTSATFrontend
     from transformer4sed_tpu.models.htsat_heads import CLAP_SED, DASM_HTSAT, HTSAT_CNN
-    from transformer4sed_tpu.models.passt_cnn import PaSST_CNN
+    from transformer4sed_tpu.models.passt_cnn import PaSST_CNN, PasstComplexCNN
     from transformer4sed_tpu.models.passt_sed import PaSST_SED
 
     name = config.get("model_name", "PaSST_SED")
@@ -41,6 +41,7 @@ def build_model(config):
     model_cls = {
         "PaSST_SED": PaSST_SED,
         "PaSST_CNN": PaSST_CNN,
+        "PasstComplexCNN": PasstComplexCNN,
         "DASM": DASM,
         "HTSAT_CNN": HTSAT_CNN,
         "CLAP_SED": CLAP_SED,
