@@ -1,5 +1,10 @@
 """Mean-teacher train-step throughput at several batch sizes on TPU.
 
+DEPRECATED in favour of `exps/profile_train2.py`: this script returns
+only the final loss from the scan, so the LAST iteration's optimizer/
+EMA update is dead code, and it takes a single timing sample. Use
+profile_train2's forced-dependency scalar for honest numbers.
+
 Full-size MAT-SED (PaSST 768/12 + 3L XL) single-chip training step:
 frontend + augmentation + student/teacher forward + 6 losses + AdamW +
 EMA, one jit. Run: `python exps/profile_train.py [B ...]`.

@@ -1,0 +1,125 @@
+"""Honest mean-teacher train-step timing on TPU (DCE-proof).
+
+Earlier measurements that returned only ``loss_total`` let XLA
+dead-code-eliminate the backward + optimizer + EMA (the loss does not
+depend on them), reporting forward-only time. Here every variant
+returns a scalar that *depends on the updated state*, so the full
+update chain must execute:
+
+  a) fwd-only   — loss scalar only (the DCE'd number, for reference)
+  b) single     — one step, scalar = loss + sum over updated params
+  c) scan-10    — 10-step lax.scan, scalar forced from the final carry
+
+Run: `python exps/profile_train2.py [B ...]`.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def force_scalar(tree):
+    """Cheap scalar that data-depends on every leaf of ``tree``."""
+    return sum(jnp.sum(x[(0,) * x.ndim]) for x in jax.tree_util.tree_leaves(tree))
+
+
+def main():
+    import optax
+
+    from transformer4sed_tpu.frontend import PasstFrontend
+    from transformer4sed_tpu.models.passt_sed import PaSST_SED
+    from transformer4sed_tpu.train.mean_teacher import (
+        MeanTeacherConfig,
+        create_mean_teacher_state,
+        make_mean_teacher_step,
+        make_multi_step,
+    )
+
+    batches_arg = [int(x) for x in sys.argv[1:]] or [12, 24]
+    use_flash = os.environ.get("T4S_PROFILE_NO_FLASH", "0") != "1"
+    dtype = jnp.bfloat16
+    model = PaSST_SED(
+        class_num=10, embed_dim=768, decoder_dim=768, backbone_depth=12,
+        backbone_num_heads=12, passt_feature_layer=10, decoder="transformerXL",
+        decoder_layer_num=3, decoder_pos_emd_len=1000, at_adapter=True,
+        use_flash=use_flash, dtype=dtype,
+    )
+    print(f"use_flash={use_flash}")
+    frontend = PasstFrontend()
+    cpu = jax.devices("cpu")[0]
+    dev = jax.devices()[0]
+    with jax.default_device(cpu):
+        mel0 = frontend.normalize(frontend(np.zeros((1, 320000), np.float32)))
+        params = model.init({"params": jax.random.PRNGKey(0)}, mel0)["params"]
+
+    opt = optax.chain(optax.clip_by_global_norm(20.0), optax.adamw(1e-4))
+
+    for b in batches_arg:
+        s = w = max(b // 3, 1)
+        u = b - 2 * s
+        cfg = MeanTeacherConfig(strong_num=s, weak_num=w, unlabel_num=u)
+        step = make_mean_teacher_step(
+            lambda p, m, train, rngs, **kw: model.apply(
+                {"params": p}, m, train=train, rngs=rngs, **kw
+            ),
+            frontend, opt, cfg,
+        )
+        state = jax.device_put(create_mean_teacher_state(params, opt), dev)
+        wav = jax.device_put(jnp.asarray(
+            np.random.RandomState(0).randn(b, 320000).astype(np.float32) * 0.1), dev)
+        labels = jax.device_put(jnp.zeros((b, 10, 1000)), dev)
+        batch = {"wav": wav, "labels": labels}
+        key = jax.random.PRNGKey(0)
+
+        # a) forward-only (what the old measurement saw after DCE)
+        fwd_only = jax.jit(lambda st, bt, k: step(st, bt, k)[1]["loss_total"])
+
+        # b) forced single step
+        def single(st, bt, k):
+            new_state, metrics = step(st, bt, k)
+            return metrics["loss_total"] + force_scalar(new_state.params) \
+                + force_scalar(new_state.teacher_params)
+
+        single_j = jax.jit(single)
+
+        # c) forced 10-step scan
+        n = 10
+        multi = make_multi_step(step, n)
+
+        def scan10(st, bts, k):
+            fin, metrics = multi(st, bts, k)
+            return metrics["loss_total"][-1] + force_scalar(fin.params) \
+                + force_scalar(fin.teacher_params)
+
+        scan_j = jax.jit(scan10)
+        stacked = {
+            "wav": jax.device_put(jnp.broadcast_to(wav, (n,) + wav.shape), dev),
+            "labels": jax.device_put(jnp.zeros((n, b, 10, 1000)), dev),
+        }
+
+        def timeit(fn, *args, n_calls=5):
+            _ = float(fn(*args))  # compile+warm
+            _ = float(fn(*args))
+            t0 = time.perf_counter()
+            for i in range(n_calls):
+                r = fn(*args)
+            _ = float(r)
+            return (time.perf_counter() - t0) / n_calls * 1000
+
+        t_fwd = timeit(fwd_only, state, batch, key)
+        t_single = timeit(single_j, state, batch, key)
+        t_scan = timeit(scan_j, state, stacked, key, n_calls=2) / n
+
+        print(f"B={b:3d}: fwd-only {t_fwd:7.1f} ms | single forced {t_single:7.1f} ms "
+              f"({b / t_single * 1000:5.1f} clips/s) | scan-10 forced {t_scan:7.1f} ms/step "
+              f"({b / t_scan * 1000:5.1f} clips/s)")
+
+
+if __name__ == "__main__":
+    main()

@@ -242,7 +242,8 @@ class SupervisedTrainer:
             return model.apply(variables, mel, train=train, rngs=rngs, **kw), None
 
         self.model_apply = model_apply
-        self._train_step = jax.jit(self._build_train_step())
+        # state donated: old buffers are dead after `self.state = step(...)`
+        self._train_step = jax.jit(self._build_train_step(), donate_argnums=0)
         self._eval_fn = jax.jit(
             lambda p, ms, m, pm: model_apply(
                 p, m, train=False, pad_mask=pm, model_state=ms,

@@ -252,7 +252,9 @@ def main(argv=None):
             w_at=config["training"].get("w_AT", 0.0),
             model_kwargs=config.get(model_name, {}).get("train_kwargs", {}),
         )
-        step = jax.jit(make_pmam_step(model_apply, frontend, optimizer, gmm_means, cfg))
+        step = jax.jit(
+            make_pmam_step(model_apply, frontend, optimizer, gmm_means, cfg), donate_argnums=0
+        )
         key = jax.random.PRNGKey(args.random_seed)
         best = float("inf")
         n = len(loader)

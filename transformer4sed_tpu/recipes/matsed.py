@@ -120,11 +120,15 @@ class MATSEDTrainer:
             from transformer4sed_tpu.parallel import make_mesh, shard_train_step
 
             self.mesh = make_mesh()
-            self._train_step = shard_train_step(raw_step, self.mesh, donate_state=False)
+            # donate the state: the previous step's buffers are dead after
+            # `self.state = step(...)` (best/ckpt trackers device_get copies),
+            # so XLA reuses them in place — ~1.4 GB less peak HBM on the
+            # full-size model and no input copy per step
+            self._train_step = shard_train_step(raw_step, self.mesh, donate_state=True)
             self.logger.info(f"sharding batches over {jax.device_count()} devices")
         else:
             self.mesh = None
-            self._train_step = jax.jit(raw_step)
+            self._train_step = jax.jit(raw_step, donate_argnums=0)
         self._eval_fns: Dict[str, Any] = {}
         self.median_filter = common.median_filter_from_config(config, codec)
         self.ground_truth = common.load_ground_truth(config["dataset"]["val_tsv"])
@@ -368,7 +372,9 @@ class MLMTrainer:
             ),
             model_kwargs=config.get(self.model_name, {}).get("train_kwargs", {}),
         )
-        self._train_step = jax.jit(make_mlm_step(model_apply, frontend, self.optimizer, mlm_cfg))
+        self._train_step = jax.jit(
+            make_mlm_step(model_apply, frontend, self.optimizer, mlm_cfg), donate_argnums=0
+        )
 
     def train_epoch(self, epoch: int, key) -> float:
         self.train_loader.set_epoch(epoch)
