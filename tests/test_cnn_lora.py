@@ -193,6 +193,79 @@ class TestLoRA:
         assert set(flat) == {"lora_A", "lora_B"}
 
 
+class TestLoRAVariants:
+    """MergedLinear / Embedding / ConvLoRA equivalents
+    (``src/models/lora/layers.py:61-330`` — vendored, unused by the
+    reference recipes, implemented for inventory completeness)."""
+
+    def test_merged_dense_partial_groups(self):
+        from transformer4sed_tpu.models.lora import LoRAMergedDense
+
+        m = LoRAMergedDense(features=12, enable_lora=(True, False, True), rank=2, alpha=2.0)
+        x = jnp.asarray(np.random.RandomState(0).randn(3, 5).astype(np.float32))
+        params = dict(m.init(KEY, x)["params"])
+        assert set(k for k in params if k.startswith("lora")) == {
+            "lora_A_g0", "lora_B_g0", "lora_A_g2", "lora_B_g2"
+        }
+        # zero-B init -> identity with base
+        base = x @ params["kernel"] + params["bias"]
+        np.testing.assert_allclose(np.asarray(m.apply({"params": params}, x)), np.asarray(base), atol=1e-6)
+        # nonzero B: delta lands only in the enabled slices
+        rng = np.random.RandomState(1)
+        params["lora_B_g0"] = jnp.asarray(rng.randn(2, 4).astype(np.float32))
+        params["lora_B_g2"] = jnp.asarray(rng.randn(2, 4).astype(np.float32))
+        out = np.asarray(m.apply({"params": params}, x))
+        np.testing.assert_allclose(out[:, 4:8], np.asarray(base)[:, 4:8], atol=1e-6)
+        assert np.abs(out[:, :4] - np.asarray(base)[:, :4]).max() > 1e-4
+
+        # merge folds each group into its kernel slice
+        merged = merge_lora({"params": params}, alpha_over_rank=2.0 / 2)["params"]
+        assert not any(k.startswith("lora") for k in merged)
+        out_merged = x @ merged["kernel"] + merged["bias"]
+        np.testing.assert_allclose(out, np.asarray(out_merged), atol=1e-5)
+
+    def test_embedding(self):
+        from transformer4sed_tpu.models.lora import LoRAEmbedding
+
+        emb = LoRAEmbedding(num_embeddings=7, features=6, rank=2, alpha=4.0)
+        ids = jnp.asarray([0, 3, 6, 3])
+        params = dict(emb.init(KEY, ids)["params"])
+        # reference zeroes A (not B) for Embedding -> identity at init
+        base = jnp.take(params["embedding"], ids, axis=0)
+        np.testing.assert_allclose(np.asarray(emb.apply({"params": params}, ids)), np.asarray(base), atol=1e-6)
+        params["lora_A"] = jnp.asarray(np.random.RandomState(2).randn(7, 2).astype(np.float32))
+        out = np.asarray(emb.apply({"params": params}, ids))
+        merged = merge_lora({"params": params}, alpha_over_rank=4.0 / 2)["params"]
+        np.testing.assert_allclose(out, np.asarray(jnp.take(merged["embedding"], ids, axis=0)), atol=1e-5)
+
+    def test_conv(self):
+        from transformer4sed_tpu.models.lora import LoRAConv
+
+        conv = LoRAConv(features=5, kernel_size=(3, 3), rank=2, alpha=2.0)
+        x = jnp.asarray(np.random.RandomState(0).randn(2, 8, 8, 3).astype(np.float32))
+        params = dict(conv.init(KEY, x)["params"])
+        out0 = np.asarray(conv.apply({"params": params}, x))
+        params["lora_B"] = jnp.asarray(np.random.RandomState(3).randn(2, 5).astype(np.float32))
+        out = np.asarray(conv.apply({"params": params}, x))
+        assert np.abs(out - out0).max() > 1e-4
+        merged = merge_lora({"params": params}, alpha_over_rank=2.0 / 2)["params"]
+        assert "lora_A" not in merged
+        out_merged = np.asarray(
+            LoRAConv(features=5, kernel_size=(3, 3), rank=0).apply({"params": merged}, x)
+        )
+        np.testing.assert_allclose(out, out_merged, atol=1e-4)
+
+    def test_grouped_label_and_filter(self):
+        from transformer4sed_tpu.models.lora import LoRAMergedDense
+
+        m = LoRAMergedDense(features=6, enable_lora=(True, True), rank=1)
+        params = m.init(KEY, jnp.zeros((1, 4)))["params"]
+        labels = flax.traverse_util.flatten_dict(lora_label_fn(params), sep="/")
+        assert labels["lora_A_g0"] == "lora" and labels["kernel"] == "frozen"
+        only = flax.traverse_util.flatten_dict(lora_params(params), sep="/")
+        assert set(only) == {"lora_A_g0", "lora_B_g0", "lora_A_g1", "lora_B_g1"}
+
+
 class TestDropBlock:
     def test_identity_eval(self):
         from transformer4sed_tpu.models.cnn import DropBlock2D
