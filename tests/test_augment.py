@@ -26,6 +26,29 @@ class TestFrameShift:
             np.sort(np.asarray(sf), axis=-1), np.sort(np.asarray(feats), axis=-1), atol=1e-6
         )
 
+    def test_fractional_net_pooling(self):
+        """Label grid FINER than the mel grid (HTSAT: mel_T/label_T < 1):
+        the label must roll by shift/net_pooling frames, with the
+        reference's magnitude-floor + sign semantics."""
+        b, f, t, t_lab = 4, 8, 30, 80
+        rng = np.random.RandomState(1)
+        feats = jnp.asarray(rng.randn(b, f, t).astype(np.float32))
+        labels = jnp.asarray(rng.rand(b, 3, t_lab).astype(np.float32))
+        np_ratio = t / t_lab  # 0.375
+        sf, sl = augment.frame_shift(KEY, feats, labels, net_pooling=np_ratio, max_shift_frame=9)
+        # replicate the internal per-sample draw and check both rolls
+        shifts = np.asarray((jax.random.normal(KEY, (b,)) * 9).astype(jnp.int32))
+        for i, s in enumerate(shifts):
+            np.testing.assert_allclose(
+                np.asarray(sf[i]), np.roll(np.asarray(feats[i]), int(s), axis=-1), atol=1e-6
+            )
+            mag = int(np.floor(abs(int(s)) / np_ratio))
+            lab_shift = -mag if s < 0 else mag
+            assert abs(lab_shift) >= abs(int(s))  # finer grid -> larger label roll
+            np.testing.assert_allclose(
+                np.asarray(sl[i]), np.roll(np.asarray(labels[i]), lab_shift, axis=-1), atol=1e-6
+            )
+
     def test_no_label(self):
         feats, _ = make_batch()
         out = augment.frame_shift(KEY, feats)

@@ -193,6 +193,31 @@ class TestInterpolate:
         x = jnp.ones((1, 5, 2))
         assert interpolate_time(x, 1) is x
 
+    def test_resize_time_matches_torch_arbitrary_length(self):
+        """Non-integer ratios (e.g. CNN grid 120 -> decoder grid 320)
+        must match F.interpolate(mode='linear', align_corners=False),
+        including the edge-clamped (not extrapolated) first/last frames."""
+        torch = pytest.importorskip("torch")
+        from transformer4sed_tpu.models.interpolate import resize_time
+
+        x = np.random.RandomState(1).randn(2, 120, 4).astype(np.float32)
+        for t_out in (320, 100, 37):
+            ours = np.asarray(resize_time(jnp.asarray(x), t_out))
+            ref = (
+                torch.nn.functional.interpolate(
+                    torch.tensor(x).transpose(1, 2), size=t_out, mode="linear"
+                )
+                .transpose(1, 2)
+                .numpy()
+            )
+            # torch computes the blend weights in float32 (inexact 1.2
+            # scale accumulates ~1e-5 by i~100); semantics are identical
+            np.testing.assert_allclose(ours, ref, atol=1e-4, err_msg=f"t_out={t_out}")
+        # upsampling edge frames replicate the boundary inputs
+        up = np.asarray(resize_time(jnp.asarray(x), 320))
+        np.testing.assert_allclose(up[:, 0], x[:, 0], atol=1e-6)
+        np.testing.assert_allclose(up[:, -1], x[:, -1], atol=1e-6)
+
 
 class TestMLM:
     def test_block_mask_rate(self):

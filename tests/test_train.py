@@ -184,6 +184,60 @@ class TestMeanTeacherStep:
         max_diff = max(jax.tree_util.tree_leaves(diff))
         assert max_diff > 0
 
+    def test_batchnorm_model_state_threaded(self):
+        """PaSST_CNN with the reference's default 'batch'-norm CNN branch
+        (config/pmam/finetune1.yaml) must train through the mean-teacher
+        step: BatchNorm collections ride in state.model_state /
+        teacher_model_state, and the teacher keeps its OWN stats (the
+        reference EMA touches parameters only)."""
+        from transformer4sed_tpu.models.passt_cnn import PaSST_CNN
+
+        model = PaSST_CNN(
+            class_num=3, embed_dim=32, decoder_dim=32, backbone_depth=2,
+            backbone_num_heads=4, decoder_num_heads=4, at_adapter_heads=4,
+            passt_feature_layer=2, decoder="transformerXL", decoder_layer_num=1,
+            decoder_pos_emd_len=120, at_adapter=True,
+            cnn_param={"nb_filters": [8, 8], "pooling": [[1, 16], [1, 8]],
+                       "normalization": "batch", "activation": "glu"},
+        )
+        frontend = tiny_frontend()
+        cfg = MeanTeacherConfig(
+            strong_num=1, weak_num=1, unlabel_num=1, net_pooling=1, max_shift_frame=5
+        )
+        wav = np.random.RandomState(0).randn(3, 32000).astype(np.float32) * 0.05
+        mel = frontend.normalize(frontend(wav))
+        variables = model.init({"params": KEY}, mel)
+        assert "batch_stats" in variables
+        params = variables["params"]
+        model_state = {k: v for k, v in variables.items() if k != "params"}
+
+        def model_apply(p, m, train=False, rngs=None, model_state=None, **kw):
+            vs = {"params": p, **(model_state or {})}
+            if train and model_state:
+                return model.apply(vs, m, train=True, rngs=rngs, mutable=list(model_state), **kw)
+            return model.apply(vs, m, train=train, rngs=rngs, **kw), None
+
+        tx = optax.adamw(1e-4)
+        state = create_mean_teacher_state(params, tx, model_state)
+        step = jax.jit(
+            make_mean_teacher_step(model_apply, frontend, tx, cfg, model_state_aware=True)
+        )
+        batch = {"wav": jnp.asarray(wav),
+                 "labels": jnp.zeros((3, 3, mel.shape[-1]))}
+        before = np.asarray(
+            jax.tree_util.tree_leaves(state.model_state["batch_stats"])[0]
+        ).copy()
+        for i in range(2):
+            state, metrics = step(state, batch, jax.random.PRNGKey(i))
+            assert np.isfinite(float(metrics["loss_total"]))
+        after_s = np.asarray(jax.tree_util.tree_leaves(state.model_state["batch_stats"])[0])
+        after_t = np.asarray(
+            jax.tree_util.tree_leaves(state.teacher_model_state["batch_stats"])[0]
+        )
+        # running stats actually updated, for student AND teacher
+        assert np.abs(after_s - before).max() > 0
+        assert np.abs(after_t - before).max() > 0
+
     def test_metrics_keys(self):
         model_apply, frontend, tx, cfg, params, batch = build_mt_setup()
         state = create_mean_teacher_state(params, tx)

@@ -25,7 +25,7 @@ def frame_shift(
     key: jax.Array,
     features: jnp.ndarray,
     label: Optional[jnp.ndarray] = None,
-    net_pooling: Optional[int] = None,
+    net_pooling: Optional[float] = None,
     max_shift_frame: int = 90,
 ):
     """Per-sample Gaussian circular time shift of mel (+ pooled label).
@@ -33,7 +33,9 @@ def frame_shift(
     The reference draws ``int(gauss(0, max_shift_frame))`` per sample and
     rolls feature/label (label shift divided by net_pooling with
     floor-toward-minus-infinity on the negative side,
-    ``data_aug.py:11-28``).
+    ``data_aug.py:11-28``). ``net_pooling`` may be fractional — e.g.
+    HTSAT label grids are *finer* than the mel grid (mel_T / label_T
+    < 1), where the label must roll by ``shift / net_pooling`` frames.
     """
     b = features.shape[0]
     shifts = (jax.random.normal(key, (b,)) * max_shift_frame).astype(jnp.int32)
@@ -44,8 +46,9 @@ def frame_shift(
     shifted = jax.vmap(roll_one)(features, shifts)
     if label is None:
         return shifted
-    # python floor-division semantics for the pooled shift
-    lab_shift = jnp.where(shifts < 0, -(jnp.abs(shifts) // net_pooling), shifts // net_pooling)
+    # reference semantics: magnitude floor-divided, sign reapplied
+    mag = jnp.floor(jnp.abs(shifts).astype(jnp.float32) / float(net_pooling)).astype(jnp.int32)
+    lab_shift = jnp.where(shifts < 0, -mag, mag)
     shifted_label = jax.vmap(roll_one)(label, lab_shift)
     return shifted, shifted_label
 

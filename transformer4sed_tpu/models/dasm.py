@@ -34,7 +34,7 @@ import jax.numpy as jnp
 
 from transformer4sed_tpu.core.pooling_math import linear_softmax_pool
 from transformer4sed_tpu.models.cnn import CNN
-from transformer4sed_tpu.models.interpolate import interpolate_time
+from transformer4sed_tpu.models.interpolate import interpolate_time, resize_time
 from transformer4sed_tpu.models.mlm import MLMMasker
 from transformer4sed_tpu.models.passt import PaSST
 from transformer4sed_tpu.models.pooling import AttentionPooling
@@ -368,8 +368,7 @@ class DASM(nn.Module):
             cnn_feat = self.cnn(jnp.transpose(mel, (0, 2, 1))[:, None], train=train)
             assert cnn_feat.shape[-1] == 1
             cnn_feat = cnn_feat[:, :, :, 0].transpose(0, 2, 1)  # [B, T', C]
-            ratio = x.shape[1] // cnn_feat.shape[1]
-            cnn_feat = interpolate_time(cnn_feat, ratio, "linear")
+            cnn_feat = resize_time(cnn_feat, x.shape[1], "linear")
             x = self.transformer_projector(x) + self.merge_weight * self.cnn_projector(cnn_feat)
         else:
             x = self.transformer_projector(x)

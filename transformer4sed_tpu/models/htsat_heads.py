@@ -24,7 +24,7 @@ from transformer4sed_tpu.models.dasm import (
     multi_class_to_multi_label,
 )
 from transformer4sed_tpu.models.htsat import HTSAT, create_htsat_model
-from transformer4sed_tpu.models.interpolate import interpolate_time
+from transformer4sed_tpu.models.interpolate import interpolate_time, resize_time
 from transformer4sed_tpu.models.mlm import MLMMasker
 from transformer4sed_tpu.models.sed_model import SEDOutput
 from transformer4sed_tpu.models.vit import trunc_normal_init
@@ -110,20 +110,10 @@ class HTSAT_CNN(nn.Module):
             cnn_feat = self.cnn(mel, train=train)  # [B, C, T'', 1]
             assert cnn_feat.shape[-1] == 1
             cnn_feat = cnn_feat[:, :, :, 0].transpose(0, 2, 1)
-            t_c = cnn_feat.shape[1]
-            ratio = x.shape[1] // t_c
-            if ratio * t_c != x.shape[1]:
-                # generic linear resize for clip lengths where the branch
-                # grids do not divide (the reference only ever sees 10-s
-                # clips where they do; same fallback as PaSST_CNN)
-                idx_len = x.shape[1]
-                coords = (jnp.arange(idx_len) + 0.5) * t_c / idx_len - 0.5
-                lo = jnp.clip(jnp.floor(coords).astype(jnp.int32), 0, t_c - 1)
-                hi = jnp.clip(lo + 1, 0, t_c - 1)
-                w = (coords - lo)[None, :, None]
-                cnn_feat = jnp.take(cnn_feat, lo, axis=1) * (1 - w) + jnp.take(cnn_feat, hi, axis=1) * w
-            else:
-                cnn_feat = interpolate_time(cnn_feat, ratio, "linear")
+            # resize onto the transformer grid (the reference only sees
+            # 10-s clips where the grids divide; resize_time also covers
+            # non-dividing clip lengths)
+            cnn_feat = resize_time(cnn_feat, x.shape[1], "linear")
             x = self.transformer_projector(x) + self.merge_weight * self.cnn_projector(cnn_feat)
         else:
             x = self.transformer_projector(x)
@@ -346,8 +336,7 @@ class DASM_HTSAT(nn.Module):
             cnn_feat = self.cnn(mel, train=train)
             assert cnn_feat.shape[-1] == 1
             cnn_feat = cnn_feat[:, :, :, 0].transpose(0, 2, 1)
-            ratio = x.shape[1] // cnn_feat.shape[1]
-            cnn_feat = interpolate_time(cnn_feat, ratio, "linear")
+            cnn_feat = resize_time(cnn_feat, x.shape[1], "linear")
             x = self.transformer_projector(x) + self.merge_weight * self.cnn_projector(cnn_feat)
         else:
             x = self.transformer_projector(x)

@@ -12,21 +12,21 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def interpolate_time(seq: jnp.ndarray, ratio: int, mode: str = "linear") -> jnp.ndarray:
-    """Upsample [B, T, C] -> [B, T*ratio, C] along time.
-
-    align_corners=False convention: output i samples input coordinate
-    (i + 0.5)/ratio - 0.5, edge-clamped.
-    """
-    if ratio == 1:
-        return seq
+def resize_time(seq: jnp.ndarray, t_out: int, mode: str = "linear") -> jnp.ndarray:
+    """Resize [B, T, C] -> [B, t_out, C] along time to an arbitrary
+    static length (up or down), align_corners=False: output i samples
+    input coordinate (i + 0.5) * T/t_out - 0.5, edge-clamped — matching
+    ``F.interpolate(mode='linear')`` for non-integer ratios too."""
     t = seq.shape[1]
-    t_out = t * ratio
-    coords = (np.arange(t_out) + 0.5) / ratio - 0.5
+    if t_out == t:
+        return seq
+    scale = t / t_out
     if mode == "nearest":
-        idx = np.clip(np.floor((np.arange(t_out)) / ratio), 0, t - 1).astype(np.int32)
+        idx = np.clip(np.floor(np.arange(t_out) * scale), 0, t - 1).astype(np.int32)
         return jnp.take(seq, jnp.asarray(idx), axis=1)
-    coords = np.clip(coords, 0.0, t - 1)
+    # clamp coords BEFORE the floor so edge outputs replicate the edge
+    # frame instead of extrapolating (w stays in [0, 1])
+    coords = np.clip((np.arange(t_out) + 0.5) * scale - 0.5, 0.0, t - 1)
     lo = np.floor(coords).astype(np.int32)
     hi = np.minimum(lo + 1, t - 1)
     w_hi = (coords - lo).astype(np.float32)
@@ -34,3 +34,10 @@ def interpolate_time(seq: jnp.ndarray, ratio: int, mode: str = "linear") -> jnp.
     hi_v = jnp.take(seq, jnp.asarray(hi), axis=1)
     w = jnp.asarray(w_hi)[None, :, None]
     return lo_v * (1.0 - w) + hi_v * w
+
+
+def interpolate_time(seq: jnp.ndarray, ratio: int, mode: str = "linear") -> jnp.ndarray:
+    """Upsample [B, T, C] -> [B, T*ratio, C] along time (integer ratio)."""
+    if ratio == 1:
+        return seq
+    return resize_time(seq, seq.shape[1] * ratio, mode)

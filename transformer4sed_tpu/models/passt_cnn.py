@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from transformer4sed_tpu.core.pooling_math import linear_softmax_pool
 from transformer4sed_tpu.models.cnn import CNN, FDY_CNN, ResNet
-from transformer4sed_tpu.models.interpolate import interpolate_time
+from transformer4sed_tpu.models.interpolate import interpolate_time, resize_time
 from transformer4sed_tpu.models.passt_sed import PaSST_SED
 from transformer4sed_tpu.models.sed_model import SEDOutput
 from transformer4sed_tpu.models.slide import slide_window_encode
@@ -129,18 +129,9 @@ class PaSST_CNN(PaSST_SED):
 
         if self.cnn_param is not None:
             cnn_feat = self._cnn_features(mel, train)
-            t_c = cnn_feat.shape[1]
-            ratio = x.shape[1] // t_c
-            if ratio * t_c != x.shape[1]:
-                # generic linear resize to the decoder length
-                idx_len = x.shape[1]
-                coords = (jnp.arange(idx_len) + 0.5) * t_c / idx_len - 0.5
-                lo = jnp.clip(jnp.floor(coords).astype(jnp.int32), 0, t_c - 1)
-                hi = jnp.clip(lo + 1, 0, t_c - 1)
-                w = (coords - lo)[None, :, None]
-                cnn_feat = jnp.take(cnn_feat, lo, axis=1) * (1 - w) + jnp.take(cnn_feat, hi, axis=1) * w
-            else:
-                cnn_feat = interpolate_time(cnn_feat, ratio, self.interpolate_mode)
+            # resize the CNN grid onto the decoder grid (handles the
+            # reference's integer x-N upsample and non-dividing lengths)
+            cnn_feat = resize_time(cnn_feat, x.shape[1], self.interpolate_mode)
             x = self.transformer_projector(x) + self.merge_weight * self.cnn_projector(cnn_feat)
         else:
             x = self.transformer_projector(x)

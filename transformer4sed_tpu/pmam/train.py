@@ -58,15 +58,26 @@ class PMAMConfig:
     model_kwargs: Dict[str, Any] = field(default_factory=dict)
 
 
-def make_pmam_step(model_apply: Callable, frontend, optimizer, gmm_means, cfg: PMAMConfig = PMAMConfig()):
+def make_pmam_step(
+    model_apply: Callable,
+    frontend,
+    optimizer,
+    gmm_means,
+    cfg: PMAMConfig = PMAMConfig(),
+    model_state_aware: bool = False,
+):
     """Build the jitted PMAM step.
 
     ``batch`` = dict(wav=[B, S], labels=[B, K, T_lab]) where labels are
-    the frame-wise GMM pseudo-labels.
+    the frame-wise GMM pseudo-labels. With ``model_state_aware=True``
+    the model_apply contract becomes
+    ``(params, mel, train, rngs, model_state, **kw) -> (out, new_ms)``
+    and BatchNorm collections (PaSST_CNN 'batch'-norm CNN) ride in
+    ``state.model_state``.
     """
     gmm_means = jnp.asarray(gmm_means)
 
-    def loss_fn(params, batch, key):
+    def loss_fn(params, model_state, batch, key):
         kmel, kshift, ktrans, kfwd = jax.random.split(key, 4)
         mel = frontend(batch["wav"], key=kmel, training=True)
         mel = frontend.normalize(mel)
@@ -86,7 +97,14 @@ def make_pmam_step(model_apply: Callable, frontend, optimizer, gmm_means, cfg: P
             norm_std=5.0,
         )
         rngs = {k: jax.random.fold_in(kfwd, i) for i, k in enumerate(("patchout", "dropout", "mlm"))}
-        out = model_apply(params, mel, train=True, rngs=rngs, **cfg.model_kwargs)
+        if model_state_aware:
+            out, new_ms = model_apply(
+                params, mel, train=True, rngs=rngs, model_state=model_state, **cfg.model_kwargs
+            )
+            new_ms = jax.lax.stop_gradient(new_ms)
+        else:
+            out = model_apply(params, mel, train=True, rngs=rngs, **cfg.model_kwargs)
+            new_ms = model_state
 
         pred = prototype_predictions(out.mlm_pred, gmm_means, cfg.temperature)  # [B, T, K]
         targets = labels.transpose(0, 2, 1)  # [B, T, K]
@@ -98,14 +116,24 @@ def make_pmam_step(model_apply: Callable, frontend, optimizer, gmm_means, cfg: P
             label_weak = (jnp.sum(labels, axis=-1) >= 1).astype(jnp.float32)
             loss_weak = L.bce(out.at_out, label_weak)
         total = loss_strong + cfg.w_at * loss_weak
-        return total, {"loss_total": total, "loss_strong": loss_strong, "loss_weak": loss_weak}
+        return total, (
+            {"loss_total": total, "loss_strong": loss_strong, "loss_weak": loss_weak},
+            new_ms,
+        )
 
     def step(state, batch, key):
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params, batch, key)
+        (_, (metrics, new_ms)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.model_state, batch, key
+        )
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
         import optax as _optax
 
         new_params = _optax.apply_updates(state.params, updates)
-        return state.replace(params=new_params, opt_state=new_opt, step=state.step + 1), metrics
+        return (
+            state.replace(
+                params=new_params, opt_state=new_opt, step=state.step + 1, model_state=new_ms
+            ),
+            metrics,
+        )
 
     return step

@@ -126,10 +126,11 @@ def make_supervised_step(model_apply: Callable, frontend, optimizer, cfg: Superv
         if is_4d:
             mel = mel[:, 0].transpose(0, 2, 1)
         labels = batch["labels"]
+        # may be fractional: HTSAT label grids are finer than the mel grid
         net_pooling = mel.shape[-1] / labels.shape[-1]
         mel, labels = augment.frame_shift(
             kshift, mel, labels,
-            net_pooling=max(int(round(net_pooling)), 1),
+            net_pooling=net_pooling,
             max_shift_frame=min(cfg.max_shift_frame, mel.shape[-1] // 2),
         )
         c = jax.random.beta(jax.random.fold_in(kmix, 0), cfg.mixup_alpha, cfg.mixup_beta)
@@ -196,6 +197,7 @@ class SupervisedTrainer:
         val_loader,
         logger,
         init_params=None,
+        init_model_state=None,
         type_map: Optional[Dict[str, str]] = None,
     ):
         import flax.struct
@@ -214,15 +216,19 @@ class SupervisedTrainer:
         self.model_name = config.get("model_name", "PaSST_CNN")
 
         # BatchNorm backbones (HTSAT bn0) carry running stats that must
-        # ride along in the train state; derive the non-params collections
-        # by a sample init even when params come from a checkpoint (the
-        # CLI path passes init_params, which carries only "params")
-        sample = next(iter(train_loader))
-        mel = frontend.normalize(frontend(jnp.asarray(sample["wav"][:1])))
-        variables = model.init({"params": jax.random.PRNGKey(0)}, mel)
-        if init_params is None:
-            init_params = variables["params"]
-        model_state = {k: v for k, v in variables.items() if k != "params"} or None
+        # ride along in the train state. The CLI passes both trees from
+        # its single model.init (init_model_state may be {} = "inited,
+        # no extra collections"); only derive by a sample init when the
+        # caller supplied neither.
+        if init_params is None or init_model_state is None:
+            sample = next(iter(train_loader))
+            mel = frontend.normalize(frontend(jnp.asarray(sample["wav"][:1])))
+            variables = model.init({"params": jax.random.PRNGKey(0)}, mel)
+            if init_params is None:
+                init_params = variables["params"]
+            if init_model_state is None:
+                init_model_state = {k: v for k, v in variables.items() if k != "params"}
+        model_state = init_model_state or None
         steps = len(train_loader)
         self.optimizer, _ = common.optimizer_from_config(init_params, config, steps)
         self.state = MLMState(

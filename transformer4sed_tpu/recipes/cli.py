@@ -57,7 +57,14 @@ def build_model(config):
 
 
 def load_pretrained(model, frontend, config, args, logger):
-    """Init params, optionally warm-started from an orbax or torch ckpt."""
+    """Init (params, model_state), optionally warm-started from an orbax
+    or torch ckpt. ``model_state`` carries the non-params collections
+    (HTSAT bn0 BatchNorm running stats); {} means the model has none.
+    When an orbax warm-start has a sibling ``best_model_state`` dir
+    (written by the audioset stages), the trained stats are restored
+    instead of fresh init values."""
+    import os
+
     from transformer4sed_tpu.utils.checkpoint import load_partial, restore_params
 
     audio_len = config.get("feature", {}).get("audio_max_len", 10.0)
@@ -65,7 +72,9 @@ def load_pretrained(model, frontend, config, args, logger):
     rngs = {"params": jax.random.PRNGKey(args.random_seed)}
     if config.get(config.get("model_name", "PaSST_SED"), {}).get("init_kwargs", {}).get("mlm"):
         rngs["mlm"] = jax.random.PRNGKey(1)
-    params = model.init(rngs, mel)["params"]
+    variables = model.init(rngs, mel)
+    params = variables["params"]
+    model_state = {k: v for k, v in variables.items() if k != "params"}
     if args.pretrained_ckpt:
         if args.pretrained_ckpt.endswith(".pt"):
             from transformer4sed_tpu.utils.torch_import import (
@@ -76,10 +85,16 @@ def load_pretrained(model, frontend, config, args, logger):
             restored = convert_passt_sed(load_torch_state_dict(args.pretrained_ckpt))
         else:
             restored = restore_params(args.pretrained_ckpt)
+            sibling = os.path.join(
+                os.path.dirname(os.path.abspath(args.pretrained_ckpt)), "best_model_state"
+            )
+            if model_state and os.path.isdir(sibling):
+                model_state = restore_params(sibling)
+                logger.info(f"restored model_state (BatchNorm stats) from {sibling}")
         drop = config["generals"].get("warm_start_drop", [])
         params = load_partial(params, restored, drop_patterns=drop)
         logger.info(f"warm-started from {args.pretrained_ckpt} (dropped: {drop})")
-    return params
+    return params, model_state
 
 
 def main(argv=None):
@@ -104,7 +119,7 @@ def main(argv=None):
         config["dataset"]["labels"] = list(load_label_dict(_label_dict))
     codec = common.codec_from_config(config)
     model, frontend = build_model(config)
-    params = load_pretrained(model, frontend, config, args, logger)
+    params, model_state = load_pretrained(model, frontend, config, args, logger)
 
     if stage == "matsed_pretrain":
         from transformer4sed_tpu.data import DataLoader, RandomSampler, UnlabeledDataset, ConcatBatchSampler
@@ -125,7 +140,10 @@ def main(argv=None):
         val = UnlabeledDataset(ds_cfg["val_folder"], False, codec)
         val_loader = DataLoader(val, batch_size=sum(batch_sizes),
                                 num_workers=config["generals"].get("num_workers", 4), drop_last=False)
-        trainer = MLMTrainer(model, frontend, config, train_loader, val_loader, logger, params)
+        trainer = MLMTrainer(
+            model, frontend, config, train_loader, val_loader, logger, params,
+            init_model_state=model_state,
+        )
         best_loss, key = float("inf"), jax.random.PRNGKey(args.random_seed)
         from transformer4sed_tpu.utils.checkpoint import save_params
 
@@ -136,6 +154,10 @@ def main(argv=None):
             if val_loss < best_loss:
                 best_loss = val_loss
                 save_params(f"{paths['best_paths']}/best_student", trainer.state.params)
+                if trainer.state.model_state:
+                    save_params(
+                        f"{paths['best_paths']}/best_model_state", trainer.state.model_state
+                    )
         return 0
 
     if stage == "pmam_extract":
@@ -153,7 +175,7 @@ def main(argv=None):
                 yield frontend.normalize(frontend(jnp.asarray(batch["wav"])))
 
         feats = extract_frame_features(
-            model, {"params": params}, mel_batches(),
+            model, {"params": params, **(model_state or {})}, mel_batches(),
             feature_layer=config.get("pmam", {}).get("feature_layer", "transformer_0"),
             downsample_rate=config.get("pmam", {}).get("downsample_rate", 4),
         )
@@ -206,7 +228,7 @@ def main(argv=None):
             mels.append(frontend.normalize(frontend(jnp.asarray(batch["wav"]))))
             names.append(batch["filename"])
         n = generate_pseudo_labels(
-            model, {"params": params}, gmm, mels, names,
+            model, {"params": params, **(model_state or {})}, gmm, mels, names,
             out_dir=f"{paths['save_folder']}/pseudo_labels",
             feature_layer=pm.get("feature_layer", "transformer_0"),
         )
@@ -240,11 +262,25 @@ def main(argv=None):
         )
         config.setdefault("opt", {}).setdefault("lora_trainable", True)
         optimizer, _ = common.optimizer_from_config(params, config, len(loader))
+        aware = bool(model_state)
         state = MLMState(params=params, opt_state=optimizer.init(params),
-                         step=jnp.zeros((), jnp.int32))
+                         step=jnp.zeros((), jnp.int32),
+                         model_state=model_state or None)
 
-        def model_apply(p, mel, train=False, rngs=None, **kw):
-            return model.apply({"params": p}, mel, train=train, rngs=rngs, **kw)
+        if aware:
+
+            def model_apply(p, mel, train=False, rngs=None, model_state=None, **kw):
+                variables = {"params": p, **(model_state or {})}
+                if train and model_state:
+                    return model.apply(
+                        variables, mel, train=True, rngs=rngs, mutable=list(model_state), **kw
+                    )
+                return model.apply(variables, mel, train=train, rngs=rngs, **kw), None
+
+        else:
+
+            def model_apply(p, mel, train=False, rngs=None, **kw):
+                return model.apply({"params": p}, mel, train=train, rngs=rngs, **kw)
 
         model_name = config.get("model_name", "PaSST_CNN")
         cfg = PMAMConfig(
@@ -253,7 +289,10 @@ def main(argv=None):
             model_kwargs=config.get(model_name, {}).get("train_kwargs", {}),
         )
         step = jax.jit(
-            make_pmam_step(model_apply, frontend, optimizer, gmm_means, cfg), donate_argnums=0
+            make_pmam_step(
+                model_apply, frontend, optimizer, gmm_means, cfg, model_state_aware=aware
+            ),
+            donate_argnums=0,
         )
         key = jax.random.PRNGKey(args.random_seed)
         best = float("inf")
@@ -272,6 +311,8 @@ def main(argv=None):
             if acc < best:
                 best = acc
                 save_params(f"{paths['best_paths']}/best_student", state.params)
+                if state.model_state:
+                    save_params(f"{paths['best_paths']}/best_model_state", state.model_state)
         return 0
 
     if stage in ("matsed_finetune", "matsed_test"):
@@ -280,7 +321,7 @@ def main(argv=None):
         )
         trainer = MATSEDTrainer(
             model, frontend, config, codec, train_loader, val_loader, test_loader, logger,
-            init_params=params,
+            init_params=params, init_model_state=model_state,
         )
         start_epoch = 0
         resume = args.resume_ckpt
@@ -324,7 +365,7 @@ def main(argv=None):
         state_json = config["dataset"].get("state_json") or config["dataset"].get("type_map")
         type_map = load_type_map(state_json) if state_json else None
         base = dict(
-            init_params=params, type_map=type_map,
+            init_params=params, init_model_state=model_state, type_map=type_map,
         )
         if stage == "audioset_supervised":
             trainer = SupervisedTrainer(
@@ -371,6 +412,12 @@ def main(argv=None):
             if results["psds"] > best:
                 best = results["psds"]
                 save_params(f"{paths['best_paths']}/best_student", trainer.state.params)
+                if trainer.state.model_state:
+                    # BatchNorm running stats ride next to the params so
+                    # warm-starts/serving see the trained statistics
+                    save_params(
+                        f"{paths['best_paths']}/best_model_state", trainer.state.model_state
+                    )
         return 0
 
     if stage == "openset_eval":
@@ -409,6 +456,7 @@ def main(argv=None):
             query_bank=bank,
             median_filter=common.median_filter_from_config(config, codec_open),
             model_kwargs=config.get(config.get("model_name", "DASM"), {}).get("test_kwargs", {}),
+            model_state=model_state or None,
         )
         with open(f"{paths['save_folder']}/single_psds.json", "w") as f:
             json.dump({k: round(v, 4) for k, v in sorted(single.items(), key=lambda kv: kv[1])}, f, indent=4)

@@ -59,6 +59,7 @@ class MATSEDTrainer:
         test_loader,
         logger: Logger,
         init_params=None,
+        init_model_state=None,
     ):
         self.model = model
         self.frontend = frontend
@@ -98,23 +99,44 @@ class MATSEDTrainer:
             tch_kwargs=config.get(self.model_name, {}).get("train_tch_kwargs", {}),
         )
 
-        if init_params is None:
+        if init_params is None or init_model_state is None:
             sample = next(iter(train_loader))
             mel = frontend.normalize(frontend(jnp.asarray(sample["wav"][:1])))
             init_rngs = {"params": jax.random.PRNGKey(config["generals"].get("seed", 0))}
             if getattr(model, "mlm", False):
                 init_rngs["mlm"] = jax.random.PRNGKey(1)
-            init_params = model.init(init_rngs, mel)["params"]
+            variables = model.init(init_rngs, mel)
+            if init_params is None:
+                init_params = variables["params"]
+            if init_model_state is None:
+                # BatchNorm collections (PaSST_CNN 'batch'-norm CNN branch)
+                init_model_state = {k: v for k, v in variables.items() if k != "params"}
+        model_state = init_model_state or None
+        self._aware = model_state is not None
         self.optimizer, self.labels = common.optimizer_from_config(
             init_params, config, steps_per_epoch
         )
-        self.state = create_mean_teacher_state(init_params, self.optimizer)
+        self.state = create_mean_teacher_state(init_params, self.optimizer, model_state)
 
-        def model_apply(params, mel, train=False, rngs=None, **kw):
-            return model.apply({"params": params}, mel, train=train, rngs=rngs, **kw)
+        if self._aware:
+
+            def model_apply(params, mel, train=False, rngs=None, model_state=None, **kw):
+                variables = {"params": params, **(model_state or {})}
+                if train and model_state:
+                    return model.apply(
+                        variables, mel, train=True, rngs=rngs, mutable=list(model_state), **kw
+                    )
+                return model.apply(variables, mel, train=train, rngs=rngs, **kw), None
+
+        else:
+
+            def model_apply(params, mel, train=False, rngs=None, **kw):
+                return model.apply({"params": params}, mel, train=train, rngs=rngs, **kw)
 
         self.model_apply = model_apply
-        raw_step = make_mean_teacher_step(model_apply, frontend, self.optimizer, self.mt_cfg)
+        raw_step = make_mean_teacher_step(
+            model_apply, frontend, self.optimizer, self.mt_cfg, model_state_aware=self._aware
+        )
         # SPMD scale-out: shard the batch over all local devices when >1
         if jax.device_count() > 1 and self.mt_cfg.batch_size % jax.device_count() == 0:
             from transformer4sed_tpu.parallel import make_mesh, shard_train_step
@@ -135,13 +157,20 @@ class MATSEDTrainer:
         self.durations = common.load_durations(config["dataset"]["val_dur"])
 
     # -- jitted eval forward (one compiled fn per kwargs set) ---------------------
-    def _eval_apply(self, params, mel, pad_mask, kwargs_key: str):
+    def _eval_apply(self, params, mel, pad_mask, kwargs_key: str, model_state=None):
         if kwargs_key not in self._eval_fns:
             kwargs = self.config.get(self.model_name, {}).get(kwargs_key, {})
-            self._eval_fns[kwargs_key] = jax.jit(
-                lambda p, m, pm: self.model_apply(p, m, train=False, pad_mask=pm, **kwargs)
-            )
-        return self._eval_fns[kwargs_key](params, mel, pad_mask)
+            if self._aware:
+                self._eval_fns[kwargs_key] = jax.jit(
+                    lambda p, ms, m, pm: self.model_apply(
+                        p, m, train=False, pad_mask=pm, model_state=ms, **kwargs
+                    )[0]
+                )
+            else:
+                self._eval_fns[kwargs_key] = jax.jit(
+                    lambda p, ms, m, pm: self.model_apply(p, m, train=False, pad_mask=pm, **kwargs)
+                )
+        return self._eval_fns[kwargs_key](params, model_state, mel, pad_mask)
 
     # -- stages ---------------------------------------------------------------------
     def train_epoch(self, epoch: int, key) -> Dict[str, float]:
@@ -166,14 +195,14 @@ class MATSEDTrainer:
         )
         return metrics_acc
 
-    def _collect_scores(self, params, kwargs_key: str):
+    def _collect_scores(self, params, kwargs_key: str, model_state=None):
         scores_post = {}
         event_rows = []
         weak_preds_all, weak_labels_all = [], []
         for batch in self.val_loader:
             mel = self.frontend.normalize(self.frontend(jnp.asarray(batch["wav"])))
             pad_mask = jnp.asarray(batch["pad_mask"])
-            out = self._eval_apply(params, mel, pad_mask, kwargs_key)
+            out = self._eval_apply(params, mel, pad_mask, kwargs_key, model_state=model_state)
             _, post = batched_decode_preds(
                 out.strong,
                 batch["filename"],
@@ -194,8 +223,11 @@ class MATSEDTrainer:
 
     def validation(self, epoch: int) -> Dict[str, float]:
         results = OrderedDict()
-        for tag, params in (("s", self.state.params), ("t", self.state.teacher_params)):
-            scores, rows, weak_p, weak_l = self._collect_scores(params, "val_kwargs")
+        for tag, params, ms in (
+            ("s", self.state.params, self.state.model_state),
+            ("t", self.state.teacher_params, self.state.teacher_model_state),
+        ):
+            scores, rows, weak_p, weak_l = self._collect_scores(params, "val_kwargs", model_state=ms)
             psds1, _ = compute_psds_from_scores(
                 scores, self.ground_truth, self.durations,
                 dtc_threshold=0.7, gtc_threshold=0.7, alpha_ct=0.0, alpha_st=1.0,
@@ -242,15 +274,28 @@ class MATSEDTrainer:
             self.train_epoch(epoch, key)
             if (epoch + 1) % self.config["generals"].get("val_interval", 1) == 0:
                 last_val = self.validation(epoch)
-                best.update(
+                improved = best.update(
                     epoch,
                     last_val.get("psds1/s", 0.0),
                     self.state.params,
                     self.state.teacher_params,
                 )
+                if improved and self.state.model_state is not None:
+                    # BatchNorm running stats belong with the best params
+                    self._best_model_state = jax.device_get(
+                        {
+                            "student": self.state.model_state,
+                            "teacher": self.state.teacher_model_state,
+                        }
+                    )
             self.logger.info(f"epoch {epoch + 1} took {(time.time() - t0) / 60:.2f} min")
             self.save_state(f"{save_dir}/last_state")
         best.flush()
+        if getattr(self, "_best_model_state", None) is not None:
+            from transformer4sed_tpu.utils.checkpoint import save_params
+
+            save_params(f"{save_dir}/best_model_state", self._best_model_state["student"])
+            save_params(f"{save_dir}/best_model_state_teacher", self._best_model_state["teacher"])
         return last_val
 
     def test(self, filter_type: str = "median", save_dir: Optional[str] = None) -> Dict[str, float]:
@@ -271,7 +316,8 @@ class MATSEDTrainer:
         for batch in self.test_loader:
             mel = self.frontend.normalize(self.frontend(jnp.asarray(batch["wav"])))
             out = self._eval_apply(
-                self.state.teacher_params, mel, jnp.asarray(batch["pad_mask"]), "test_kwargs"
+                self.state.teacher_params, mel, jnp.asarray(batch["pad_mask"]), "test_kwargs",
+                model_state=self.state.teacher_model_state,
             )
             raw, post = batched_decode_preds(
                 out.strong,
@@ -341,7 +387,10 @@ class MATSEDTrainer:
 class MLMTrainer:
     """Masked-reconstruction pretraining driver (MAT-SED stage 1)."""
 
-    def __init__(self, model, frontend, config, train_loader, val_loader, logger, init_params=None):
+    def __init__(
+        self, model, frontend, config, train_loader, val_loader, logger,
+        init_params=None, init_model_state=None,
+    ):
         self.model = model
         self.frontend = frontend
         self.config = config
@@ -350,20 +399,39 @@ class MLMTrainer:
         self.logger = logger
         self.model_name = config.get("model_name", "PaSST_SED")
 
-        if init_params is None:
+        if init_params is None or init_model_state is None:
             sample = next(iter(train_loader))
             mel = frontend.normalize(frontend(jnp.asarray(sample["wav"][:1])))
-            init_params = model.init(
+            variables = model.init(
                 {"params": jax.random.PRNGKey(0), "mlm": jax.random.PRNGKey(1)}, mel
-            )["params"]
+            )
+            if init_params is None:
+                init_params = variables["params"]
+            if init_model_state is None:
+                init_model_state = {k: v for k, v in variables.items() if k != "params"}
+        model_state = init_model_state or None
+        self._aware = model_state is not None
         steps = len(train_loader)
         self.optimizer, _ = common.optimizer_from_config(init_params, config, steps)
         self.state = MLMState(
-            params=init_params, opt_state=self.optimizer.init(init_params), step=jnp.zeros((), jnp.int32)
+            params=init_params, opt_state=self.optimizer.init(init_params),
+            step=jnp.zeros((), jnp.int32), model_state=model_state,
         )
 
-        def model_apply(params, mel, train=False, rngs=None, **kw):
-            return model.apply({"params": params}, mel, train=train, rngs=rngs, **kw)
+        if self._aware:
+
+            def model_apply(params, mel, train=False, rngs=None, model_state=None, **kw):
+                variables = {"params": params, **(model_state or {})}
+                if train and model_state:
+                    return model.apply(
+                        variables, mel, train=True, rngs=rngs, mutable=list(model_state), **kw
+                    )
+                return model.apply(variables, mel, train=train, rngs=rngs, **kw), None
+
+        else:
+
+            def model_apply(params, mel, train=False, rngs=None, **kw):
+                return model.apply({"params": params}, mel, train=train, rngs=rngs, **kw)
 
         self.model_apply = model_apply
         mlm_cfg = MLMConfig(
@@ -373,7 +441,10 @@ class MLMTrainer:
             model_kwargs=config.get(self.model_name, {}).get("train_kwargs", {}),
         )
         self._train_step = jax.jit(
-            make_mlm_step(model_apply, frontend, self.optimizer, mlm_cfg), donate_argnums=0
+            make_mlm_step(
+                model_apply, frontend, self.optimizer, mlm_cfg, model_state_aware=self._aware
+            ),
+            donate_argnums=0,
         )
 
     def train_epoch(self, epoch: int, key) -> float:
@@ -396,7 +467,13 @@ class MLMTrainer:
         for i, batch in enumerate(self.val_loader):
             mel = self.frontend.normalize(self.frontend(jnp.asarray(batch["wav"])))
             rngs = {"mlm": jax.random.fold_in(key, i)}
-            out = self.model_apply(self.state.params, mel, train=False, rngs=rngs)
+            if self._aware:
+                out, _ = self.model_apply(
+                    self.state.params, mel, train=False, rngs=rngs,
+                    model_state=self.state.model_state,
+                )
+            else:
+                out = self.model_apply(self.state.params, mel, train=False, rngs=rngs)
             total += float(
                 mlm_loss(
                     out.mlm_pred,

@@ -30,21 +30,27 @@ class InferenceEngine:
     """Compile-once batched scorer for fixed-length clips."""
 
     def __init__(self, model, frontend, params, codec, batch_size: int = 64,
-                 median_filter=7, threshold: float = 0.5, model_kwargs=None):
+                 median_filter=7, threshold: float = 0.5, model_kwargs=None,
+                 model_state=None):
         from transformer4sed_tpu.core.filters import apply_class_filter
 
         self.codec = codec
         self.batch_size = batch_size
         self.threshold = threshold
         self.params = jax.device_put(params, jax.devices()[0])
+        # non-params collections (HTSAT bn0 BatchNorm running stats)
+        self.model_state = (
+            jax.device_put(model_state, jax.devices()[0]) if model_state else None
+        )
         model_kwargs = dict(model_kwargs or {})
         if isinstance(median_filter, list):
             median_filter = tuple(median_filter)
 
         @jax.jit
-        def forward(params, wav, pad_mask):
+        def forward(params, model_state, wav, pad_mask):
             mel = frontend.normalize(frontend(wav))
-            out = model.apply({"params": params}, mel, pad_mask=pad_mask, **model_kwargs)
+            variables = {"params": params, **(model_state or {})}
+            out = model.apply(variables, mel, pad_mask=pad_mask, **model_kwargs)
             scores = jnp.transpose(out.strong, (0, 2, 1))  # [B, T, C]
             return apply_class_filter(scores, median_filter, kind="median"), out.weak
 
@@ -84,7 +90,7 @@ class InferenceEngine:
                 reps = self.batch_size - n
                 wav = jnp.concatenate([wav, jnp.zeros((reps,) + wav.shape[1:], wav.dtype)])
                 pm = jnp.concatenate([pm, jnp.ones((reps,) + pm.shape[1:], pm.dtype)])
-            scores, weak = self._forward(self.params, wav, pm)
+            scores, weak = self._forward(self.params, self.model_state, wav, pm)
             # async dispatch: yield the PREVIOUS batch's (already ready)
             # results while this one computes
             pending.append((names, scores[:n], weak[:n]))
@@ -124,6 +130,10 @@ def main(argv=None):
     codec = common.codec_from_config(config, labels=labels)
     model, frontend = build_model(config)
     params = restore_params(args.ckpt)
+    # BatchNorm running stats saved by the training stages next to the
+    # params (best_model_state) — required for HTSAT-family checkpoints
+    ms_dir = os.path.join(os.path.dirname(os.path.abspath(args.ckpt)), "best_model_state")
+    model_state = restore_params(ms_dir) if os.path.isdir(ms_dir) else None
     model_name = config.get("model_name", "PaSST_SED")
     model_kwargs = dict(config.get(model_name, {}).get("test_kwargs", {}))
     if args.query:
@@ -143,6 +153,7 @@ def main(argv=None):
         median_filter=common.median_filter_from_config(config, codec),
         threshold=args.threshold,
         model_kwargs=model_kwargs,
+        model_state=model_state,
     )
 
     ds = UnlabeledDataset(args.wav_dir, True, codec)

@@ -75,6 +75,13 @@ class MeanTeacherState:
     teacher_params: Any
     opt_state: Any
     step: jnp.ndarray  # int32 scalar, number of completed optimizer steps
+    # non-params collections (BatchNorm running stats for CNN-branch
+    # models, e.g. PaSST_CNN 'batch' normalization). The teacher keeps
+    # its OWN stats: the reference's update_ema touches parameters only,
+    # so teacher buffers evolve from its train-mode forwards
+    # (src/utils/scheduler.py:125-130 iterates net.parameters()).
+    model_state: Any = None
+    teacher_model_state: Any = None
 
 
 def consistency_weight(step, cfg: MeanTeacherConfig):
@@ -94,12 +101,16 @@ def pool_strong_labels(labels: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(jnp.sum(x * x, axis=-1) / jnp.sum(x, axis=-1), 1e-7, 1.0)
 
 
-def create_mean_teacher_state(params, optimizer: optax.GradientTransformation) -> MeanTeacherState:
+def create_mean_teacher_state(
+    params, optimizer: optax.GradientTransformation, model_state=None
+) -> MeanTeacherState:
     return MeanTeacherState(
         params=params,
         teacher_params=jax.tree_util.tree_map(jnp.copy, params),
         opt_state=optimizer.init(params),
         step=jnp.zeros((), jnp.int32),
+        model_state=model_state,
+        teacher_model_state=jax.tree_util.tree_map(jnp.copy, model_state),
     )
 
 
@@ -108,12 +119,17 @@ def make_mean_teacher_step(
     frontend,
     optimizer: optax.GradientTransformation,
     cfg: MeanTeacherConfig,
+    model_state_aware: bool = False,
 ):
     """Build the jittable train step.
 
     ``model_apply(params, mel, train, rngs, **kwargs) -> SEDOutput``.
-    ``batch`` = dict(wav=[B, S], labels=[B, C, T_lab]) in
-    [strong | weak | unlabeled] order.
+    With ``model_state_aware=True`` the contract becomes
+    ``model_apply(params, mel, train, rngs, model_state, **kwargs) ->
+    (SEDOutput, new_model_state)`` and the state's model_state /
+    teacher_model_state collections (BatchNorm stats) are threaded
+    through the step. ``batch`` = dict(wav=[B, S], labels=[B, C, T_lab])
+    in [strong | weak | unlabeled] order.
     """
     s, w = cfg.strong_num, cfg.weak_num
 
@@ -175,15 +191,28 @@ def make_mean_teacher_step(
         weak_from_tags = jnp.sum(labels[s : s + w], axis=-1)
         return stu_mel, tch_mel, labels, weak_from_strong, weak_from_tags
 
-    def loss_fn(params, teacher_params, batch, key, step):
+    def loss_fn(params, teacher_params, model_state, teacher_model_state, batch, key, step):
         kpre, kstu, ktch = jax.random.split(key, 3)
         stu_mel, tch_mel, labels, weak_strong, weak_tags = preprocess(batch, kpre)
 
         stu_rngs = {k: jax.random.fold_in(kstu, i) for i, k in enumerate(("patchout", "dropout", "mlm"))}
         tch_rngs = {k: jax.random.fold_in(ktch, i) for i, k in enumerate(("patchout", "dropout", "mlm"))}
 
-        stu = model_apply(params, stu_mel, train=True, rngs=stu_rngs, **cfg.stu_kwargs)
-        tch = model_apply(teacher_params, tch_mel, train=True, rngs=tch_rngs, **cfg.tch_kwargs)
+        if model_state_aware:
+            stu, new_ms = model_apply(
+                params, stu_mel, train=True, rngs=stu_rngs, model_state=model_state,
+                **cfg.stu_kwargs,
+            )
+            tch, new_tms = model_apply(
+                teacher_params, tch_mel, train=True, rngs=tch_rngs,
+                model_state=teacher_model_state, **cfg.tch_kwargs,
+            )
+            new_ms = jax.lax.stop_gradient(new_ms)
+            new_tms = jax.lax.stop_gradient(new_tms)
+        else:
+            stu = model_apply(params, stu_mel, train=True, rngs=stu_rngs, **cfg.stu_kwargs)
+            tch = model_apply(teacher_params, tch_mel, train=True, rngs=tch_rngs, **cfg.tch_kwargs)
+            new_ms, new_tms = model_state, teacher_model_state
         tch = jax.tree_util.tree_map(jax.lax.stop_gradient, tch)
 
         # supervised
@@ -215,11 +244,12 @@ def make_mean_teacher_step(
             "loss_cons_at_specific": loss_cons_at,
             "w_cons": w_cons,
         }
-        return total, metrics
+        return total, (metrics, new_ms, new_tms)
 
     def train_step(state: MeanTeacherState, batch, key):
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, state.teacher_params, batch, key, state.step
+        (_, (metrics, new_ms, new_tms)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.teacher_params, state.model_state,
+            state.teacher_model_state, batch, key, state.step,
         )
         updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
@@ -233,6 +263,8 @@ def make_mean_teacher_step(
             teacher_params=new_teacher,
             opt_state=new_opt_state,
             step=state.step + 1,
+            model_state=new_ms,
+            teacher_model_state=new_tms,
         )
         metrics["grad_norm"] = optax.global_norm(grads)
         return new_state, metrics

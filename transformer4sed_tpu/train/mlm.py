@@ -54,10 +54,22 @@ def create_mlm_state(params, optimizer: optax.GradientTransformation) -> MLMStat
     return MLMState(params=params, opt_state=optimizer.init(params), step=jnp.zeros((), jnp.int32))
 
 
-def make_mlm_step(model_apply: Callable, frontend, optimizer, cfg: MLMConfig = MLMConfig()):
-    """model_apply(params, mel, train, rngs, **kw) -> SEDOutput with mlm fields."""
+def make_mlm_step(
+    model_apply: Callable,
+    frontend,
+    optimizer,
+    cfg: MLMConfig = MLMConfig(),
+    model_state_aware: bool = False,
+):
+    """model_apply(params, mel, train, rngs, **kw) -> SEDOutput with mlm fields.
 
-    def loss_fn(params, batch, key):
+    With ``model_state_aware=True`` the contract becomes
+    ``model_apply(params, mel, train, rngs, model_state, **kw) ->
+    (SEDOutput, new_model_state)`` and BatchNorm collections are
+    threaded through the step (PaSST_CNN 'batch'-norm CNN branch in the
+    PMAM post-pretrain stage)."""
+
+    def loss_fn(params, model_state, batch, key):
         kmel, kshift, ktrans, kfwd = jax.random.split(key, 4)
         mel = frontend(batch["wav"], key=kmel, training=True)
         mel = frontend.normalize(mel)
@@ -76,15 +88,29 @@ def make_mlm_step(model_apply: Callable, frontend, optimizer, cfg: MLMConfig = M
             norm_std=5.0,
         )
         rngs = {k: jax.random.fold_in(kfwd, i) for i, k in enumerate(("patchout", "dropout", "mlm"))}
-        out = model_apply(params, mel, train=True, rngs=rngs, **cfg.model_kwargs)
+        if model_state_aware:
+            out, new_ms = model_apply(
+                params, mel, train=True, rngs=rngs, model_state=model_state, **cfg.model_kwargs
+            )
+            new_ms = jax.lax.stop_gradient(new_ms)
+        else:
+            out = model_apply(params, mel, train=True, rngs=rngs, **cfg.model_kwargs)
+            new_ms = model_state
         target = jax.lax.stop_gradient(out.frame_before_mask)
         loss = mlm_loss(out.mlm_pred, target, out.mask_id_seq.astype(jnp.float32))
-        return loss, {"loss_mlm": loss}
+        return loss, ({"loss_mlm": loss}, new_ms)
 
     def train_step(state: MLMState, batch, key):
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params, batch, key)
+        (_, (metrics, new_ms)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.model_state, batch, key
+        )
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
-        return MLMState(params=new_params, opt_state=new_opt, step=state.step + 1), metrics
+        return (
+            MLMState(
+                params=new_params, opt_state=new_opt, step=state.step + 1, model_state=new_ms
+            ),
+            metrics,
+        )
 
     return train_step
