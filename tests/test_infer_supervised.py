@@ -185,6 +185,59 @@ class TestServeEngine:
             seen.extend(names)
         assert sorted(seen) == [f"c{i}.wav" for i in range(5)]
 
+    def test_data_parallel_matches_single_device(self, tmp_path):
+        """batch_size divisible by the (8-CPU) device count -> the engine
+        shards batches over a data mesh; scores must equal the
+        single-device path bit-for-bit."""
+        import os
+
+        import jax as _jax
+        from scipy.io import wavfile
+
+        from tests.test_recipes_e2e import tiny_sed_model
+        from transformer4sed_tpu.core.codec import LabelCodec
+        from transformer4sed_tpu.data import DataLoader, UnlabeledDataset
+        from transformer4sed_tpu.frontend import PasstFrontend
+        from transformer4sed_tpu.recipes.serve import InferenceEngine
+
+        if _jax.device_count() < 2:
+            import pytest as _pytest
+
+            _pytest.skip("needs the multi-device CPU mesh")
+        codec = LabelCodec(
+            labels=("a", "b"), audio_len=1.2, frame_len=1024, frame_hop=320, sr=32000
+        )
+        wav_dir = tmp_path / "wavs"
+        os.makedirs(wav_dir)
+        rng = np.random.RandomState(0)
+        for i in range(11):  # ragged tail under batch 8
+            wav = (rng.randn(int(1.2 * 32000)) * 0.05 * 32767).astype(np.int16)
+            wavfile.write(str(wav_dir / f"c{i}.wav"), 32000, wav)
+
+        model = tiny_sed_model(class_num=2)
+        frontend = PasstFrontend()
+        mel = frontend.normalize(frontend(jnp.zeros((1, int(1.2 * 32000)))))
+        params = model.init({"params": KEY}, mel)["params"]
+
+        def collect(engine):
+            ds = UnlabeledDataset(str(wav_dir), True, codec)
+            loader = DataLoader(ds, batch_size=8, drop_last=False, num_workers=0)
+            out = {}
+            for names, scores, weak in engine.score_batches(iter(loader)):
+                for i, n in enumerate(names):
+                    out[n] = (scores[i], weak[i])
+            return out
+
+        kwargs = dict(batch_size=8, median_filter=3, model_kwargs={"temp_w": 0.5})
+        sharded = collect(InferenceEngine(model, frontend, params, codec, **kwargs))
+        single = collect(
+            InferenceEngine(model, frontend, params, codec, data_parallel=False, **kwargs)
+        )
+        assert set(sharded) == set(single) == {f"c{i}.wav" for i in range(11)}
+        for n in sharded:
+            np.testing.assert_allclose(sharded[n][0], single[n][0], atol=1e-6)
+            np.testing.assert_allclose(sharded[n][1], single[n][1], atol=1e-6)
+
 
 class TestServeOpenVocab:
     def test_serve_main_with_external_queries(self, tmp_path):

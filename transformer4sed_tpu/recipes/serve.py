@@ -31,20 +31,39 @@ class InferenceEngine:
 
     def __init__(self, model, frontend, params, codec, batch_size: int = 64,
                  median_filter=7, threshold: float = 0.5, model_kwargs=None,
-                 model_state=None):
+                 model_state=None, data_parallel: bool = True):
         from transformer4sed_tpu.core.filters import apply_class_filter
 
         self.codec = codec
         self.batch_size = batch_size
         self.threshold = threshold
-        self.params = jax.device_put(params, jax.devices()[0])
-        # non-params collections (HTSAT bn0 BatchNorm running stats)
-        self.model_state = (
-            jax.device_put(model_state, jax.devices()[0]) if model_state else None
-        )
         model_kwargs = dict(model_kwargs or {})
         if isinstance(median_filter, list):
             median_filter = tuple(median_filter)
+
+        # multi-chip serving hosts: shard the batch over a 1-D data mesh
+        # (params replicated, XLA runs the forward SPMD — no collectives
+        # needed since every clip is independent)
+        n_dev = jax.device_count()
+        if data_parallel and n_dev > 1 and batch_size % n_dev == 0:
+            from transformer4sed_tpu.parallel import (
+                batch_sharding,
+                make_mesh,
+                replicated_sharding,
+            )
+
+            mesh = make_mesh()
+            rep = replicated_sharding(mesh)
+            self._batch_sharding = batch_sharding(mesh)
+            self.params = jax.device_put(params, rep)
+            self.model_state = jax.device_put(model_state, rep) if model_state else None
+        else:
+            self._batch_sharding = None
+            self.params = jax.device_put(params, jax.devices()[0])
+            # non-params collections (HTSAT bn0 BatchNorm running stats)
+            self.model_state = (
+                jax.device_put(model_state, jax.devices()[0]) if model_state else None
+            )
 
         @jax.jit
         def forward(params, model_state, wav, pad_mask):
@@ -64,13 +83,23 @@ class InferenceEngine:
 
         # H2D transfer lookahead: jnp.asarray dispatches the copy
         # asynchronously, so enqueueing 2 batches ahead rides the copy
-        # under the previous batch's compute (strings stay host-side)
+        # under the previous batch's compute (strings stay host-side).
+        # Ragged tails are padded HERE so sharded put sees full batches.
         def put(batch):
-            return (
-                batch["filename"],
-                jnp.asarray(batch["wav"]),
-                jnp.asarray(batch["pad_mask"]),
-            )
+            wav = np.asarray(batch["wav"])
+            pm = np.asarray(batch["pad_mask"])
+            n = len(batch["filename"])
+            if n < self.batch_size:  # pad ragged tail: keep ONE compiled shape
+                reps = self.batch_size - n
+                wav = np.concatenate([wav, np.zeros((reps,) + wav.shape[1:], wav.dtype)])
+                pm = np.concatenate([pm, np.ones((reps,) + pm.shape[1:], pm.dtype)])
+            if self._batch_sharding is not None:
+                return (
+                    batch["filename"],
+                    jax.device_put(wav, self._batch_sharding),
+                    jax.device_put(pm, self._batch_sharding),
+                )
+            return batch["filename"], jnp.asarray(wav), jnp.asarray(pm)
 
         it = iter(batches)
         queue = collections.deque(put(b) for b in itertools.islice(it, 2))
@@ -86,10 +115,6 @@ class InferenceEngine:
         pending = []
         for names, wav, pm in staged():
             n = len(names)
-            if n < self.batch_size:  # pad ragged tail: keep ONE compiled shape
-                reps = self.batch_size - n
-                wav = jnp.concatenate([wav, jnp.zeros((reps,) + wav.shape[1:], wav.dtype)])
-                pm = jnp.concatenate([pm, jnp.ones((reps,) + pm.shape[1:], pm.dtype)])
             scores, weak = self._forward(self.params, self.model_state, wav, pm)
             # async dispatch: yield the PREVIOUS batch's (already ready)
             # results while this one computes

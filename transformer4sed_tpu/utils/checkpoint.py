@@ -25,26 +25,68 @@ def _ckptr():
     return ocp.PyTreeCheckpointer()
 
 
+_async_ckptr_singleton = None
+
+
+def _async_ckptr():
+    """Singleton orbax AsyncCheckpointer: the array snapshot to host
+    memory happens synchronously inside ``save`` (so buffer donation in
+    the next train step is safe), the disk write runs on a background
+    thread — per-epoch last_state saves stop blocking the epoch loop.
+    Falls back to None when the installed orbax lacks async support."""
+    global _async_ckptr_singleton
+    if _async_ckptr_singleton is None:
+        import orbax.checkpoint as ocp
+
+        try:
+            _async_ckptr_singleton = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+            import atexit
+
+            atexit.register(_async_ckptr_singleton.wait_until_finished)
+        except Exception:
+            _async_ckptr_singleton = False
+    return _async_ckptr_singleton or None
+
+
+def wait_for_checkpoints():
+    """Block until any in-flight async checkpoint write has landed."""
+    if _async_ckptr_singleton:
+        _async_ckptr_singleton.wait_until_finished()
+
+
 def save_params(path: str, params) -> str:
     """Save a bare param tree (best-model flushes)."""
     path = os.path.abspath(path)
+    wait_for_checkpoints()  # the same path may have an in-flight write
     _ckptr().save(path, jax.device_get(params), force=True)
     return path
 
 
 def restore_params(path: str):
+    wait_for_checkpoints()
     return _ckptr().restore(os.path.abspath(path))
 
 
-def save_checkpoint(path: str, state) -> str:
-    """Save a full train state (flax.struct dataclass or pytree)."""
+def save_checkpoint(path: str, state, async_save: bool = True) -> str:
+    """Save a full train state (flax.struct dataclass or pytree).
+
+    ``async_save``: overlap the disk write with subsequent training
+    (arrays are snapshotted to host before returning); pass False to
+    block until the write lands."""
     path = os.path.abspath(path)
-    _ckptr().save(path, jax.device_get(flax.serialization.to_state_dict(state)), force=True)
+    state_dict = flax.serialization.to_state_dict(state)
+    ck = _async_ckptr() if async_save else None
+    if ck is not None:
+        ck.wait_until_finished()  # one outstanding write; protects overwrites
+        ck.save(path, jax.device_get(state_dict), force=True)
+    else:
+        _ckptr().save(path, jax.device_get(state_dict), force=True)
     return path
 
 
 def restore_checkpoint(path: str, target):
     """Restore into ``target``'s structure (a template train state)."""
+    wait_for_checkpoints()
     restored = _ckptr().restore(os.path.abspath(path))
     return flax.serialization.from_state_dict(target, restored)
 
