@@ -151,6 +151,50 @@ class TestDASMOVCLI:
         assert rc == 0
 
 
+class TestSupervisedSharded:
+    def test_supervised_stage_sharded(self, mini_audioset, tmp_path):
+        """batch_size divisible by the 8-device CPU mesh -> the trainer
+        shards batches over the data mesh (matches MATSEDTrainer)."""
+        import jax as _jax
+        import yaml as _yaml
+
+        from transformer4sed_tpu.recipes.cli import main
+
+        if _jax.device_count() < 2:
+            pytest.skip("needs the multi-device CPU mesh")
+        with open(mini_audioset["config"]) as f:
+            config = _yaml.safe_load(f)
+        # 8 clips for one full batch of 8 -> shards 1 clip/device
+        rng = np.random.RandomState(7)
+        train_dir = tmp_path / "train8"
+        os.makedirs(train_dir)
+        rows = []
+        for i in range(8):
+            wav = rng.randn(N_SAMPLES).astype(np.float32) * 0.05
+            wavfile.write(str(train_dir / f"s{i}.wav"), SR, (wav * 32767).astype(np.int16))
+            rows.append((f"s{i}.wav", 0.2, 0.9, CLASSES[i % 3]))
+        train_tsv = tmp_path / "train8.tsv"
+        pd.DataFrame(rows, columns=["filename", "onset", "offset", "event_label"]).to_csv(
+            train_tsv, sep="\t", index=False
+        )
+        config["dataset"]["train_tsv"] = str(train_tsv)
+        config["dataset"]["train_folder"] = str(train_dir)
+        config["training"]["batch_size"] = 8
+        config["training"]["batch_size_val"] = 2
+        cfg_path = tmp_path / "sharded.yaml"
+        with open(cfg_path, "w") as f:
+            _yaml.safe_dump(config, f)
+        rc = main([
+            "audioset_supervised",
+            "--config_dir", str(cfg_path),
+            "--save_folder", str(tmp_path / "run"),
+            "--random_seed", "0",
+        ])
+        assert rc == 0
+        log = (tmp_path / "run" / "log.txt").read_text()
+        assert "sharding batches over" in log
+
+
 class TestHTSATSupervisedCLI:
     def test_htsat_cnn_stage(self, mini_audioset, tmp_path):
         """audioset_supervised with the HTSAT(Swin) backbone through the

@@ -248,8 +248,22 @@ class SupervisedTrainer:
             return model.apply(variables, mel, train=train, rngs=rngs, **kw), None
 
         self.model_apply = model_apply
-        # state donated: old buffers are dead after `self.state = step(...)`
-        self._train_step = jax.jit(self._build_train_step(), donate_argnums=0)
+        # state donated: old buffers are dead after `self.state = step(...)`.
+        # On multi-chip hosts, shard the batch over a 1-D data mesh like
+        # the MAT-SED trainer (XLA emits the gradient all-reduce over ICI)
+        raw_step = self._build_train_step()
+        batch_size = config["training"].get("batch_size", 0)
+        if not isinstance(batch_size, int):
+            batch_size = sum(batch_size)
+        if jax.device_count() > 1 and batch_size and batch_size % jax.device_count() == 0:
+            from transformer4sed_tpu.parallel import make_mesh, shard_train_step
+
+            self.mesh = make_mesh()
+            self._train_step = shard_train_step(raw_step, self.mesh, donate_state=True)
+            logger.info(f"sharding batches over {jax.device_count()} devices")
+        else:
+            self.mesh = None
+            self._train_step = jax.jit(raw_step, donate_argnums=0)
         self._eval_fn = jax.jit(
             lambda p, ms, m, pm: model_apply(
                 p, m, train=False, pad_mask=pm, model_state=ms,
