@@ -151,6 +151,40 @@ class TestDASMOVCLI:
         assert rc == 0
 
 
+class TestSupervisedResume:
+    def test_auto_resume_from_last_state(self, mini_audioset, tmp_path):
+        """Elastic recovery for the AudioSet family: a second run with
+        --resume_ckpt auto picks up last_state and skips done epochs."""
+        import yaml as _yaml
+
+        from transformer4sed_tpu.recipes.cli import main
+
+        save = tmp_path / "run"
+        rc = main([
+            "audioset_supervised", "--config_dir", mini_audioset["config"],
+            "--save_folder", str(save), "--random_seed", "0",
+        ])
+        assert rc == 0
+        assert any("last_state" in p.name for p in save.rglob("*"))
+
+        with open(mini_audioset["config"]) as f:
+            config = _yaml.safe_load(f)
+        config["training"]["scheduler"]["n_epochs"] = 2
+        cfg2 = tmp_path / "resume.yaml"
+        with open(cfg2, "w") as f:
+            _yaml.safe_dump(config, f)
+        rc = main([
+            "audioset_supervised", "--config_dir", str(cfg2),
+            "--save_folder", str(save), "--random_seed", "0",
+            "--resume_ckpt", "auto",
+        ])
+        assert rc == 0
+        log = (save / "log.txt").read_text()
+        assert "resumed from" in log
+        # first run did epoch 1; the resumed run logs only epoch 2
+        assert log.count("epoch 2:") >= 1
+
+
 class TestSupervisedSharded:
     def test_supervised_stage_sharded(self, mini_audioset, tmp_path):
         """batch_size divisible by the 8-device CPU mesh -> the trainer

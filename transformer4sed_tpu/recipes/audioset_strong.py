@@ -284,6 +284,19 @@ class SupervisedTrainer:
         )
         return make_supervised_step(self.model_apply, self.frontend, self.optimizer, cfg)
 
+    def save_state(self, path: str):
+        """Full train state (params + opt + step + BatchNorm stats) for
+        elastic recovery; async disk write."""
+        from transformer4sed_tpu.utils.checkpoint import save_checkpoint
+
+        save_checkpoint(path, self.state)
+
+    def restore_state(self, path: str) -> int:
+        from transformer4sed_tpu.utils.checkpoint import restore_checkpoint
+
+        self.state = restore_checkpoint(path, self.state)
+        return int(self.state.step)
+
     def train_epoch(self, epoch: int, key) -> Dict[str, float]:
         self.train_loader.set_epoch(epoch)
         acc: Dict[str, float] = {}

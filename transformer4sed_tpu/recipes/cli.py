@@ -405,7 +405,22 @@ def main(argv=None):
         median = common.median_filter_from_config(config, codec)
         key = jax.random.PRNGKey(args.random_seed)
         best = -1.0
-        for epoch in range(config["training"]["scheduler"]["n_epochs"]):
+        # elastic recovery, matching the matsed stages: per-epoch
+        # last_state + --resume_ckpt auto picks it up after preemption
+        import os as _os
+
+        start_epoch = 0
+        resume = args.resume_ckpt
+        if resume == "auto":
+            candidate = f"{paths['best_paths']}/last_state"
+            resume = candidate if _os.path.isdir(candidate) else None
+            if resume is None:
+                logger.info("auto-resume: no last_state found, starting fresh")
+        if resume:
+            steps = trainer.restore_state(resume)
+            start_epoch = steps // max(len(train_loader), 1)
+            logger.info(f"resumed from {resume} at step {steps} (epoch {start_epoch})")
+        for epoch in range(start_epoch, config["training"]["scheduler"]["n_epochs"]):
             metrics = trainer.train_epoch(epoch, key)
             results = trainer.validation(epoch, gt, durations, median_filter=median)
             logger.info(f"epoch {epoch + 1}: train {metrics} val {results}")
@@ -418,6 +433,10 @@ def main(argv=None):
                     save_params(
                         f"{paths['best_paths']}/best_model_state", trainer.state.model_state
                     )
+            trainer.save_state(f"{paths['best_paths']}/last_state")
+        from transformer4sed_tpu.utils.checkpoint import wait_for_checkpoints
+
+        wait_for_checkpoints()  # land the final async last_state before returning
         return 0
 
     if stage == "openset_eval":

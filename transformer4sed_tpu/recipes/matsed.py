@@ -296,6 +296,9 @@ class MATSEDTrainer:
 
             save_params(f"{save_dir}/best_model_state", self._best_model_state["student"])
             save_params(f"{save_dir}/best_model_state_teacher", self._best_model_state["teacher"])
+        from transformer4sed_tpu.utils.checkpoint import wait_for_checkpoints
+
+        wait_for_checkpoints()  # land the final async last_state before returning
         return last_val
 
     def test(self, filter_type: str = "median", save_dir: Optional[str] = None) -> Dict[str, float]:

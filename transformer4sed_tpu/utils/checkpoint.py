@@ -42,7 +42,16 @@ def _async_ckptr():
             _async_ckptr_singleton = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
             import atexit
 
-            atexit.register(_async_ckptr_singleton.wait_until_finished)
+            def _drain():
+                # at interpreter shutdown parts of the asyncio machinery
+                # may already be gone; the stage loops drain explicitly,
+                # this is best-effort belt-and-braces
+                try:
+                    _async_ckptr_singleton.wait_until_finished()
+                except Exception:
+                    pass
+
+            atexit.register(_drain)
         except Exception:
             _async_ckptr_singleton = False
     return _async_ckptr_singleton or None
