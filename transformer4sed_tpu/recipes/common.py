@@ -56,6 +56,15 @@ def prepare_run(args) -> Tuple[Dict, Dict, Logger]:
     )
     random.seed(args.random_seed)
     np.random.seed(args.random_seed)
+    cache_dir = config["generals"].get("compilation_cache")
+    if cache_dir:
+        # persistent XLA compilation cache: restarted stages (elastic
+        # recovery, train.sh chaining) skip the multi-minute compiles
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", str(cache_dir))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        logger.info(f"XLA compilation cache at {cache_dir}")
     return config, paths, logger
 
 
