@@ -108,6 +108,22 @@ class TestPaSST:
         b = model.apply(params, x)["frame"]
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
+    def test_variant_registry(self):
+        """The reference's ~15 factory functions as a registry
+        (passt.py:1073-1232): every variant builds with its stride/grid
+        and records a checkpoint URL."""
+        from transformer4sed_tpu.models.passt import PASST_VARIANTS, create_passt
+
+        assert len(PASST_VARIANTS) >= 13
+        for name, cfg in PASST_VARIANTS.items():
+            assert cfg["url"].startswith("https://") and cfg["num_classes"] == 527
+        m = create_passt("passt_s_p16_s12_128_ap470")
+        assert m.stride == (12, 12) and m.img_size == (128, 998)
+        m30 = create_passt("passt_s_f128_30sec_p16_s10_ap473_swa")
+        assert m30.img_size == (128, 3000)
+        with pytest.raises(ValueError):
+            create_passt("nope")
+
 
 class TestRelShift:
     def test_matches_naive(self):

@@ -176,3 +176,56 @@ class PaSST(nn.Module):
         out["f_dim"] = f_dim
         out["t_dim"] = t_dim
         return out
+
+
+# -- named variants ---------------------------------------------------------------
+#
+# The reference exposes ~15 timm-style factory functions with pretrained
+# checkpoint URLs (``src/models/passt/passt.py:1073-1232`` over the
+# ``default_cfgs`` table at ``:169-215``). Here they are one registry:
+# ``create_passt(name)`` builds the flax module with the variant's
+# stride / input grid, and ``PASST_VARIANTS[name]["url"]`` records where
+# the torch weights live (download them offline and import with
+# ``utils.torch_import.convert_passt_backbone``).
+
+_PASST_RELEASES = "https://github.com/kkoutini/PaSST/releases/download"
+
+PASST_VARIANTS = {
+    # name: (stride, mel time frames, checkpoint file)
+    "passt_s_swa_p16_128_ap476": ((10, 10), 998, "v0.0.1-audioset/passt-s-f128-p16-s10-ap.476-swa.pt"),
+    "passt_s_swa_p16_128_ap4761": ((10, 10), 998, "v0.0.2-audioset/passt-s-f128-p16-s10-ap.4761-swa.pt"),
+    "passt_s_p16_128_ap472": ((10, 10), 998, "v0.0.2-audioset/passt-s-f128-p16-s10-ap.472.pt"),
+    "passt_s_p16_s12_128_ap470": ((12, 12), 998, "v0.0.2-audioset/passt-s-f128-p16-s12-ap.470.pt"),
+    "passt_s_swa_p16_s12_128_ap473": ((12, 12), 998, "v0.0.2-audioset/passt-s-f128-p16-s12-ap.473-swa.pt"),
+    "passt_s_p16_s14_128_ap469": ((14, 14), 998, "v0.0.2-audioset/passt-s-f128-p16-s14-ap.469.pt"),
+    "passt_s_swa_p16_s14_128_ap471": ((14, 14), 998, "v0.0.2-audioset/passt-s-f128-p16-s14-ap.471-swa.pt"),
+    "passt_s_p16_s16_128_ap468": ((16, 16), 998, "v0.0.2-audioset/passt-s-f128-p16-s16-ap.468.pt"),
+    "passt_s_swa_p16_s16_128_ap473": ((16, 16), 998, "v0.0.2-audioset/passt-s-f128-p16-s16-ap.473-swa.pt"),
+    "passt_s_swa_f128_stfthop100_p16_s10_ap473": ((10, 10), 3200, "v0.0.3-audioset/passt-s-f128-stfthop100-p16-s10-ap.473-swa.pt"),
+    "passt_s_swa_f128_stfthop160_p16_s10_ap473": ((10, 10), 2000, "v0.0.3-audioset/passt-s-f128-stfthop160-p16-s10-ap.473-swa.pt"),
+    "passt_s_f128_20sec_p16_s10_ap474_swa": ((10, 10), 2000, "v0.0.5/passt-s-f128-20sec-p16-s10-ap.474-swa.pt"),
+    "passt_s_f128_30sec_p16_s10_ap473_swa": ((10, 10), 3000, "v0.0.5/passt-s-f128-30sec-p16-s10-ap.473-swa.pt"),
+}
+PASST_VARIANTS = {
+    name: {
+        "stride": stride,
+        "img_size": (128, t_frames),
+        "url": f"{_PASST_RELEASES}/{path}",
+        "num_classes": 527,
+    }
+    for name, (stride, t_frames, path) in PASST_VARIANTS.items()
+}
+
+
+def create_passt(name: str = "passt_s_swa_p16_128_ap476", **overrides) -> "PaSST":
+    """Build a named PaSST variant (flax module only — weights are
+    imported separately from the recorded ``url``)."""
+    if name not in PASST_VARIANTS:
+        raise ValueError(f"unknown PaSST variant {name!r}; know {sorted(PASST_VARIANTS)}")
+    cfg = PASST_VARIANTS[name]
+    kwargs = dict(
+        embed_dim=768, depth=12, num_heads=12, patch_size=(16, 16),
+        stride=cfg["stride"], img_size=cfg["img_size"], distilled=True,
+    )
+    kwargs.update(overrides)
+    return PaSST(**kwargs)
