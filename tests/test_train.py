@@ -84,6 +84,52 @@ class TestParamLabels:
         assert flat["backbone/blocks_1/attn/qkv/kernel"] == "encoder_high"
         assert flat["backbone/norm/scale"] == "encoder_high"
 
+    def test_audioset_cnn_and_at_decoder_groups(self):
+        """The AudioSet recipes' policy (set_lr.py / lr_set.py): separate
+        LR groups for the CNN branch and the DASM AT decoder; alias
+        naming backbone/sed_decoder accepted by optimizer_from_config."""
+        import flax
+
+        fake = {
+            "backbone": {"blocks_0": {"attn": {"qkv": {"kernel": jnp.ones((2, 2))}}}},
+            "cnn": {"conv0": {"kernel": jnp.ones((2, 2))}},
+            "at_decoder": {"layers_0": {"self_attn": {"kernel": jnp.ones((2, 2))}}},
+            "sed_decoder": {"layer_0": {"kernel": jnp.ones((2, 2))}},
+            "norm_after_merge": {"scale": jnp.ones((2,))},
+            "sed_head": {"kernel": jnp.ones((2, 2))},
+        }
+        cfg = ParamGroupConfig(
+            cnn=GroupSpec(lr=1e-3), at_decoder=GroupSpec(lr=1e-3), backbone_depth=2
+        )
+        flat = flax.traverse_util.flatten_dict(label_params(fake, cfg), sep="/")
+        assert flat["cnn/conv0/kernel"] == "cnn"
+        assert flat["at_decoder/layers_0/self_attn/kernel"] == "at_decoder"
+        assert flat["sed_decoder/layer_0/kernel"] == "decoder"
+        assert flat["norm_after_merge/scale"] == "decoder"
+        assert flat["sed_head/kernel"] == "head"
+        # optimizer builds with the extra groups and updates them
+        tx, _ = build_optimizer(fake, cfg)
+        grads = jax.tree_util.tree_map(jnp.ones_like, fake)
+        updates, _ = tx.update(grads, tx.init(fake), fake)
+        uflat = flax.traverse_util.flatten_dict(updates, sep="/")
+        assert float(jnp.abs(uflat["cnn/conv0/kernel"]).max()) > 0
+
+        # alias naming through the config path
+        from transformer4sed_tpu.recipes.common import optimizer_from_config
+
+        config = {
+            "opt": {"param_groups": {
+                "backbone": {"lr": 1e-4}, "cnn": {"lr": 1e-3},
+                "sed_decoder": {"lr": 1e-3}, "at_decoder": {"lr": 1e-3},
+                "head": {"lr": 1e-3},
+            }},
+            "training": {"scheduler": {"n_epochs": 1, "n_epochs_cut": 1}},
+        }
+        tx2, labels = optimizer_from_config(fake, config, steps_per_epoch=2)
+        lflat = flax.traverse_util.flatten_dict(labels, sep="/")
+        assert lflat["cnn/conv0/kernel"] == "cnn"
+        assert lflat["at_decoder/layers_0/self_attn/kernel"] == "at_decoder"
+
     def test_frozen_params_not_updated(self):
         cfg = ParamGroupConfig(
             encoder=GroupSpec(lr=0.0), decoder=GroupSpec(lr=1e-3), head=GroupSpec(lr=1e-3),

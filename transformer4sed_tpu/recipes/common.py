@@ -160,22 +160,34 @@ def load_durations(tsv_path: str) -> Dict[str, float]:
 
 def optimizer_from_config(params, config: Dict, steps_per_epoch: int):
     """AdamW param groups + ExponentialDown schedule from the YAML ``opt`` +
-    ``training.scheduler`` sections (``recipes/desed/setting.py:254-278``)."""
+    ``training.scheduler`` sections (``recipes/desed/setting.py:254-278``).
+
+    Accepts both the DESED naming (encoder/decoder/head) and the
+    AudioSet recipes' naming (backbone/cnn/sed_decoder/at_decoder/head,
+    ``set_lr.py`` / ``lr_set.py``); cnn/at_decoder become their own
+    groups when present."""
     lr_dict = config["opt"]["param_groups"]
+    enc = lr_dict.get("encoder") or lr_dict.get("backbone")
+    dec = lr_dict.get("decoder") or lr_dict.get("sed_decoder")
+    if enc is None or dec is None or "head" not in lr_dict:
+        raise KeyError(
+            "opt.param_groups needs encoder|backbone, decoder|sed_decoder and head"
+        )
+
+    def spec(d):
+        return GroupSpec(lr=d["lr"], weight_decay=d.get("weight_decay", 1e-8))
+
     pg = ParamGroupConfig(
         encoder=GroupSpec(
-            lr=lr_dict["encoder"]["lr"],
-            weight_decay=lr_dict["encoder"].get("weight_decay", 1e-8),
-            step_lr=lr_dict["encoder"].get("step_lr", 0) or 0,
-            freeze_layer=lr_dict["encoder"].get("freeze_layer", 0) or 0,
+            lr=enc["lr"],
+            weight_decay=enc.get("weight_decay", 1e-8),
+            step_lr=enc.get("step_lr", 0) or 0,
+            freeze_layer=enc.get("freeze_layer", 0) or 0,
         ),
-        decoder=GroupSpec(
-            lr=lr_dict["decoder"]["lr"],
-            weight_decay=lr_dict["decoder"].get("weight_decay", 1e-8),
-        ),
-        head=GroupSpec(
-            lr=lr_dict["head"]["lr"], weight_decay=lr_dict["head"].get("weight_decay", 1e-8)
-        ),
+        decoder=spec(dec),
+        head=spec(lr_dict["head"]),
+        cnn=spec(lr_dict["cnn"]) if lr_dict.get("cnn") else None,
+        at_decoder=spec(lr_dict["at_decoder"]) if lr_dict.get("at_decoder") else None,
         backbone_depth=config.get("backbone_depth", 12),
         clip_grad=20.0 if config["training"].get("clip_grad") else 0.0,
         lora_trainable=bool(config["opt"].get("lora_trainable", False)),

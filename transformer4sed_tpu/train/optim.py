@@ -46,6 +46,11 @@ class ParamGroupConfig:
     encoder: GroupSpec = field(default_factory=GroupSpec)
     decoder: GroupSpec = field(default_factory=GroupSpec)
     head: GroupSpec = field(default_factory=GroupSpec)
+    # optional extra groups used by the AudioSet recipes' policies
+    # (set_lr.py / lr_set.py): a separate LR for the CNN branch and for
+    # the DASM AT decoder; None folds them into decoder/head as before
+    cnn: Optional[GroupSpec] = None
+    at_decoder: Optional[GroupSpec] = None
     backbone_depth: int = 12
     clip_grad: float = 20.0
     # PMAM/LoRA mode (pmam/main.py:107 mark_only_lora_as_trainable): LoRA
@@ -53,7 +58,9 @@ class ParamGroupConfig:
     lora_trainable: bool = False
 
 
-_DECODER_KEYWORDS = ("decoder", "f_pool_module", "transformer_projector")
+# 'norm_after_merge' rides with the decoder group per the reference's
+# audioset policy (set_lr.py:check_tensor_name_decoder)
+_DECODER_KEYWORDS = ("decoder", "f_pool_module", "transformer_projector", "norm_after_merge")
 
 
 def _path_str(path) -> str:
@@ -90,6 +97,11 @@ def label_params(params, cfg: ParamGroupConfig):
                 ) or is_final_norm
                 return "encoder_high" if high else "encoder_low"
             return "encoder_low"
+        # at_decoder before the generic 'decoder' keyword (substring clash)
+        if cfg.at_decoder is not None and "at_decoder" in name:
+            return "frozen" if cfg.at_decoder.lr <= 0 else "at_decoder"
+        if cfg.cnn is not None and (name.startswith("cnn/") or "/cnn/" in name):
+            return "frozen" if cfg.cnn.lr <= 0 else "cnn"
         for kw in _DECODER_KEYWORDS:
             if kw in name:
                 return "frozen" if cfg.decoder.lr <= 0 else "decoder"
@@ -126,6 +138,10 @@ def build_optimizer(
         "head": _adamw(cfg.head.lr, cfg.head.weight_decay, schedule),
         "frozen": optax.set_to_zero(),
     }
+    if cfg.cnn is not None:
+        transforms["cnn"] = _adamw(cfg.cnn.lr, cfg.cnn.weight_decay, schedule)
+    if cfg.at_decoder is not None:
+        transforms["at_decoder"] = _adamw(cfg.at_decoder.lr, cfg.at_decoder.weight_decay, schedule)
     tx = optax.multi_transform(transforms, labels)
     if cfg.clip_grad:
         tx = optax.chain(optax.clip_by_global_norm(cfg.clip_grad), tx)
