@@ -42,9 +42,28 @@ class TestFrameShift:
             np.testing.assert_allclose(
                 np.asarray(sf[i]), np.roll(np.asarray(feats[i]), int(s), axis=-1), atol=1e-6
             )
-            mag = int(np.floor(abs(int(s)) / np_ratio))
-            lab_shift = -mag if s < 0 else mag
+            # reference: `-abs(s) // np` when s < 0, `s // np` otherwise —
+            # both are python floor division, i.e. floor(s / np)
+            lab_shift = int(-abs(int(s)) // np_ratio) if s < 0 else int(int(s) // np_ratio)
             assert abs(lab_shift) >= abs(int(s))  # finer grid -> larger label roll
+            np.testing.assert_allclose(
+                np.asarray(sl[i]), np.roll(np.asarray(labels[i]), lab_shift, axis=-1), atol=1e-6
+            )
+
+    def test_negative_shift_floor_semantics(self):
+        """Python floor division on the NEGATIVE label shift
+        (data_aug.py:19: `-abs(shift) // net_pooling` floors toward
+        minus infinity): shift=-13, np=4 must roll labels by -4, not -3."""
+        key = jax.random.PRNGKey(3)  # draws [-13, 13, 3, 17]
+        b, f, t, t_lab = 4, 8, 80, 20
+        rng = np.random.RandomState(2)
+        feats = jnp.asarray(rng.randn(b, f, t).astype(np.float32))
+        labels = jnp.asarray(rng.rand(b, 3, t_lab).astype(np.float32))
+        sf, sl = augment.frame_shift(key, feats, labels, net_pooling=4, max_shift_frame=9)
+        shifts = np.asarray((jax.random.normal(key, (b,)) * 9).astype(jnp.int32))
+        assert (shifts < 0).any() and any(s % 4 for s in shifts)
+        for i, s in enumerate(shifts):
+            lab_shift = int(s) // 4  # python floor division, signed
             np.testing.assert_allclose(
                 np.asarray(sl[i]), np.roll(np.asarray(labels[i]), lab_shift, axis=-1), atol=1e-6
             )

@@ -95,17 +95,27 @@ class TestParamLabels:
             "cnn": {"conv0": {"kernel": jnp.ones((2, 2))}},
             "at_decoder": {"layers_0": {"self_attn": {"kernel": jnp.ones((2, 2))}}},
             "sed_decoder": {"layer_0": {"kernel": jnp.ones((2, 2))}},
+            "at_query": jnp.ones((4, 2)),
+            "cnn_projector": {"kernel": jnp.ones((2, 2))},
+            "at_projector": {"kernel": jnp.ones((2, 2))},
+            "merge_weight": jnp.ones((1,)),
+            "norm_before_pool": {"scale": jnp.ones((2,))},
             "norm_after_merge": {"scale": jnp.ones((2,))},
             "sed_head": {"kernel": jnp.ones((2, 2))},
         }
         cfg = ParamGroupConfig(
-            cnn=GroupSpec(lr=1e-3), at_decoder=GroupSpec(lr=1e-3), backbone_depth=2
+            cnn=GroupSpec(lr=1e-3), at_decoder=GroupSpec(lr=1e-3),
+            query=GroupSpec(lr=1e-3), backbone_depth=2,
         )
         flat = flax.traverse_util.flatten_dict(label_params(fake, cfg), sep="/")
         assert flat["cnn/conv0/kernel"] == "cnn"
         assert flat["at_decoder/layers_0/self_attn/kernel"] == "at_decoder"
+        assert flat["at_query"] == "query"
         assert flat["sed_decoder/layer_0/kernel"] == "decoder"
-        assert flat["norm_after_merge/scale"] == "decoder"
+        # the reference's full decoder-group keyword set (lr_set.py:41-51)
+        for k in ("cnn_projector/kernel", "at_projector/kernel", "merge_weight",
+                  "norm_before_pool/scale", "norm_after_merge/scale"):
+            assert flat[k] == "decoder", k
         assert flat["sed_head/kernel"] == "head"
         # optimizer builds with the extra groups and updates them
         tx, _ = build_optimizer(fake, cfg)

@@ -46,9 +46,10 @@ def frame_shift(
     shifted = jax.vmap(roll_one)(features, shifts)
     if label is None:
         return shifted
-    # reference semantics: magnitude floor-divided, sign reapplied
-    mag = jnp.floor(jnp.abs(shifts).astype(jnp.float32) / float(net_pooling)).astype(jnp.int32)
-    lab_shift = jnp.where(shifts < 0, -mag, mag)
+    # reference semantics (`data_aug.py:19`): `-abs(shift) // net_pooling`
+    # for negative shifts — Python floor division of the NEGATIVE value,
+    # i.e. floor toward minus infinity; one signed floor covers both signs
+    lab_shift = jnp.floor(shifts.astype(jnp.float32) / float(net_pooling)).astype(jnp.int32)
     shifted_label = jax.vmap(roll_one)(label, lab_shift)
     return shifted, shifted_label
 

@@ -238,16 +238,10 @@ class SupervisedTrainer:
             model_state=model_state,
         )
 
-        def model_apply(params, mel, train=False, rngs=None, model_state=None, **kw):
-            """Returns (output, updated_model_state-or-None)."""
-            variables = {"params": params, **(model_state or {})}
-            if train and model_state:
-                return model.apply(
-                    variables, mel, train=True, rngs=rngs, mutable=list(model_state), **kw
-                )
-            return model.apply(variables, mel, train=train, rngs=rngs, **kw), None
+        from transformer4sed_tpu.recipes import common as _common
 
-        self.model_apply = model_apply
+        # the supervised step always uses the (out, new_model_state) contract
+        self.model_apply = model_apply = _common.make_model_apply(model, True)
         # state donated: old buffers are dead after `self.state = step(...)`.
         # On multi-chip hosts, shard the batch over a 1-D data mesh like
         # the MAT-SED trainer (XLA emits the gradient all-reduce over ICI)

@@ -85,12 +85,17 @@ def load_pretrained(model, frontend, config, args, logger):
             restored = convert_passt_sed(load_torch_state_dict(args.pretrained_ckpt))
         else:
             restored = restore_params(args.pretrained_ckpt)
-            sibling = os.path.join(
-                os.path.dirname(os.path.abspath(args.pretrained_ckpt)), "best_model_state"
-            )
-            if model_state and os.path.isdir(sibling):
-                model_state = restore_params(sibling)
-                logger.info(f"restored model_state (BatchNorm stats) from {sibling}")
+            base = os.path.dirname(os.path.abspath(args.pretrained_ckpt))
+            # teacher checkpoints pair with the teacher's own BN stats
+            names = ["best_model_state"]
+            if "teacher" in os.path.basename(args.pretrained_ckpt):
+                names.insert(0, "best_model_state_teacher")
+            for n in names:
+                sibling = os.path.join(base, n)
+                if model_state and os.path.isdir(sibling):
+                    model_state = restore_params(sibling)
+                    logger.info(f"restored model_state (BatchNorm stats) from {sibling}")
+                    break
         drop = config["generals"].get("warm_start_drop", [])
         params = load_partial(params, restored, drop_patterns=drop)
         logger.info(f"warm-started from {args.pretrained_ckpt} (dropped: {drop})")
@@ -266,22 +271,7 @@ def main(argv=None):
         state = MLMState(params=params, opt_state=optimizer.init(params),
                          step=jnp.zeros((), jnp.int32),
                          model_state=model_state or None)
-
-        if aware:
-
-            def model_apply(p, mel, train=False, rngs=None, model_state=None, **kw):
-                variables = {"params": p, **(model_state or {})}
-                if train and model_state:
-                    return model.apply(
-                        variables, mel, train=True, rngs=rngs, mutable=list(model_state), **kw
-                    )
-                return model.apply(variables, mel, train=train, rngs=rngs, **kw), None
-
-        else:
-
-            def model_apply(p, mel, train=False, rngs=None, **kw):
-                return model.apply({"params": p}, mel, train=train, rngs=rngs, **kw)
-
+        model_apply = common.make_model_apply(model, aware)
         model_name = config.get("model_name", "PaSST_CNN")
         cfg = PMAMConfig(
             temperature=pm.get("temperature", 0.1),
@@ -324,18 +314,7 @@ def main(argv=None):
             init_params=params, init_model_state=model_state,
         )
         start_epoch = 0
-        resume = args.resume_ckpt
-        if resume == "auto":
-            # elastic recovery: pick up the per-epoch last_state if a prior
-            # (possibly preempted) run of this stage left one (SURVEY §5.3's
-            # re-entrant stage runner; the reference only polls nvidia-smi
-            # between stages)
-            import os
-
-            candidate = f"{paths['best_paths']}/last_state"
-            resume = candidate if os.path.isdir(candidate) else None
-            if resume is None:
-                logger.info("auto-resume: no last_state found, starting fresh")
+        resume = common.resolve_resume(args, paths, logger)
         if resume:
             steps = trainer.restore_state(resume)
             start_epoch = steps // max(len(train_loader), 1)
@@ -359,7 +338,6 @@ def main(argv=None):
             audioset_dataset_setting,
             load_type_map,
         )
-        from transformer4sed_tpu.utils.checkpoint import save_params
 
         train_loader, val_loader = audioset_dataset_setting(config, codec, args.random_seed)
         state_json = config["dataset"].get("state_json") or config["dataset"].get("type_map")
@@ -400,22 +378,19 @@ def main(argv=None):
                     common_mask=common_mask, query_bank=bank, **base,
                 )
 
+        from transformer4sed_tpu.utils.logging import BestModels
+
         gt = common.load_ground_truth(config["dataset"]["val_tsv"])
         durations = common.load_durations(config["dataset"]["val_dur"])
         median = common.median_filter_from_config(config, codec)
         key = jax.random.PRNGKey(args.random_seed)
-        best = -1.0
+        # BestModels persists the best metric (best_metric.json), so a
+        # resumed run cannot clobber a better pre-preemption checkpoint
+        best = BestModels(paths["best_paths"], flush_every=1)
         # elastic recovery, matching the matsed stages: per-epoch
         # last_state + --resume_ckpt auto picks it up after preemption
-        import os as _os
-
         start_epoch = 0
-        resume = args.resume_ckpt
-        if resume == "auto":
-            candidate = f"{paths['best_paths']}/last_state"
-            resume = candidate if _os.path.isdir(candidate) else None
-            if resume is None:
-                logger.info("auto-resume: no last_state found, starting fresh")
+        resume = common.resolve_resume(args, paths, logger)
         if resume:
             steps = trainer.restore_state(resume)
             start_epoch = steps // max(len(train_loader), 1)
@@ -424,16 +399,12 @@ def main(argv=None):
             metrics = trainer.train_epoch(epoch, key)
             results = trainer.validation(epoch, gt, durations, median_filter=median)
             logger.info(f"epoch {epoch + 1}: train {metrics} val {results}")
-            if results["psds"] > best:
-                best = results["psds"]
-                save_params(f"{paths['best_paths']}/best_student", trainer.state.params)
-                if trainer.state.model_state:
-                    # BatchNorm running stats ride next to the params so
-                    # warm-starts/serving see the trained statistics
-                    save_params(
-                        f"{paths['best_paths']}/best_model_state", trainer.state.model_state
-                    )
+            best.update(
+                epoch, results["psds"], trainer.state.params,
+                student_model_state=trainer.state.model_state,
+            )
             trainer.save_state(f"{paths['best_paths']}/last_state")
+        best.flush()
         from transformer4sed_tpu.utils.checkpoint import wait_for_checkpoints
 
         wait_for_checkpoints()  # land the final async last_state before returning

@@ -158,6 +158,46 @@ def load_durations(tsv_path: str) -> Dict[str, float]:
     }
 
 
+def make_model_apply(model, model_state_aware: bool):
+    """The shared model_apply contract.
+
+    ``model_state_aware=True``: ``(params, mel, train, rngs, model_state,
+    **kw) -> (out, new_model_state-or-None)`` with BatchNorm collections
+    mutable in train mode. ``False``: plain ``(params, mel, train, rngs,
+    **kw) -> out``."""
+    if model_state_aware:
+
+        def model_apply(params, mel, train=False, rngs=None, model_state=None, **kw):
+            variables = {"params": params, **(model_state or {})}
+            if train and model_state:
+                return model.apply(
+                    variables, mel, train=True, rngs=rngs, mutable=list(model_state), **kw
+                )
+            return model.apply(variables, mel, train=train, rngs=rngs, **kw), None
+
+    else:
+
+        def model_apply(params, mel, train=False, rngs=None, **kw):
+            return model.apply({"params": params}, mel, train=train, rngs=rngs, **kw)
+
+    return model_apply
+
+
+def resolve_resume(args, paths, logger) -> Optional[str]:
+    """Elastic recovery: map ``--resume_ckpt auto`` to the newest intact
+    per-epoch checkpoint (``last_state``, else the pre-overwrite backup
+    ``last_state.prev``); pass explicit paths through."""
+    resume = getattr(args, "resume_ckpt", None)
+    if resume != "auto":
+        return resume
+    for name in ("last_state", "last_state.prev"):
+        candidate = f"{paths['best_paths']}/{name}"
+        if os.path.isdir(candidate):
+            return candidate
+    logger.info("auto-resume: no last_state found, starting fresh")
+    return None
+
+
 def optimizer_from_config(params, config: Dict, steps_per_epoch: int):
     """AdamW param groups + ExponentialDown schedule from the YAML ``opt`` +
     ``training.scheduler`` sections (``recipes/desed/setting.py:254-278``).
@@ -188,6 +228,7 @@ def optimizer_from_config(params, config: Dict, steps_per_epoch: int):
         head=spec(lr_dict["head"]),
         cnn=spec(lr_dict["cnn"]) if lr_dict.get("cnn") else None,
         at_decoder=spec(lr_dict["at_decoder"]) if lr_dict.get("at_decoder") else None,
+        query=spec(lr_dict["query"]) if lr_dict.get("query") else None,
         backbone_depth=config.get("backbone_depth", 12),
         clip_grad=20.0 if config["training"].get("clip_grad") else 0.0,
         lora_trainable=bool(config["opt"].get("lora_trainable", False)),

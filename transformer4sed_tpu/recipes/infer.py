@@ -35,8 +35,10 @@ def infer_clip(
     query=None,
     query_type: Optional[str] = None,
     tgt_mask=None,
+    model_state=None,
 ) -> Tuple[List[Tuple[str, float, float]], np.ndarray, np.ndarray]:
-    """One padded clip -> (events, strong_scores [C, T], weak [C])."""
+    """One padded clip -> (events, strong_scores [C, T], weak [C]).
+    ``model_state``: non-params collections (HTSAT bn0 BatchNorm stats)."""
     from transformer4sed_tpu.core.filters import apply_class_filter
     from transformer4sed_tpu.data.audio_io import pad_wav
 
@@ -50,7 +52,8 @@ def infer_clip(
     wav_p, pad_mask = pad_wav(np.asarray(wav, np.float32), int(codec.audio_len * codec.sr), codec)
     mel = frontend.normalize(frontend(jnp.asarray(wav_p[None])))
     out = model.apply(
-        {"params": params}, mel, pad_mask=jnp.asarray(pad_mask[None]), **model_kwargs
+        {"params": params, **(model_state or {})}, mel,
+        pad_mask=jnp.asarray(pad_mask[None]), **model_kwargs
     )
     scores = jnp.transpose(out.strong, (0, 2, 1))  # [1, T, C]
     filtered = apply_class_filter(scores, median_filter, kind="median")
@@ -72,6 +75,7 @@ def infer_long_audio(
     model_kwargs: Optional[dict] = None,
     query=None,
     query_type: Optional[str] = None,
+    model_state=None,
 ) -> Tuple[List[Tuple[str, float, float]], np.ndarray]:
     """Arbitrary-length audio -> events, via sliding 10-s windows whose
     frame scores are overlap-added into per-segment scores (the
@@ -108,7 +112,8 @@ def infer_long_audio(
 
     mel = frontend.normalize(frontend(jnp.asarray(np.stack(chunks))))
     out = model.apply(
-        {"params": params}, mel, pad_mask=jnp.asarray(np.stack(pad_masks)), **model_kwargs
+        {"params": params, **(model_state or {})}, mel,
+        pad_mask=jnp.asarray(np.stack(pad_masks)), **model_kwargs
     )
     scores = jnp.transpose(out.strong, (0, 2, 1))  # [W, T, C]
     filtered = np.asarray(apply_class_filter(scores, median_filter, kind="median"))
@@ -164,6 +169,17 @@ def main(argv=None):
     codec = common.codec_from_config(config)
     model, frontend = build_model(config)
     params = restore_params(args.ckpt)
+    # BatchNorm running stats saved next to the params by the training
+    # stages (teacher checkpoints pair with best_model_state_teacher)
+    import os as _os
+
+    _base = _os.path.dirname(_os.path.abspath(args.ckpt))
+    _name = ("best_model_state_teacher"
+             if "teacher" in _os.path.basename(args.ckpt) else "best_model_state")
+    _ms_dir = _os.path.join(_base, _name)
+    if not _os.path.isdir(_ms_dir):
+        _ms_dir = _os.path.join(_base, "best_model_state")
+    model_state = restore_params(_ms_dir) if _os.path.isdir(_ms_dir) else None
     wav = load_audio(args.wav, codec.sr)
     query = None if args.query is None else jnp.asarray(np.load(args.query))
     model_name = config.get("model_name", "PaSST_SED")
@@ -176,6 +192,7 @@ def main(argv=None):
             model_kwargs=config.get(model_name, {}).get("test_kwargs", {}),
             query=query,
             query_type=args.query_type,
+            model_state=model_state,
         )
         print(json.dumps({"events": events}, indent=2))
         return
@@ -186,6 +203,7 @@ def main(argv=None):
         model_kwargs=config.get(model_name, {}).get("test_kwargs", {}),
         query=query,
         query_type=args.query_type,
+        model_state=model_state,
     )
     print(json.dumps({"events": events, "weak": weak.tolist()}, indent=2))
 

@@ -118,22 +118,7 @@ class MATSEDTrainer:
         )
         self.state = create_mean_teacher_state(init_params, self.optimizer, model_state)
 
-        if self._aware:
-
-            def model_apply(params, mel, train=False, rngs=None, model_state=None, **kw):
-                variables = {"params": params, **(model_state or {})}
-                if train and model_state:
-                    return model.apply(
-                        variables, mel, train=True, rngs=rngs, mutable=list(model_state), **kw
-                    )
-                return model.apply(variables, mel, train=train, rngs=rngs, **kw), None
-
-        else:
-
-            def model_apply(params, mel, train=False, rngs=None, **kw):
-                return model.apply({"params": params}, mel, train=train, rngs=rngs, **kw)
-
-        self.model_apply = model_apply
+        self.model_apply = model_apply = common.make_model_apply(model, self._aware)
         raw_step = make_mean_teacher_step(
             model_apply, frontend, self.optimizer, self.mt_cfg, model_state_aware=self._aware
         )
@@ -274,28 +259,17 @@ class MATSEDTrainer:
             self.train_epoch(epoch, key)
             if (epoch + 1) % self.config["generals"].get("val_interval", 1) == 0:
                 last_val = self.validation(epoch)
-                improved = best.update(
+                best.update(
                     epoch,
                     last_val.get("psds1/s", 0.0),
                     self.state.params,
                     self.state.teacher_params,
+                    student_model_state=self.state.model_state,
+                    teacher_model_state=self.state.teacher_model_state,
                 )
-                if improved and self.state.model_state is not None:
-                    # BatchNorm running stats belong with the best params
-                    self._best_model_state = jax.device_get(
-                        {
-                            "student": self.state.model_state,
-                            "teacher": self.state.teacher_model_state,
-                        }
-                    )
             self.logger.info(f"epoch {epoch + 1} took {(time.time() - t0) / 60:.2f} min")
             self.save_state(f"{save_dir}/last_state")
         best.flush()
-        if getattr(self, "_best_model_state", None) is not None:
-            from transformer4sed_tpu.utils.checkpoint import save_params
-
-            save_params(f"{save_dir}/best_model_state", self._best_model_state["student"])
-            save_params(f"{save_dir}/best_model_state_teacher", self._best_model_state["teacher"])
         from transformer4sed_tpu.utils.checkpoint import wait_for_checkpoints
 
         wait_for_checkpoints()  # land the final async last_state before returning
@@ -421,22 +395,7 @@ class MLMTrainer:
             step=jnp.zeros((), jnp.int32), model_state=model_state,
         )
 
-        if self._aware:
-
-            def model_apply(params, mel, train=False, rngs=None, model_state=None, **kw):
-                variables = {"params": params, **(model_state or {})}
-                if train and model_state:
-                    return model.apply(
-                        variables, mel, train=True, rngs=rngs, mutable=list(model_state), **kw
-                    )
-                return model.apply(variables, mel, train=train, rngs=rngs, **kw), None
-
-        else:
-
-            def model_apply(params, mel, train=False, rngs=None, **kw):
-                return model.apply({"params": params}, mel, train=train, rngs=rngs, **kw)
-
-        self.model_apply = model_apply
+        self.model_apply = model_apply = common.make_model_apply(model, self._aware)
         mlm_cfg = MLMConfig(
             transform_choice=tuple(
                 config["training"].get("transform", {}).get("choice", (1, 0, 0, 0))

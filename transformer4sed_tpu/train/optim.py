@@ -47,10 +47,12 @@ class ParamGroupConfig:
     decoder: GroupSpec = field(default_factory=GroupSpec)
     head: GroupSpec = field(default_factory=GroupSpec)
     # optional extra groups used by the AudioSet recipes' policies
-    # (set_lr.py / lr_set.py): a separate LR for the CNN branch and for
-    # the DASM AT decoder; None folds them into decoder/head as before
+    # (set_lr.py / lr_set.py): a separate LR for the CNN branch, the
+    # DASM AT decoder and the DASM learnable query bank; None folds them
+    # into decoder/head as before
     cnn: Optional[GroupSpec] = None
     at_decoder: Optional[GroupSpec] = None
+    query: Optional[GroupSpec] = None
     backbone_depth: int = 12
     clip_grad: float = 20.0
     # PMAM/LoRA mode (pmam/main.py:107 mark_only_lora_as_trainable): LoRA
@@ -58,9 +60,15 @@ class ParamGroupConfig:
     lora_trainable: bool = False
 
 
-# 'norm_after_merge' rides with the decoder group per the reference's
-# audioset policy (set_lr.py:check_tensor_name_decoder)
-_DECODER_KEYWORDS = ("decoder", "f_pool_module", "transformer_projector", "norm_after_merge")
+# union of the reference's decoder-group keyword lists: DESED cnn_trans
+# (`cnn_trans/setting.py:21` — decoder, cnn_projector,
+# transformer_projector, merge_weight, f_pool_module) and the AudioSet
+# DASM policy (`lr_set.py:41-51` adds at_projector, norm_before_pool,
+# norm_after_merge)
+_DECODER_KEYWORDS = (
+    "decoder", "f_pool_module", "transformer_projector", "cnn_projector",
+    "at_projector", "merge_weight", "norm_before_pool", "norm_after_merge",
+)
 
 
 def _path_str(path) -> str:
@@ -100,6 +108,8 @@ def label_params(params, cfg: ParamGroupConfig):
         # at_decoder before the generic 'decoder' keyword (substring clash)
         if cfg.at_decoder is not None and "at_decoder" in name:
             return "frozen" if cfg.at_decoder.lr <= 0 else "at_decoder"
+        if cfg.query is not None and "at_query" in name:
+            return "frozen" if cfg.query.lr <= 0 else "query"
         if cfg.cnn is not None and (name.startswith("cnn/") or "/cnn/" in name):
             return "frozen" if cfg.cnn.lr <= 0 else "cnn"
         for kw in _DECODER_KEYWORDS:
@@ -142,6 +152,8 @@ def build_optimizer(
         transforms["cnn"] = _adamw(cfg.cnn.lr, cfg.cnn.weight_decay, schedule)
     if cfg.at_decoder is not None:
         transforms["at_decoder"] = _adamw(cfg.at_decoder.lr, cfg.at_decoder.weight_decay, schedule)
+    if cfg.query is not None:
+        transforms["query"] = _adamw(cfg.query.lr, cfg.query.weight_decay, schedule)
     tx = optax.multi_transform(transforms, labels)
     if cfg.clip_grad:
         tx = optax.chain(optax.clip_by_global_norm(cfg.clip_grad), tx)

@@ -76,17 +76,29 @@ def restore_params(path: str):
     return _ckptr().restore(os.path.abspath(path))
 
 
-def save_checkpoint(path: str, state, async_save: bool = True) -> str:
+def save_checkpoint(path: str, state, async_save: bool = True, keep_backup: bool = True) -> str:
     """Save a full train state (flax.struct dataclass or pytree).
 
     ``async_save``: overlap the disk write with subsequent training
     (arrays are snapshotted to host before returning); pass False to
-    block until the write lands."""
+    block until the write lands. ``keep_backup``: rename an existing
+    checkpoint at ``path`` to ``path + '.prev'`` first — orbax
+    ``force=True`` deletes the destination before the (possibly
+    background) write finalises, so without the backup a preemption in
+    that window loses the only resume point."""
     path = os.path.abspath(path)
     state_dict = flax.serialization.to_state_dict(state)
     ck = _async_ckptr() if async_save else None
     if ck is not None:
         ck.wait_until_finished()  # one outstanding write; protects overwrites
+    if keep_backup and os.path.isdir(path):
+        import shutil
+
+        prev = path + ".prev"
+        if os.path.isdir(prev):
+            shutil.rmtree(prev)
+        os.replace(path, prev)
+    if ck is not None:
         ck.save(path, jax.device_get(state_dict), force=True)
     else:
         _ckptr().save(path, jax.device_get(state_dict), force=True)

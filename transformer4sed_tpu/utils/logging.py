@@ -92,16 +92,45 @@ class BestModels:
         self.best_epoch = -1
         self._student = None
         self._teacher = None
+        self._student_ms = None
+        self._teacher_ms = None
         self._since_flush = 0
         os.makedirs(save_dir, exist_ok=True)
+        # elastic recovery: a resumed run must not let its first epoch
+        # clobber a better pre-preemption best (flush writes the metric)
+        metric_path = os.path.join(save_dir, "best_metric.json")
+        if os.path.exists(metric_path):
+            import json
 
-    def update(self, epoch: int, metric: float, student_params, teacher_params=None) -> bool:
+            with open(metric_path) as f:
+                prev = json.load(f)
+            self.best_metric = float(prev.get("metric", -np.inf))
+            self.best_epoch = int(prev.get("epoch", -1))
+
+    def update(
+        self,
+        epoch: int,
+        metric: float,
+        student_params,
+        teacher_params=None,
+        student_model_state=None,
+        teacher_model_state=None,
+    ) -> bool:
         improved = metric > self.best_metric
         if improved:
             self.best_metric = metric
             self.best_epoch = epoch
+            self._dirty = True
             self._student = jax.device_get(student_params)
             self._teacher = None if teacher_params is None else jax.device_get(teacher_params)
+            # BatchNorm collections ride with their params so the flushed
+            # best is usable (fresh-init stats would mis-normalize)
+            self._student_ms = (
+                None if not student_model_state else jax.device_get(student_model_state)
+            )
+            self._teacher_ms = (
+                None if not teacher_model_state else jax.device_get(teacher_model_state)
+            )
         self._since_flush += 1
         if self._since_flush >= self.flush_every:
             self.flush()
@@ -109,10 +138,22 @@ class BestModels:
         return improved
 
     def flush(self):
-        if self._student is None:
+        # only rewrite when a new best arrived since the last flush
+        if self._student is None or not getattr(self, "_dirty", False):
             return
+        self._dirty = False
+        import json
+
         from transformer4sed_tpu.utils.checkpoint import save_params
 
         save_params(os.path.join(self.save_dir, "best_student"), self._student)
         if self._teacher is not None:
             save_params(os.path.join(self.save_dir, "best_teacher"), self._teacher)
+        if self._student_ms is not None:
+            save_params(os.path.join(self.save_dir, "best_model_state"), self._student_ms)
+        if self._teacher_ms is not None:
+            save_params(
+                os.path.join(self.save_dir, "best_model_state_teacher"), self._teacher_ms
+            )
+        with open(os.path.join(self.save_dir, "best_metric.json"), "w") as f:
+            json.dump({"metric": float(self.best_metric), "epoch": self.best_epoch}, f)
