@@ -151,6 +151,118 @@ class TestDASMOVCLI:
         assert rc == 0
 
 
+def _dasm_config(base_config):
+    config = dict(base_config)
+    config["model_name"] = "DASM"
+    config["DASM"] = {
+        "init_kwargs": {
+            "class_num": 3, "decoder_dim": 32, "num_heads": 4,
+            "decoder": "transformerXL", "decoder_layer_num": 1,
+            "decoder_pos_emd_len": 120, "embed_dim": 32,
+            "backbone_depth": 2, "backbone_num_heads": 4,
+            "passt_feature_layer": 2, "at_decoder_layer": 1,
+            "f_pool_heads": 4, "out_type": "sigmoid", "cnn_param": None,
+        },
+        "train_kwargs": {},
+        "val_kwargs": {},
+        "test_kwargs": {},
+    }
+    config["training"]["w_AT"] = 1.0
+    return config
+
+
+class TestDASMClosedAndOpensetCLI:
+    def test_dasm_train_then_openset_eval(self, mini_audioset, tmp_path):
+        """Closed-set DASM through the CLI, then zero-shot openset_eval
+        with a novel-class query appended to the trained learnable bank
+        (the reference openset_evaluation.py flow)."""
+        import yaml as _yaml
+
+        from transformer4sed_tpu.recipes.cli import main
+
+        with open(mini_audioset["config"]) as f:
+            config = _dasm_config(_yaml.safe_load(f))
+        cfg_path = tmp_path / "dasm.yaml"
+        with open(cfg_path, "w") as f:
+            _yaml.safe_dump(config, f)
+        rc = main([
+            "dasm_train", "--config_dir", str(cfg_path),
+            "--save_folder", str(tmp_path / "run"), "--random_seed", "0",
+        ])
+        assert rc == 0
+        ckpt = tmp_path / "run" / "best" / "best_student"
+        assert ckpt.is_dir()
+
+        # openset assets: one novel class ("thunder") over the val clips,
+        # novel query embedding in decoder_dim space (learnable-bank model)
+        root = mini_audioset["root"]
+        openset_label = tmp_path / "openset_label.json"
+        with open(openset_label, "w") as f:
+            json.dump(["thunder"], f)
+        emb = tmp_path / "openset_emb.npy"
+        np.save(emb, np.random.RandomState(0).randn(1, 32).astype(np.float32))
+        rows = pd.read_csv(f"{root}/val.tsv", sep="\t")
+        rows.loc[rows.index[-1], "event_label"] = "thunder"
+        open_tsv = tmp_path / "openset.tsv"
+        rows.to_csv(open_tsv, sep="\t", index=False)
+        config["dataset"].update({
+            "openset_label": str(openset_label),
+            "openset_embedding": str(emb),
+            "openset_tsv": str(open_tsv),
+            "openset_folder": f"{root}/val",
+            "openset_dur": config["dataset"]["val_dur"],
+        })
+        cfg2 = tmp_path / "openset.yaml"
+        with open(cfg2, "w") as f:
+            _yaml.safe_dump(config, f)
+        rc = main([
+            "openset_eval", "--config_dir", str(cfg2),
+            "--save_folder", str(tmp_path / "openset"), "--random_seed", "0",
+            "--pretrained_ckpt", str(ckpt),
+        ])
+        assert rc == 0
+        single = json.load(open(tmp_path / "openset" / "single_psds.json"))
+        assert set(single) <= set(CLASSES) | {"thunder"}
+        log = (tmp_path / "openset" / "log.txt").read_text()
+        assert "openset psds=" in log
+
+
+class TestCLAPCLI:
+    def test_clap_train_stage(self, mini_audioset, tmp_path):
+        """Common-only CLAP_SED through the CLI: text-query bank, common
+        classes trained, full-bank validation."""
+        import yaml as _yaml
+
+        from transformer4sed_tpu.recipes.cli import main
+
+        with open(mini_audioset["config"]) as f:
+            config = _yaml.safe_load(f)
+        config["model_name"] = "CLAP_SED"
+        config["CLAP_SED"] = {
+            "init_kwargs": {
+                "embed_dim": 96 * 8, "class_num": 3, "query_dim": 16,
+                "htsat_config": "tiny",
+            },
+            "train_kwargs": {}, "val_kwargs": {},
+        }
+        bank = tmp_path / "text_bank.npy"
+        np.save(bank, np.random.RandomState(1).randn(3, 16).astype(np.float32))
+        config["dataset"]["query_bank"] = str(bank)
+        # CLAP frontend is HTSAT-style: label grid = backbone frames
+        config["feature"]["pred_len"] = 32
+        config["feature"]["net_subsample"] = 120.0 / 32.0
+        cfg_path = tmp_path / "clap.yaml"
+        with open(cfg_path, "w") as f:
+            _yaml.safe_dump(config, f)
+        rc = main([
+            "clap_train", "--config_dir", str(cfg_path),
+            "--save_folder", str(tmp_path / "run"), "--random_seed", "0",
+        ])
+        assert rc == 0
+        log = (tmp_path / "run" / "log.txt").read_text()
+        assert "epoch 1:" in log
+
+
 class TestSupervisedResume:
     def test_auto_resume_from_last_state(self, mini_audioset, tmp_path):
         """Elastic recovery for the AudioSet family: a second run with

@@ -115,6 +115,25 @@ class TestLosses:
         ref = float(torch.nn.BCELoss()(torch.tensor(pred), torch.tensor(target)))
         assert abs(ours - ref) < 1e-5
 
+    def test_bce_gradient_finite_at_saturation(self):
+        """An untrained CLAP head saturates sigmoid to exactly 1.0; the
+        BCE gradient must stay finite there (flooring the log input at 0
+        gave inf * 0 = NaN gradients and NaN'd params in one step)."""
+        import jax
+
+        pred = jnp.asarray([1.0, 0.0, 0.5])
+        for target in (jnp.zeros(3), jnp.ones(3)):
+            g = jax.grad(lambda p: losses.bce(p, target))(pred)
+            assert bool(jnp.isfinite(g).all()), (target, g)
+        # pmam masked_bce too
+        from transformer4sed_tpu.pmam.train import masked_bce
+
+        p = jnp.asarray([[[1.0, 0.0]]])
+        t = jnp.asarray([[[0.0, 1.0]]])
+        m = jnp.ones((1, 1))
+        g = jax.grad(lambda p_: masked_bce(p_, t, m))(p)
+        assert bool(jnp.isfinite(g).all())
+
     def test_bce_logits_consistent(self):
         rng = np.random.RandomState(4)
         logits = rng.randn(4, 5).astype(np.float32)

@@ -93,3 +93,22 @@ class TestNativePSDS:
             tp, fp, ct = P.evaluate_operating_point(detections, gtc, classes, 0.5, 0.5, 0.3)
             assert tp_n[ti] == tp["c1"] and fp_n[ti] == fp["c1"]
             assert list(ct_n[ti]) == [ct["c1"][c] for c in classes]
+
+
+class TestNaNGuard:
+    def test_non_finite_scores_raise(self):
+        """NaN scores must raise a clear error instead of driving the
+        native exact sweep's merge loop out of bounds (NaN != NaN never
+        advanced the cursor -> unbounded writes -> segfault)."""
+        from transformer4sed_tpu.eval import psds as P
+
+        scores, gt, durs = _synthetic(n_clips=2)
+        first = next(iter(scores))
+        bad = scores[first].scores.copy()
+        bad[5, 1] = np.nan
+        scores[first] = ClipScores(bad, scores[first].timestamps, scores[first].event_classes)
+        with pytest.raises(ValueError, match="non-finite"):
+            P.compute_psds_from_scores(
+                scores, gt, durs, dtc_threshold=0.7, gtc_threshold=0.7,
+                alpha_ct=0.0, alpha_st=1.0,
+            )

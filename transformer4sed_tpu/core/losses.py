@@ -20,7 +20,12 @@ _LOG_CLAMP = -100.0
 
 
 def _safe_log(x: jnp.ndarray) -> jnp.ndarray:
-    return jnp.maximum(jnp.log(jnp.maximum(x, 0.0)), _LOG_CLAMP)
+    # floor the INPUT at 1e-37 (safely above FLT_MIN; denormals flush to 0) before the log (then clamp the value
+    # like torch BCELoss). Flooring at 0 kept the value finite but made
+    # the gradient inf * 0 = NaN at saturated predictions (log'(0) = inf
+    # times the unselected-branch zero) — an untrained CLAP head saturates
+    # sigmoid to exactly 1.0 and NaN'd its params in one step.
+    return jnp.maximum(jnp.log(jnp.maximum(x, jnp.float32(1e-37))), _LOG_CLAMP)
 
 
 def bce(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:

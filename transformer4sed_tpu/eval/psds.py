@@ -230,6 +230,15 @@ def compute_psd_roc(
     num_jobs: int = 1,
 ) -> PSDSResult:
     classes = list(next(iter(scores.values())).event_classes)
+    # NaN guard (the de-facto numeric sanitizer, SURVEY §5.2): non-finite
+    # scores mean the model diverged; fail loudly instead of producing a
+    # garbage metric (and NaN used to drive the native sweep's merge loop
+    # out of bounds)
+    for clip_id, clip in scores.items():
+        if not np.isfinite(clip.scores).all():
+            raise ValueError(
+                f"non-finite scores for clip {clip_id!r} — model diverged?"
+            )
     total_hours = sum(audio_durations[c] for c in scores) / 3600.0
 
     # index ground truth

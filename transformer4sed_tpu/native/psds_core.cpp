@@ -202,6 +202,12 @@ int64_t psds_class_exact(
     const int64_t n_gt = gt_off[base + class_idx + 1] - gt_off[base + class_idx];
 
     vals.assign(s, s + t_len);
+    // drop non-finite scores BEFORE sorting: NaN breaks the comparator's
+    // strict weak ordering (UB) and NaN != NaN makes the merge loop below
+    // never advance — an unbounded write into the caller's buffers
+    vals.erase(std::remove_if(vals.begin(), vals.end(),
+                              [](float v) { return !(v == v); }),
+               vals.end());
     std::sort(vals.begin(), vals.end(), std::greater<float>());
     vals.erase(std::unique(vals.begin(), vals.end()), vals.end());
 
