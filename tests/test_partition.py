@@ -159,3 +159,33 @@ class TestTPFlashAttention:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
         # trailing Nones are normalized away in the reported spec
         assert tuple(out.sharding.spec)[:2] == (None, "model")
+
+
+class TestShardEvalPut:
+    def test_sharded_and_ragged(self):
+        """Eval batches ride the data mesh when divisible; ragged tails
+        stay unsharded; mesh=None is a no-op."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from transformer4sed_tpu.parallel import make_mesh
+        from transformer4sed_tpu.recipes.common import shard_eval_put
+
+        if jax.device_count() < 2:
+            import pytest
+
+            pytest.skip("needs the multi-device CPU mesh")
+        mesh = make_mesh()
+        n = jax.device_count()
+        a = jnp.ones((n * 2, 4))
+        b = jnp.zeros((n * 2, 3))
+        sa, sb = shard_eval_put(mesh, a, b)
+        assert len(sa.sharding.device_set) == n
+        np.testing.assert_array_equal(np.asarray(sa), np.asarray(a))
+        # ragged: not divisible -> unsharded passthrough
+        (ra,) = shard_eval_put(mesh, jnp.ones((n + 1, 4)))
+        assert len(ra.sharding.device_set) == 1
+        # no mesh -> identity
+        (ia,) = shard_eval_put(None, a)
+        assert ia is a

@@ -310,12 +310,16 @@ class SupervisedTrainer:
         from transformer4sed_tpu.eval.psds import compute_psds_from_scores
         from transformer4sed_tpu.recipes.dasm_recipe import split_psds_by_type
 
+        from transformer4sed_tpu.recipes import common as _common
+
         scores = {}
         for batch in self.val_loader:
             mel = self.frontend.normalize(self.frontend(jnp.asarray(batch["wav"])))
-            out = self._eval_fn(
-                self.state.params, self.state.model_state, mel, jnp.asarray(batch["pad_mask"])
+            # multi-chip: evaluation rides the same data mesh as training
+            mel, pm = _common.shard_eval_put(
+                self.mesh, mel, jnp.asarray(batch["pad_mask"])
             )
+            out = self._eval_fn(self.state.params, self.state.model_state, mel, pm)
             _, post = batched_decode_preds(
                 out.strong, batch["filename"], self.codec, filter=median_filter
             )

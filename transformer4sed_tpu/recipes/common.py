@@ -183,6 +183,24 @@ def make_model_apply(model, model_state_aware: bool):
     return model_apply
 
 
+def shard_eval_put(mesh, *arrays):
+    """Device-put eval arrays with the data sharding when the batch
+    divides the mesh (multi-chip hosts evaluate SPMD like training);
+    ragged tail batches stay unsharded — jit compiles one variant per
+    input sharding, so both shapes coexist."""
+    if mesh is None:
+        return arrays
+    import jax as _jax
+
+    n = int(np.prod(mesh.devices.shape))
+    if any(a.shape[0] % n for a in arrays):
+        return arrays
+    from transformer4sed_tpu.parallel import batch_sharding
+
+    sh = batch_sharding(mesh)
+    return tuple(_jax.device_put(a, sh) for a in arrays)
+
+
 def resolve_resume(args, paths, logger) -> Optional[str]:
     """Elastic recovery: map ``--resume_ckpt auto`` to the newest intact
     per-epoch checkpoint (``last_state``, else the pre-overwrite backup

@@ -302,12 +302,16 @@ class OVDASMTrainer(DASMTrainer):
             )
 
         scores = {}
+        from transformer4sed_tpu.recipes import common as _common
+
         at_preds, at_targets = [], []
         for batch in self.val_loader:
             mel = self.frontend.normalize(self.frontend(jnp.asarray(batch["wav"])))
-            strong, at_out = eval_fn(
-                self.state.params, self.state.model_state, mel, jnp.asarray(batch["pad_mask"])
+            # multi-chip: evaluation rides the same data mesh as training
+            mel, pm = _common.shard_eval_put(
+                self.mesh, mel, jnp.asarray(batch["pad_mask"])
             )
+            strong, at_out = eval_fn(self.state.params, self.state.model_state, mel, pm)
             labels = np.asarray(batch["label"])
             at_preds.append(np.asarray(at_out))
             at_targets.append((labels.sum(-1) >= 1).astype(np.float32))

@@ -186,7 +186,10 @@ class MATSEDTrainer:
         weak_preds_all, weak_labels_all = [], []
         for batch in self.val_loader:
             mel = self.frontend.normalize(self.frontend(jnp.asarray(batch["wav"])))
-            pad_mask = jnp.asarray(batch["pad_mask"])
+            # multi-chip: evaluation rides the same data mesh as training
+            mel, pad_mask = common.shard_eval_put(
+                self.mesh, mel, jnp.asarray(batch["pad_mask"])
+            )
             out = self._eval_apply(params, mel, pad_mask, kwargs_key, model_state=model_state)
             _, post = batched_decode_preds(
                 out.strong,
@@ -292,8 +295,9 @@ class MATSEDTrainer:
         scores_post = {}
         for batch in self.test_loader:
             mel = self.frontend.normalize(self.frontend(jnp.asarray(batch["wav"])))
+            mel, pm = common.shard_eval_put(self.mesh, mel, jnp.asarray(batch["pad_mask"]))
             out = self._eval_apply(
-                self.state.teacher_params, mel, jnp.asarray(batch["pad_mask"]), "test_kwargs",
+                self.state.teacher_params, mel, pm, "test_kwargs",
                 model_state=self.state.teacher_model_state,
             )
             raw, post = batched_decode_preds(
