@@ -239,6 +239,70 @@ class TestServeEngine:
             np.testing.assert_allclose(sharded[n][1], single[n][1], atol=1e-6)
 
 
+class TestServeBatchNorm:
+    def test_serve_main_htsat_restores_model_state(self, tmp_path):
+        """serve.main with an HTSAT (BatchNorm) checkpoint: the sibling
+        best_model_state dir is restored — without it the apply would
+        raise ScopeCollectionNotFound."""
+        import json
+        import os
+
+        import yaml
+        from scipy.io import wavfile
+
+        from transformer4sed_tpu.models.htsat import HTSATFrontend
+        from transformer4sed_tpu.models.htsat_heads import HTSAT_CNN
+        from transformer4sed_tpu.recipes import serve
+        from transformer4sed_tpu.utils.checkpoint import save_params
+
+        sr, dur = 32000, 1.2
+        wav_dir = tmp_path / "wavs"
+        os.makedirs(wav_dir)
+        rng = np.random.RandomState(0)
+        for i in range(2):
+            wav = (rng.randn(int(dur * sr)) * 0.05 * 32767).astype(np.int16)
+            wavfile.write(str(wav_dir / f"h{i}.wav"), sr, wav)
+
+        init_kwargs = dict(
+            class_num=2, decoder_dim=32, num_heads=4, decoder="transformerXL",
+            decoder_layer_num=1, decoder_pos_emd_len=512, htsat_config="tiny",
+        )
+        model = HTSAT_CNN(**init_kwargs)
+        frontend = HTSATFrontend()
+        mel = frontend.normalize(frontend(jnp.zeros((1, int(dur * sr)))))
+        variables = model.init({"params": KEY}, mel)
+        assert "batch_stats" in variables
+        ckpt_dir = tmp_path / "best"
+        save_params(str(ckpt_dir / "best_student"), variables["params"])
+        save_params(
+            str(ckpt_dir / "best_model_state"),
+            {k: v for k, v in variables.items() if k != "params"},
+        )
+
+        config = {
+            "model_name": "HTSAT_CNN",
+            "HTSAT_CNN": {"init_kwargs": init_kwargs, "test_kwargs": {"temp_w": 0.5}},
+            "feature": {"pred_len": 320, "sr": sr, "hopsize": 320, "n_fft": 1024,
+                        "audio_max_len": dur, "net_subsample": 120.0 / 320.0},
+            "dataset": {"labels": ["a", "b"]},
+            "training": {"median_window": 3},
+        }
+        cfg_path = tmp_path / "config.yaml"
+        with open(cfg_path, "w") as f:
+            yaml.safe_dump(config, f)
+        out_dir = tmp_path / "scores"
+        serve.main([
+            "--config_dir", str(cfg_path),
+            "--ckpt", str(ckpt_dir / "best_student"),
+            "--wav_dir", str(wav_dir),
+            "--out_dir", str(out_dir),
+            "--batch_size", "2",
+        ])
+        lines = [json.loads(l) for l in open(out_dir / "events.jsonl")]
+        assert {l["filename"] for l in lines} == {"h0.wav", "h1.wav"}
+        assert (out_dir / "h0.tsv").exists()
+
+
 class TestServeOpenVocab:
     def test_serve_main_with_external_queries(self, tmp_path):
         """serve.main end-to-end with a DASM model and --query/--query_names:
