@@ -19,13 +19,23 @@ from jax import nn as jnn
 _LOG_CLAMP = -100.0
 
 
+_LOG_TINY = 1e-37  # safely above FLT_MIN (denormals flush to 0 on TPU/oneDNN)
+
+
 def _safe_log(x: jnp.ndarray) -> jnp.ndarray:
-    # floor the INPUT at 1e-37 (safely above FLT_MIN; denormals flush to 0) before the log (then clamp the value
-    # like torch BCELoss). Flooring at 0 kept the value finite but made
-    # the gradient inf * 0 = NaN at saturated predictions (log'(0) = inf
-    # times the unselected-branch zero) — an untrained CLAP head saturates
-    # sigmoid to exactly 1.0 and NaN'd its params in one step.
-    return jnp.maximum(jnp.log(jnp.maximum(x, jnp.float32(1e-37))), _LOG_CLAMP)
+    """log with torch-BCELoss numerics AND finite gradients.
+
+    Value: exact log for x >= 1e-37, torch's -100 clamp below (the only
+    sub-1e-37 float32 probability a sigmoid can produce is exactly 0,
+    where torch clamps log(0) to -100 too). Gradient: the old
+    ``max(log(max(x, 0)), -100)`` form had gradient inf * 0 = NaN at
+    saturated predictions (log'(0) = inf times the unselected-branch
+    zero) — an untrained CLAP head saturates sigmoid to exactly 1.0 and
+    NaN'd its params in one optimizer step; ``where`` + an inner floor
+    keeps both branches' gradients finite."""
+    return jnp.where(
+        x < _LOG_TINY, _LOG_CLAMP, jnp.log(jnp.maximum(x, jnp.float32(_LOG_TINY)))
+    )
 
 
 def bce(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:

@@ -35,14 +35,9 @@ def prototype_predictions(
 
 def masked_bce(pred: jnp.ndarray, target: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """BCE over masked frames only; pred/target [B, T, K], mask [B, T].
-    Inputs floored at float32-tiny BEFORE the log: flooring at 0 keeps
-    the value finite but the gradient becomes inf * 0 = NaN at saturated
-    predictions (see core/losses._safe_log)."""
-    tiny = jnp.float32(1e-37)
-    losses = -(
-        target * jnp.maximum(jnp.log(jnp.maximum(pred, tiny)), -100.0)
-        + (1.0 - target) * jnp.maximum(jnp.log(jnp.maximum(1.0 - pred, tiny)), -100.0)
-    )
+    Uses the shared NaN-safe log (torch value clamp + finite gradients
+    at saturated predictions, ``core/losses._safe_log``)."""
+    losses = -(target * L._safe_log(pred) + (1.0 - target) * L._safe_log(1.0 - pred))
     per_frame = jnp.mean(losses, axis=-1)  # [B, T]
     denom = jnp.maximum(jnp.sum(mask), 1.0)
     return jnp.sum(per_frame * mask) / denom

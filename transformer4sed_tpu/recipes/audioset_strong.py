@@ -24,6 +24,7 @@ import optax
 
 from transformer4sed_tpu.core import losses as L
 from transformer4sed_tpu.frontend import augment
+from transformer4sed_tpu.recipes import common
 from transformer4sed_tpu.train.mean_teacher import pool_strong_labels
 
 
@@ -202,7 +203,6 @@ class SupervisedTrainer:
     ):
         import flax.struct
 
-        from transformer4sed_tpu.recipes import common
         from transformer4sed_tpu.train.mlm import MLMState
 
         self.model = model
@@ -238,10 +238,8 @@ class SupervisedTrainer:
             model_state=model_state,
         )
 
-        from transformer4sed_tpu.recipes import common as _common
-
         # the supervised step always uses the (out, new_model_state) contract
-        self.model_apply = model_apply = _common.make_model_apply(model, True)
+        self.model_apply = model_apply = common.make_model_apply(model, True)
         # state donated: old buffers are dead after `self.state = step(...)`.
         # On multi-chip hosts, shard the batch over a 1-D data mesh like
         # the MAT-SED trainer (XLA emits the gradient all-reduce over ICI)
@@ -310,13 +308,11 @@ class SupervisedTrainer:
         from transformer4sed_tpu.eval.psds import compute_psds_from_scores
         from transformer4sed_tpu.recipes.dasm_recipe import split_psds_by_type
 
-        from transformer4sed_tpu.recipes import common as _common
-
         scores = {}
         for batch in self.val_loader:
             mel = self.frontend.normalize(self.frontend(jnp.asarray(batch["wav"])))
             # multi-chip: evaluation rides the same data mesh as training
-            mel, pm = _common.shard_eval_put(
+            mel, pm = common.shard_eval_put(
                 self.mesh, mel, jnp.asarray(batch["pad_mask"])
             )
             out = self._eval_fn(self.state.params, self.state.model_state, mel, pm)

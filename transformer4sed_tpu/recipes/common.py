@@ -192,7 +192,10 @@ def shard_eval_put(mesh, *arrays):
         return arrays
     import jax as _jax
 
-    n = int(np.prod(mesh.devices.shape))
+    # batch_sharding partitions over the 'data' axis only — gate on that
+    # axis size, not the total device count (a ('data', 'model') mesh
+    # with model > 1 would otherwise never shard eval)
+    n = int(mesh.shape.get("data", np.prod(mesh.devices.shape)))
     if any(a.shape[0] % n for a in arrays):
         return arrays
     from transformer4sed_tpu.parallel import batch_sharding

@@ -283,27 +283,34 @@ class OVDASMTrainer(DASMTrainer):
         from transformer4sed_tpu.recipes.audioset_strong import drop_absent_classes
 
         query, att_mask = self._eval_queries()
-        val_kwargs = self.config.get(self.model_name, {}).get("val_kwargs", {})
 
-        @jax.jit
-        def eval_fn(params, model_state, mel, pad_mask):
-            out, _ = self.model_apply(
-                params, mel, train=False, pad_mask=pad_mask, model_state=model_state,
-                query=query, tgt_mask=att_mask, **val_kwargs,
-            )
-            at_out = out.at_out
-            if at_out.ndim == 3:  # 'logit' head: clip score = softmax diagonal
-                probs = jax.nn.softmax(at_out, axis=-1)
-                qi = jnp.arange(probs.shape[1])
-                at_out = probs[:, qi, qi]
-            return (
-                reorder_pred(out.strong, self.common_mask),
-                reorder_pred(at_out, self.common_mask),
-            )
+        if not hasattr(self, "_ov_eval_fn"):
+            # jitted ONCE: query changes every epoch (learnable bank), so
+            # it is an argument, not a closure constant — a fresh closure
+            # per validation would recompile the eval forward each epoch
+            val_kwargs = self.config.get(self.model_name, {}).get("val_kwargs", {})
 
-        scores = {}
+            @jax.jit
+            def eval_fn(params, model_state, mel, pad_mask, query, att_mask):
+                out, _ = self.model_apply(
+                    params, mel, train=False, pad_mask=pad_mask, model_state=model_state,
+                    query=query, tgt_mask=att_mask, **val_kwargs,
+                )
+                at_out = out.at_out
+                if at_out.ndim == 3:  # 'logit' head: clip score = softmax diagonal
+                    probs = jax.nn.softmax(at_out, axis=-1)
+                    qi = jnp.arange(probs.shape[1])
+                    at_out = probs[:, qi, qi]
+                return (
+                    reorder_pred(out.strong, self.common_mask),
+                    reorder_pred(at_out, self.common_mask),
+                )
+
+            self._ov_eval_fn = eval_fn
+
         from transformer4sed_tpu.recipes import common as _common
 
+        scores = {}
         at_preds, at_targets = [], []
         for batch in self.val_loader:
             mel = self.frontend.normalize(self.frontend(jnp.asarray(batch["wav"])))
@@ -311,7 +318,9 @@ class OVDASMTrainer(DASMTrainer):
             mel, pm = _common.shard_eval_put(
                 self.mesh, mel, jnp.asarray(batch["pad_mask"])
             )
-            strong, at_out = eval_fn(self.state.params, self.state.model_state, mel, pm)
+            strong, at_out = self._ov_eval_fn(
+                self.state.params, self.state.model_state, mel, pm, query, att_mask
+            )
             labels = np.asarray(batch["label"])
             at_preds.append(np.asarray(at_out))
             at_targets.append((labels.sum(-1) >= 1).astype(np.float32))
