@@ -1,0 +1,170 @@
+"""Streaming (online) SED: score a live audio stream incrementally.
+
+Beyond the reference (whose closest path is offline long-file
+overlap-add, ``src/codec/decoder.py:138-190``): a push-based scorer for
+real-time serving. Audio arrives in arbitrary-size chunks; fixed
+``codec.audio_len``-second windows advance by ``hop_seconds`` through a
+host ring buffer, each window runs through ONE compiled jit forward
+(same static shape every call), and frame scores overlap-add into a
+running timeline. Frames that no future window can still touch are
+*finalized* and emitted — latency is bounded by one window length.
+
+Usage::
+
+    scorer = StreamingScorer(model, frontend, params, codec)
+    for chunk in microphone():              # any chunk sizes
+        for t0, scores in scorer.push(chunk):   # finalized frames
+            ...
+    for t0, scores in scorer.flush():       # drain the tail
+        ...
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class StreamingScorer:
+    """Incremental overlap-add scorer over a live waveform stream.
+
+    Emits ``(frame_onset_seconds, scores[C])`` rows in time order, each
+    exactly once, independent of how the input was chunked.
+    """
+
+    def __init__(
+        self,
+        model,
+        frontend,
+        params,
+        codec,
+        hop_seconds: float = 2.0,
+        median_filter=7,
+        model_kwargs: Optional[dict] = None,
+        model_state=None,
+    ):
+        from transformer4sed_tpu.core.filters import apply_class_filter
+
+        self.codec = codec
+        self.win = int(codec.audio_len * codec.sr)
+        self.hop = max(int(hop_seconds * codec.sr), 1)
+        self.params = params
+        self.model_state = model_state
+        model_kwargs = dict(model_kwargs or {})
+        if isinstance(median_filter, list):
+            median_filter = tuple(median_filter)
+
+        @jax.jit
+        def forward(params, model_state, wav):
+            mel = frontend.normalize(frontend(wav))
+            out = model.apply({"params": params, **(model_state or {})}, mel, **model_kwargs)
+            scores = jnp.transpose(out.strong, (0, 2, 1))  # [1, T, C]
+            return apply_class_filter(scores, median_filter, kind="median")[0]
+
+        self._forward = forward
+        self._buffer = np.zeros(0, np.float32)
+        self._consumed = 0  # samples dropped from the left of the buffer
+        self._next_win = 0  # sample index of the next window start
+        self._acc: Optional[np.ndarray] = None  # [frames, C] running sums
+        self._cnt: Optional[np.ndarray] = None
+        self._emitted = 0  # finalized frame count
+        self._frames_per_win: Optional[int] = None
+
+    # -- internals ------------------------------------------------------------------
+
+    def _frame_of(self, sample: int) -> int:
+        """Timeline frame index of a sample position (window frame grid)."""
+        return int(round(sample / self.win * self._frames_per_win))
+
+    def _grow(self, n_frames: int):
+        if self._acc is None or n_frames > self._acc.shape[0]:
+            new = max(n_frames, 2 * (self._acc.shape[0] if self._acc is not None else 1024))
+            acc = np.zeros((new, self._n_classes), np.float32)
+            cnt = np.zeros((new, 1), np.float32)
+            if self._acc is not None:
+                acc[: self._acc.shape[0]] = self._acc
+                cnt[: self._cnt.shape[0]] = self._cnt
+            self._acc, self._cnt = acc, cnt
+
+    def _run_window(self, start: int, wav: np.ndarray):
+        scores = np.asarray(self._forward(self.params, self.model_state, jnp.asarray(wav[None])))
+        if self._frames_per_win is None:
+            self._frames_per_win = scores.shape[0]
+            self._n_classes = scores.shape[1]
+        f0 = self._frame_of(start)
+        self._grow(f0 + scores.shape[0])
+        self._acc[f0 : f0 + scores.shape[0]] += scores
+        self._cnt[f0 : f0 + scores.shape[0]] += 1.0
+
+    def _finalize_until(self, frame_end: int) -> List[Tuple[float, np.ndarray]]:
+        out = []
+        if self._acc is None:
+            return out
+        frame_end = min(frame_end, self._acc.shape[0])
+        sec_per_frame = self.codec.audio_len / self._frames_per_win
+        for f in range(self._emitted, frame_end):
+            if self._cnt[f, 0] > 0:
+                out.append((f * sec_per_frame, self._acc[f] / self._cnt[f, 0]))
+        self._emitted = max(self._emitted, frame_end)
+        return out
+
+    # -- public API -----------------------------------------------------------------
+
+    def push(self, chunk: np.ndarray) -> List[Tuple[float, np.ndarray]]:
+        """Feed a waveform chunk; returns newly finalized
+        ``(frame_onset_seconds, scores[C])`` rows."""
+        self._buffer = np.concatenate([self._buffer, np.asarray(chunk, np.float32)])
+        total = self._consumed + len(self._buffer)
+        while self._next_win + self.win <= total:
+            lo = self._next_win - self._consumed
+            self._run_window(self._next_win, self._buffer[lo : lo + self.win])
+            self._next_win += self.hop
+        # drop samples neither a future hop window nor the end-anchored
+        # flush window can need: the flush window starts at total - win,
+        # which always lies at or after total - win >= consumed-candidate
+        # (the hop loop guarantees next_win > total - win)
+        keep_sample = max(total - self.win, 0)
+        drop = keep_sample - self._consumed
+        if drop > 0:
+            self._buffer = self._buffer[drop:]
+            self._consumed += drop
+        # frames strictly before the next window start are final
+        if self._frames_per_win is None:
+            return []
+        return self._finalize_until(self._frame_of(self._next_win))
+
+    def flush(self) -> List[Tuple[float, np.ndarray]]:
+        """End of stream: score one final window anchored at the stream
+        end (zero-padded if the stream is shorter than a window) and
+        emit everything remaining.
+
+        Frames already finalized by :meth:`push` are NOT revised — the
+        tail window only refines unemitted frames. This is the streaming
+        trade-off (bounded latency); when the stream length lands on the
+        hop grid the result is identical to offline overlap-add."""
+        total = self._consumed + len(self._buffer)
+        if total > self._next_win:
+            # final window ends exactly at the stream end (zero-padded for
+            # streams shorter than a window); push keeps >= one window of
+            # history, so start >= consumed always holds
+            start = max(total - self.win, 0)
+            lo = start - self._consumed
+            assert lo >= 0, "streaming buffer dropped samples the flush window needs"
+            wav = self._buffer[lo:]
+            if len(wav) < self.win:
+                wav = np.concatenate([wav, np.zeros(self.win - len(wav), np.float32)])
+            self._run_window(start, wav[: self.win])
+        if self._frames_per_win is None:
+            return []
+        end_frame = self._frame_of(total) if total else 0
+        return self._finalize_until(end_frame)
+
+    def stream(self, chunks) -> Iterator[Tuple[float, np.ndarray]]:
+        """Convenience: iterate finalized rows over a chunk iterable,
+        including the flush."""
+        for chunk in chunks:
+            yield from self.push(chunk)
+        yield from self.flush()
