@@ -214,6 +214,32 @@ class TestEndToEnd:
         test_max = trainer.test(filter_type="max")
         assert np.isfinite(test_max["psds2"])
 
+    def test_mean_teacher_learns_synthetic_events(self, mini_desed):
+        """End-to-end learning signal: after a few mean-teacher epochs on
+        the tone-event mini-DESED, validation event F1 rises well above
+        the random-init 0 (observed 0.27-0.33 by epoch ~6). Guards the
+        whole chain frontend -> augment -> losses -> optimizer -> EMA ->
+        decode -> metrics against silent training breakage."""
+        from transformer4sed_tpu.frontend import PasstFrontend
+        from transformer4sed_tpu.utils.logging import Logger
+
+        config = make_config(mini_desed)
+        config["training"]["scheduler"]["n_epochs"] = 8
+        config["training"]["scheduler"]["n_epochs_cut"] = 6
+        codec = common.codec_from_config(config)
+        train_loader, val_loader, test_loader = common.desed_dataset_setting(config, codec)
+        trainer = MATSEDTrainer(
+            tiny_sed_model(), PasstFrontend(), config, codec,
+            train_loader, val_loader, test_loader, Logger(tensorboard_dir=None),
+        )
+        key = jax.random.PRNGKey(0)
+        best_f1 = 0.0
+        for epoch in range(8):
+            trainer.train_epoch(epoch, key)
+            val = trainer.validation(epoch)
+            best_f1 = max(best_f1, val["event_f1/s"])
+        assert best_f1 > 0.15, f"no learning signal: best event F1 {best_f1}"
+
     def test_mlm_pretrain_cycle(self, mini_desed):
         from transformer4sed_tpu.data import DataLoader, UnlabeledDataset
         from transformer4sed_tpu.frontend import PasstFrontend
