@@ -135,3 +135,31 @@ def ensemble(root: str, output_dir: str, model_list: Sequence[str], weights: Seq
         pd.DataFrame(table, columns=list(columns)).to_csv(
             os.path.join(output_dir, name), sep="\t", index=False
         )
+
+
+def main(argv=None):
+    """CLI: weighted-average ensemble of per-model score-TSV folders
+    (the reference's ``src/postprocess/ensemble.py`` __main__ demo as a
+    real command)::
+
+        python -m transformer4sed_tpu.eval.postprocess \
+            --root scores/ --models m1 m2 --weights 0.6 0.4 \
+            --out ensemble/ --columns onset offset dog cat
+    """
+    import argparse
+
+    parser = argparse.ArgumentParser(description="offline score ensembling")
+    parser.add_argument("--root", required=True, help="dir containing per-model subfolders of TSVs")
+    parser.add_argument("--models", nargs="+", required=True)
+    parser.add_argument("--weights", nargs="+", type=float, required=True)
+    parser.add_argument("--out", required=True)
+    parser.add_argument("--columns", nargs="+", required=True,
+                        help="output header: onset offset <class...>")
+    args = parser.parse_args(argv)
+    ensemble(args.root, args.out, args.models, args.weights, args.columns)
+    print(f"wrote ensembled TSVs to {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
