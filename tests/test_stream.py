@@ -113,6 +113,26 @@ class TestStreamingScorer:
             assert abs(ta - tb) < 1e-9
             np.testing.assert_allclose(sa, sb, atol=1e-6)
 
+    def test_memory_bounded_on_long_stream(self, setup):
+        """Finalized rows are compacted out of the accumulators: a long
+        live stream keeps them O(window), not O(stream)."""
+        from transformer4sed_tpu.recipes.stream import StreamingScorer
+
+        model, frontend, params, codec = setup
+        sr = codec.sr
+        scorer = StreamingScorer(
+            model, frontend, params, codec, hop_seconds=0.3,
+            median_filter=3, model_kwargs={"temp_w": 0.5},
+        )
+        rng = np.random.RandomState(4)
+        n_rows = 0
+        for _ in range(20):  # 12 s total through a 1.2 s window
+            n_rows += len(scorer.push(rng.randn(int(0.6 * sr)).astype(np.float32) * 0.05))
+        assert n_rows > 0
+        # accumulator stays within a few windows of frames
+        assert scorer._acc.shape[0] <= 8 * scorer._frames_per_win
+        assert scorer._buffer.shape[0] <= scorer.win + int(0.6 * sr)
+
     def test_short_stream(self, setup):
         """A stream shorter than one window still emits (padded window)."""
         from transformer4sed_tpu.recipes.stream import StreamingScorer

@@ -123,11 +123,17 @@ def load_score_tables(folders: Sequence[str]) -> Dict[str, List[np.ndarray]]:
 
 def ensemble(root: str, output_dir: str, model_list: Sequence[str], weights: Sequence[float],
              columns: Sequence[str]) -> None:
-    """Offline ensemble: per-model TSV subfolders -> weighted-average TSVs."""
+    """Offline ensemble: per-model TSV subfolders -> weighted-average TSVs.
+    Weights are normalised to sum to 1 (the average divides by their sum
+    anyway, so unnormalised inputs are fine)."""
     import pandas as pd
 
-    assert abs(1.0 - sum(weights)) <= 1e-4
-    assert len(weights) == len(model_list)
+    if len(weights) != len(model_list):
+        raise ValueError(f"{len(model_list)} models but {len(weights)} weights")
+    total = float(sum(weights))
+    if total <= 0:
+        raise ValueError("ensemble weights must sum to a positive value")
+    weights = [w / total for w in weights]
     predictions = load_score_tables([os.path.join(root, m) for m in model_list])
     merged = weighted_average_ensemble(predictions, weights)
     os.makedirs(output_dir, exist_ok=True)

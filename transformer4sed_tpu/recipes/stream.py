@@ -41,7 +41,7 @@ class StreamingScorer:
         frontend,
         params,
         codec,
-        hop_seconds: float = 2.0,
+        hop_seconds: Optional[float] = None,  # default: window / 5
         median_filter=7,
         model_kwargs: Optional[dict] = None,
         model_state=None,
@@ -50,7 +50,15 @@ class StreamingScorer:
 
         self.codec = codec
         self.win = int(codec.audio_len * codec.sr)
+        if hop_seconds is None:
+            hop_seconds = codec.audio_len / 5.0
         self.hop = max(int(hop_seconds * codec.sr), 1)
+        if self.hop > self.win:
+            raise ValueError(
+                f"hop_seconds ({hop_seconds}) must not exceed the window "
+                f"length ({codec.audio_len}s) — gaps between windows would "
+                "silently drop audio"
+            )
         self.params = params
         self.model_state = model_state
         model_kwargs = dict(model_kwargs or {})
@@ -68,9 +76,12 @@ class StreamingScorer:
         self._buffer = np.zeros(0, np.float32)
         self._consumed = 0  # samples dropped from the left of the buffer
         self._next_win = 0  # sample index of the next window start
+        # accumulators hold frames [_frame_base, _frame_base + len);
+        # finalized rows are compacted away so live streams stay bounded
         self._acc: Optional[np.ndarray] = None  # [frames, C] running sums
         self._cnt: Optional[np.ndarray] = None
-        self._emitted = 0  # finalized frame count
+        self._frame_base = 0
+        self._emitted = 0  # finalized frame count (absolute)
         self._frames_per_win: Optional[int] = None
 
     # -- internals ------------------------------------------------------------------
@@ -79,9 +90,9 @@ class StreamingScorer:
         """Timeline frame index of a sample position (window frame grid)."""
         return int(round(sample / self.win * self._frames_per_win))
 
-    def _grow(self, n_frames: int):
-        if self._acc is None or n_frames > self._acc.shape[0]:
-            new = max(n_frames, 2 * (self._acc.shape[0] if self._acc is not None else 1024))
+    def _grow(self, n_frames_rel: int):
+        if self._acc is None or n_frames_rel > self._acc.shape[0]:
+            new = max(n_frames_rel, 2 * (self._acc.shape[0] if self._acc is not None else 256))
             acc = np.zeros((new, self._n_classes), np.float32)
             cnt = np.zeros((new, 1), np.float32)
             if self._acc is not None:
@@ -94,7 +105,14 @@ class StreamingScorer:
         if self._frames_per_win is None:
             self._frames_per_win = scores.shape[0]
             self._n_classes = scores.shape[1]
-        f0 = self._frame_of(start)
+        f0 = self._frame_of(start) - self._frame_base
+        if f0 < 0:
+            # frames below the compacted base were already finalized and
+            # are never revised (flush's tail window can reach back)
+            scores = scores[-f0:]
+            f0 = 0
+        if not scores.shape[0]:
+            return
         self._grow(f0 + scores.shape[0])
         self._acc[f0 : f0 + scores.shape[0]] += scores
         self._cnt[f0 : f0 + scores.shape[0]] += 1.0
@@ -103,12 +121,19 @@ class StreamingScorer:
         out = []
         if self._acc is None:
             return out
-        frame_end = min(frame_end, self._acc.shape[0])
+        frame_end = min(frame_end, self._frame_base + self._acc.shape[0])
         sec_per_frame = self.codec.audio_len / self._frames_per_win
         for f in range(self._emitted, frame_end):
-            if self._cnt[f, 0] > 0:
-                out.append((f * sec_per_frame, self._acc[f] / self._cnt[f, 0]))
+            rel = f - self._frame_base
+            if self._cnt[rel, 0] > 0:
+                out.append((f * sec_per_frame, self._acc[rel] / self._cnt[rel, 0]))
         self._emitted = max(self._emitted, frame_end)
+        # compact: drop finalized rows so a 24/7 stream stays O(window)
+        drop = self._emitted - self._frame_base
+        if drop > 0:
+            self._acc = self._acc[drop:].copy()
+            self._cnt = self._cnt[drop:].copy()
+            self._frame_base = self._emitted
         return out
 
     # -- public API -----------------------------------------------------------------
@@ -146,11 +171,14 @@ class StreamingScorer:
         trade-off (bounded latency); when the stream length lands on the
         hop grid the result is identical to offline overlap-add."""
         total = self._consumed + len(self._buffer)
-        if total > self._next_win:
+        last_hop_start = self._next_win - self.hop if self._next_win > 0 else None
+        start = max(total - self.win, 0)
+        if total > self._next_win and start != last_hop_start:
             # final window ends exactly at the stream end (zero-padded for
             # streams shorter than a window); push keeps >= one window of
-            # history, so start >= consumed always holds
-            start = max(total - self.win, 0)
+            # history, so start >= consumed always holds. Skipped when the
+            # stream length lands on the hop grid (the window was already
+            # scored — a duplicate forward would not change the mean)
             lo = start - self._consumed
             assert lo >= 0, "streaming buffer dropped samples the flush window needs"
             wav = self._buffer[lo:]
