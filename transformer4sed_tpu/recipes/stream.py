@@ -196,3 +196,80 @@ class StreamingScorer:
         for chunk in chunks:
             yield from self.push(chunk)
         yield from self.flush()
+
+
+def main(argv=None):
+    """CLI: stream a wav file through the scorer (simulated live input),
+    printing one JSON line per finalized frame row::
+
+        python -m transformer4sed_tpu.recipes.stream \
+            --config_dir config/mat-sed/finetune1.yaml --ckpt <orbax> \
+            --wav long.wav [--hop 2.0] [--chunk 0.5] [--threshold 0.5]
+
+    With --threshold, prints detected (event, onset, offset) segments
+    instead of raw frame scores.
+    """
+    import argparse
+    import json
+    import os
+
+    from transformer4sed_tpu.data.audio_io import load_audio
+    from transformer4sed_tpu.recipes import common
+    from transformer4sed_tpu.recipes.cli import build_model
+    from transformer4sed_tpu.utils.checkpoint import restore_params
+    from transformer4sed_tpu.utils.config import load_yaml_with_include
+
+    parser = argparse.ArgumentParser(description="streaming SED over a wav file")
+    parser.add_argument("--config_dir", required=True)
+    parser.add_argument("--ckpt", required=True)
+    parser.add_argument("--wav", required=True)
+    parser.add_argument("--hop", type=float, default=None, help="window hop seconds (default window/5)")
+    parser.add_argument("--chunk", type=float, default=0.5, help="simulated input chunk seconds")
+    parser.add_argument("--threshold", type=float, default=None,
+                        help="emit thresholded events instead of frame scores")
+    args = parser.parse_args(argv)
+
+    config = load_yaml_with_include(args.config_dir)
+    codec = common.codec_from_config(config)
+    model, frontend = build_model(config)
+    params = restore_params(args.ckpt)
+    base = os.path.dirname(os.path.abspath(args.ckpt))
+    name = ("best_model_state_teacher"
+            if "teacher" in os.path.basename(args.ckpt) else "best_model_state")
+    ms_dir = os.path.join(base, name)
+    if not os.path.isdir(ms_dir):
+        ms_dir = os.path.join(base, "best_model_state")
+    model_state = restore_params(ms_dir) if os.path.isdir(ms_dir) else None
+    model_name = config.get("model_name", "PaSST_SED")
+
+    scorer = StreamingScorer(
+        model, frontend, params, codec, hop_seconds=args.hop,
+        median_filter=common.median_filter_from_config(config, codec),
+        model_kwargs=config.get(model_name, {}).get("test_kwargs", {}),
+        model_state=model_state,
+    )
+    wav = load_audio(args.wav, codec.sr)
+    chunk = max(int(args.chunk * codec.sr), 1)
+    chunks = (wav[i : i + chunk] for i in range(0, len(wav), chunk))
+
+    open_events = {}  # label -> onset (threshold mode)
+    last_t = 0.0
+    for t0, scores in scorer.stream(chunks):
+        if args.threshold is None:
+            print(json.dumps({"t": round(t0, 4), "scores": [round(float(s), 5) for s in scores]}))
+            continue
+        last_t = t0
+        for ci, label in enumerate(codec.labels):
+            on = scores[ci] > args.threshold
+            if on and label not in open_events:
+                open_events[label] = t0
+            elif not on and label in open_events:
+                print(json.dumps({"event": label, "onset": round(open_events.pop(label), 4),
+                                  "offset": round(t0, 4)}))
+    for label, onset in sorted(open_events.items(), key=lambda kv: kv[1]):
+        print(json.dumps({"event": label, "onset": round(onset, 4), "offset": round(last_t, 4)}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
