@@ -33,9 +33,24 @@ def make_mesh(
     axis_names: Sequence[str] = ("data",),
     devices: Optional[Sequence] = None,
 ) -> Mesh:
-    """1-D data mesh by default; pass axis_names=('data', 'model') for 2-D."""
+    """1-D data mesh by default; pass axis_names=('data', 'model') for 2-D.
+
+    Raises a clear error when the backend has fewer devices than
+    requested — silent truncation would make every downstream
+    divisibility failure cryptic (the round-1 driver dryrun failed with
+    exactly that symptom).
+    """
     devices = list(devices if devices is not None else jax.devices())
     if n_devices is not None:
+        if len(devices) < n_devices:
+            platform = devices[0].platform if devices else "none"
+            raise ValueError(
+                f"requested {n_devices} devices, backend has {len(devices)} "
+                f"(platform={platform}); force a virtual CPU backend with "
+                f"jax.config.update('jax_platforms','cpu') + "
+                f"jax.config.update('jax_num_cpu_devices', {n_devices}) "
+                f"before any device touch"
+            )
         devices = devices[:n_devices]
     shape = (len(devices),) + (1,) * (len(axis_names) - 1)
     return Mesh(np.array(devices).reshape(shape), axis_names)

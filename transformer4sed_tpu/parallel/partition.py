@@ -95,7 +95,17 @@ def shard_params(params, mesh: Mesh, rules: Sequence[Tuple[str, P]] = TP_RULES):
 def make_2d_mesh(n_devices: Optional[int] = None, model_parallel: int = 2) -> Mesh:
     """('data', 'model') mesh: model axis innermost so TP collectives ride
     the fastest ICI links (scaling-book layout)."""
-    devices = jax.devices() if n_devices is None else jax.devices()[:n_devices]
+    all_devices = jax.devices()
+    if n_devices is not None and len(all_devices) < n_devices:
+        raise ValueError(
+            f"requested {n_devices} devices, backend has {len(all_devices)} "
+            f"(platform={all_devices[0].platform if all_devices else 'none'}); "
+            f"force a virtual CPU backend with "
+            f"jax.config.update('jax_platforms','cpu') + "
+            f"jax.config.update('jax_num_cpu_devices', {n_devices}) "
+            f"before any device touch"
+        )
+    devices = all_devices if n_devices is None else all_devices[:n_devices]
     n = len(devices)
     if n % model_parallel != 0:
         raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
