@@ -18,28 +18,185 @@ pos_bias_u/v + timm-Block mlp), ``classifier``, AT adapter (torch
 nn.MultiheadAttention packed qkv -> flax MultiHeadDotProductAttention
 split heads), ``mask_token``/``mlm_mlp``.
 
-Use :func:`load_torch_state_dict` to read a ``.pt`` file (torch CPU is
-available in this image) and the ``convert_*`` functions to produce
-param trees; combine with ``utils.checkpoint.load_partial`` for the
-reference's strict=False stage hand-offs.
+Use :func:`load_torch_state_dict` to read a ``.pt`` file and the
+``convert_*`` functions to produce param trees; combine with
+``utils.checkpoint.load_partial`` for the reference's strict=False
+stage hand-offs. Reading works with or without torch installed:
+:func:`read_pt_file` parses the zip-of-pickled-storages checkpoint
+format directly (a restricted unpickler that only admits tensor
+reconstruction — the same safety posture as ``weights_only=True``),
+so checkpoint import is exercisable on torch-less hosts and in CI.
 """
 
 from __future__ import annotations
 
+import pickle
 import re
+import zipfile
 from typing import Dict, Mapping, Optional, Tuple
 
 import flax
 import numpy as np
 
+# Storage class name -> numpy dtype (bfloat16 via ml_dtypes, which jax ships).
+_STORAGE_DTYPES = {
+    "FloatStorage": np.dtype(np.float32),
+    "DoubleStorage": np.dtype(np.float64),
+    "HalfStorage": np.dtype(np.float16),
+    "LongStorage": np.dtype(np.int64),
+    "IntStorage": np.dtype(np.int32),
+    "ShortStorage": np.dtype(np.int16),
+    "CharStorage": np.dtype(np.int8),
+    "ByteStorage": np.dtype(np.uint8),
+    "BoolStorage": np.dtype(np.bool_),
+}
 
-def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
-    import torch
 
-    sd = torch.load(path, map_location="cpu", weights_only=True)
+def _bfloat16_dtype():
+    import ml_dtypes
+
+    return np.dtype(ml_dtypes.bfloat16)
+
+
+class _StorageRef:
+    """Lazy handle to one storage blob inside the checkpoint zip."""
+
+    __slots__ = ("dtype", "key")
+
+    def __init__(self, dtype, key):
+        self.dtype, self.key = dtype, key
+
+
+class _DtypeMarker:
+    """Stand-in for a torch storage class picked up by find_class."""
+
+    __slots__ = ("dtype",)
+
+    def __init__(self, dtype):
+        self.dtype = dtype
+
+
+def _rebuild_tensor_factory(read_storage):
+    def _rebuild_tensor_v2(
+        storage, storage_offset, size, stride, requires_grad=False,
+        backward_hooks=None, metadata=None,
+    ):
+        buf = read_storage(storage)
+        itemsize = storage.dtype.itemsize
+        arr = np.frombuffer(buf, dtype=storage.dtype)
+        if not size:
+            return arr[storage_offset].copy()
+        strides = tuple(s * itemsize for s in stride)
+        view = np.lib.stride_tricks.as_strided(
+            arr[storage_offset:], shape=tuple(size), strides=strides
+        )
+        return view.copy()
+
+    return _rebuild_tensor_v2
+
+
+class _TensorUnpickler(pickle.Unpickler):
+    """Restricted unpickler for torch checkpoint ``data.pkl`` streams.
+
+    Only tensor-reconstruction machinery is admitted (the
+    ``weights_only=True`` posture); anything else raises. Tensors come
+    back as numpy arrays.
+    """
+
+    def __init__(self, file, read_storage):
+        super().__init__(file)
+        self._read_storage = read_storage
+
+    def find_class(self, module, name):
+        if module == "torch._utils" and name in (
+            "_rebuild_tensor_v2", "_rebuild_tensor",
+        ):
+            return _rebuild_tensor_factory(self._read_storage)
+        if module == "torch._utils" and name == "_rebuild_parameter":
+            return lambda data, requires_grad=False, backward_hooks=None: data
+        if module == "torch" and name in _STORAGE_DTYPES:
+            return _DtypeMarker(_STORAGE_DTYPES[name])
+        if module == "torch" and name == "BFloat16Storage":
+            return _DtypeMarker(_bfloat16_dtype())
+        if module == "collections" and name == "OrderedDict":
+            import collections
+
+            return collections.OrderedDict
+        raise pickle.UnpicklingError(
+            f"refusing to unpickle {module}.{name} (tensor-only reader)"
+        )
+
+    def persistent_load(self, pid):
+        # ('storage', storage_class, key, location, numel)
+        if not (isinstance(pid, tuple) and pid and pid[0] == "storage"):
+            raise pickle.UnpicklingError(f"unsupported persistent id {pid!r}")
+        marker, key = pid[1], pid[2]
+        if not isinstance(marker, _DtypeMarker):
+            raise pickle.UnpicklingError(f"unsupported storage type {marker!r}")
+        return _StorageRef(marker.dtype, str(key))
+
+
+def read_pt_file(path: str):
+    """Parse a torch zip-format checkpoint without torch.
+
+    Returns whatever object was saved (typically an OrderedDict of
+    numpy arrays). Matches ``torch.save``'s default (zip) format from
+    torch>=1.6: ``<name>/data.pkl`` holds the pickle stream whose
+    tensors reference raw little-endian storage blobs at
+    ``<name>/data/<key>``.
+    """
+    zf = zipfile.ZipFile(path)
+    names = zf.namelist()
+    try:
+        pkl_name = next(n for n in names if n.endswith("/data.pkl") or n == "data.pkl")
+    except StopIteration:
+        raise ValueError(
+            f"{path}: no data.pkl member — not a torch zip checkpoint "
+            f"(legacy pre-1.6 format is not supported; resave with torch.save)"
+        )
+    prefix = pkl_name[: -len("data.pkl")]
+
+    def read_storage(ref: _StorageRef) -> bytes:
+        return zf.read(f"{prefix}data/{ref.key}")
+
+    with zf.open(pkl_name) as f:
+        return _TensorUnpickler(f, read_storage).load()
+
+
+def load_torch_state_dict(path: str, use_torch: Optional[bool] = None) -> Dict[str, np.ndarray]:
+    """Read a ``.pt`` state_dict as {key: numpy array}.
+
+    Uses torch when importable (battle-tested reader, handles legacy
+    formats), otherwise falls back to :func:`read_pt_file`; pass
+    ``use_torch=False`` to force the native reader.
+    """
+    if use_torch is None:
+        try:
+            import torch  # noqa: F401
+
+            use_torch = True
+        except ImportError:
+            use_torch = False
+    if use_torch:
+        import torch
+
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+    else:
+        sd = read_pt_file(path)
     if isinstance(sd, dict) and "state_dict" in sd:
         sd = sd["state_dict"]
-    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in sd.items()}
+
+    def to_np(v):
+        if not hasattr(v, "numpy"):
+            return np.asarray(v)
+        try:
+            return v.numpy()
+        except TypeError:
+            # torch refuses .numpy() on bfloat16 — round-trip via float32
+            # into the same ml_dtypes.bfloat16 the native reader emits
+            return v.float().numpy().astype(_bfloat16_dtype())
+
+    return {k: to_np(v) for k, v in sd.items()}
 
 
 def _ln(sd, prefix):
