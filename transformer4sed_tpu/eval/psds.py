@@ -262,7 +262,7 @@ def compute_psd_roc(
         uniq = np.unique(sample)
         if len(uniq) > max_thresholds:
             uniq = np.unique(np.quantile(sample, np.linspace(0.0, 1.0, max_thresholds)))
-        return uniq - 1e-9
+        return uniq
 
     native = _native_sweeper(scores, gt_by_clip_class, classes)
 
@@ -299,8 +299,10 @@ def compute_psd_roc(
         thrs = class_thresholds(ci)
         tp_arr, fp_arr, ct_rows = [], [], []
         for thr in thrs:
+            # >= semantics at the observed score values — identical to the
+            # native exact sweep and sed_scores_eval (no epsilon games)
             detections = {
-                clip_id: {c: _intervals_from_binary(clip.scores[:, ci] > thr, clip.timestamps)}
+                clip_id: {c: _intervals_from_binary(clip.scores[:, ci] >= thr, clip.timestamps)}
                 for clip_id, clip in scores.items()
             }
             tp, fp, ct = evaluate_operating_point(

@@ -6,7 +6,8 @@
 // validation set (1000 clips x 10 classes x 200 thresholds). This C++ core
 // runs the same math in ~1 s. Semantics mirror
 // eval/psds.py:evaluate_operating_point exactly:
-//   * detections = maximal runs of (score > threshold) frames;
+//   * detections = maximal runs of (score >= threshold) frames
+//     (sed_scores_eval semantics, matching the exact sweep);
 //   * DTC: a detection is valid iff sum of same-class GT intersections
 //     >= dtc * detection length, else it is an FP;
 //   * GTC: a GT event is a TP iff valid detections cover >= gtc of it
@@ -72,12 +73,12 @@ void psds_class_sweep(
       const int64_t t_len = score_off[ci + 1] - score_off[ci];
       const double* st = stamps + stamp_off[ci];
 
-      // detections: maximal runs of score > thr
+      // detections: maximal runs of score >= thr
       dets.clear();
       bool open = false;
       double onset = 0.0;
       for (int64_t t = 0; t < t_len; ++t) {
-        const bool hi = static_cast<double>(s[t]) > thr;
+        const bool hi = static_cast<double>(s[t]) >= thr;
         if (hi && !open) {
           onset = st[t];
           open = true;
