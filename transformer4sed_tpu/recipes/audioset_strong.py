@@ -71,8 +71,10 @@ def audioset_dataset_setting(config: Dict, codec, seed: int = 0):
         pd.read_csv(ds["train_tsv"], sep="\t"), ds["train_folder"], False, codec
     )
     if ds.get("weight_tsv"):
+        from transformer4sed_tpu.recipes.common import resolve_meta_path
+
         sampler = get_weighted_sampler(
-            ds["weight_tsv"],
+            resolve_meta_path(ds["weight_tsv"]),
             num_samples=tr.get("num_samples", tr.get("samples_per_epoch", 100_000)),
             seed=seed,
         )

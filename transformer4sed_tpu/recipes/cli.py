@@ -114,9 +114,10 @@ def main(argv=None):
     parser = common.build_argparser()
     args = parser.parse_args(rest)
     config, paths, logger = common.prepare_run(args)
-    _label_dict = config.get("dataset", {}).get("label_dict_path") or config.get(
-        "dataset", {}
-    ).get("label_dict")
+    _label_dict = common.resolve_meta_path(
+        config.get("dataset", {}).get("label_dict_path")
+        or config.get("dataset", {}).get("label_dict")
+    )
     if _label_dict:
         # AudioSet-strong: 447-class list from labeldict json (setting.py:55-64)
         from transformer4sed_tpu.recipes.audioset_strong import load_label_dict
@@ -340,7 +341,9 @@ def main(argv=None):
         )
 
         train_loader, val_loader = audioset_dataset_setting(config, codec, args.random_seed)
-        state_json = config["dataset"].get("state_json") or config["dataset"].get("type_map")
+        state_json = common.resolve_meta_path(
+            config["dataset"].get("state_json") or config["dataset"].get("type_map")
+        )
         type_map = load_type_map(state_json) if state_json else None
         base = dict(
             init_params=params, init_model_state=model_state, type_map=type_map,
@@ -423,7 +426,7 @@ def main(argv=None):
         from transformer4sed_tpu.recipes.dasm_recipe import openset_evaluate
 
         ds = config["dataset"]
-        with open(ds["openset_label"]) as f:
+        with open(common.resolve_meta_path(ds["openset_label"])) as f:
             extra_labels = json.load(f)
         codec_open = LabelCodec(
             labels=tuple(codec.labels) + tuple(extra_labels),
