@@ -153,6 +153,24 @@ def main(argv=None):
         with open(args.query_names) as f:
             labels = [ln.strip() for ln in f if ln.strip()]
     codec = common.codec_from_config(config, labels=labels)
+    query = None
+    if args.query:
+        # open-vocab serving: the notebook's text/audio query flow
+        # (SURVEY.md §3.5) batched — queries are fixed per run, so they
+        # compile into the engine's single jitted forward. Validate row
+        # counts up front, before the expensive model build.
+        query = jnp.asarray(np.load(args.query))
+        if labels is not None and len(labels) != query.shape[0]:
+            parser.error(
+                f"--query_names lists {len(labels)} names but --query has "
+                f"{query.shape[0]} rows; they must match one-to-one"
+            )
+        if labels is None and query.shape[0] != len(codec.labels):
+            parser.error(
+                f"--query has {query.shape[0]} rows but the config's class "
+                f"list has {len(codec.labels)}; pass --query_names with one "
+                f"event name per query row to define the output classes"
+            )
     model, frontend = build_model(config)
     params = restore_params(args.ckpt)
     # BatchNorm running stats saved by the training stages next to the
@@ -167,16 +185,7 @@ def main(argv=None):
     model_state = restore_params(ms_dir) if os.path.isdir(ms_dir) else None
     model_name = config.get("model_name", "PaSST_SED")
     model_kwargs = dict(config.get(model_name, {}).get("test_kwargs", {}))
-    if args.query:
-        # open-vocab serving: the notebook's text/audio query flow
-        # (SURVEY.md §3.5) batched — queries are fixed per run, so they
-        # compile into the engine's single jitted forward
-        query = jnp.asarray(np.load(args.query))
-        if labels is not None and len(labels) != query.shape[0]:
-            parser.error(
-                f"--query_names lists {len(labels)} names but --query has "
-                f"{query.shape[0]} rows; they must match one-to-one"
-            )
+    if query is not None:
         model_kwargs["query"] = query
         model_kwargs["query_type"] = args.query_type
     engine = InferenceEngine(
