@@ -232,3 +232,54 @@ class TestNativePtReader:
         )
         out = fmodel.apply({"params": params}, jnp.asarray(x.numpy()))
         np.testing.assert_allclose(np.asarray(out["frame"]), t_frame.numpy(), atol=2e-5)
+
+
+class TestCheckpointFetch:
+    """URL-fetch machinery for pretrained variants (reference
+    vit_helpers.py:227-261) — driven via file:// URLs offline."""
+
+    def test_fetch_and_cache(self, tmp_path, monkeypatch):
+        from transformer4sed_tpu.models import passt as passt_mod
+
+        src = tmp_path / "weights.pt"
+        src.write_bytes(b"fake-checkpoint")
+        monkeypatch.setitem(
+            passt_mod.PASST_VARIANTS["passt_s_swa_p16_128_ap476"],
+            "url", f"file://{src}",
+        )
+        cache = tmp_path / "cache"
+        p1 = passt_mod.fetch_passt_checkpoint(
+            "passt_s_swa_p16_128_ap476", cache_dir=str(cache)
+        )
+        assert open(p1, "rb").read() == b"fake-checkpoint"
+        src.unlink()  # second fetch must hit the cache, not the URL
+        p2 = passt_mod.fetch_passt_checkpoint(
+            "passt_s_swa_p16_128_ap476", cache_dir=str(cache)
+        )
+        assert p2 == p1
+
+    def test_unknown_variant_raises(self):
+        from transformer4sed_tpu.models.passt import fetch_passt_checkpoint
+
+        with pytest.raises(ValueError, match="unknown PaSST variant"):
+            fetch_passt_checkpoint("nope")
+
+    def test_load_pretrained_params_from_path(self, tmp_path):
+        """checkpoint file -> load_pretrained_passt_params -> forward parity
+        (the passt_sed.py:108-115 load path, end to end)."""
+        from transformer4sed_tpu.models.passt import load_pretrained_passt_params
+
+        torch.manual_seed(3)
+        tmodel = TorchMiniPaSST().eval()
+        x = torch.randn(1, 1, *IMG)
+        with torch.no_grad():
+            t_frame, _ = tmodel(x)
+        sd = {k: torch.from_numpy(v) for k, v in tmodel.reference_state_dict().items()}
+        p = str(tmp_path / "variant.pt")
+        torch.save(sd, p)
+        params = load_pretrained_passt_params(path=p, depth=DEPTH)
+        fmodel = PaSST(
+            embed_dim=D, depth=DEPTH, num_heads=HEADS, img_size=IMG, tap_layers=(1, 2)
+        )
+        out = fmodel.apply({"params": params}, jnp.asarray(x.numpy()))
+        np.testing.assert_allclose(np.asarray(out["frame"]), t_frame.numpy(), atol=2e-5)

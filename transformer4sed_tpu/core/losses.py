@@ -25,9 +25,16 @@ _LOG_TINY = 1e-37  # safely above FLT_MIN (denormals flush to 0 on TPU/oneDNN)
 def _safe_log(x: jnp.ndarray) -> jnp.ndarray:
     """log with torch-BCELoss numerics AND finite gradients.
 
-    Value: exact log for x >= 1e-37, torch's -100 clamp below (the only
-    sub-1e-37 float32 probability a sigmoid can produce is exactly 0,
-    where torch clamps log(0) to -100 too). Gradient: the old
+    Value: exact log for x >= 1e-37, torch's -100 clamp below. On TPU
+    (FTZ) the only sub-1e-37 sigmoid output is exactly 0, where torch
+    clamps log(0) to -100 too, so values match torch everywhere. On
+    non-FTZ hosts (CPU tests) float32 subnormals down to ~1.4e-45 are
+    producible and for x in (~3.7e-44, 1e-37) torch returns
+    max(log x, -100) in (-100, -85] while this clamps flat to -100 — a
+    deliberate deviation in the deeply saturated band: lowering the
+    cutoff toward exp(-100) would make 1/x overflow float32 and
+    reintroduce the inf gradients this function exists to avoid.
+    Gradient: the old
     ``max(log(max(x, 0)), -100)`` form had gradient inf * 0 = NaN at
     saturated predictions (log'(0) = inf times the unselected-branch
     zero) — an untrained CLAP head saturates sigmoid to exactly 1.0 and

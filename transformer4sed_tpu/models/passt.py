@@ -24,6 +24,7 @@ one compiled program.
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional, Sequence, Tuple
 
 import flax.linen as nn
@@ -217,9 +218,61 @@ PASST_VARIANTS = {
 }
 
 
+def fetch_passt_checkpoint(name: str, cache_dir: "Optional[str]" = None) -> str:
+    """Download a variant's torch checkpoint to the local cache.
+
+    The reference fetches pretrained weights through timm's
+    ``build_model_with_cfg`` URL machinery
+    (``src/models/passt/vit_helpers.py:227-261``, ``passt.py:1073-1232``);
+    this is the equivalent: resolve ``PASST_VARIANTS[name]['url']``,
+    download once (atomic rename; an existing file is honoured), return
+    the local path. Raises ``urllib.error.URLError`` on egress-less
+    hosts — download elsewhere and pass the file to
+    :func:`load_pretrained_passt_params` via ``path=``.
+    """
+    import urllib.request
+
+    if name not in PASST_VARIANTS:
+        raise ValueError(f"unknown PaSST variant {name!r}; know {sorted(PASST_VARIANTS)}")
+    url = PASST_VARIANTS[name]["url"]
+    cache_dir = cache_dir or os.path.join(
+        os.path.expanduser("~"), ".cache", "transformer4sed_tpu"
+    )
+    os.makedirs(cache_dir, exist_ok=True)
+    dst = os.path.join(cache_dir, url.rsplit("/", 1)[-1])
+    if os.path.exists(dst):
+        return dst
+    tmp = f"{dst}.tmp{os.getpid()}"
+    urllib.request.urlretrieve(url, tmp)
+    os.replace(tmp, dst)
+    return dst
+
+
+def load_pretrained_passt_params(
+    name: str = "passt_s_swa_p16_128_ap476",
+    cache_dir: "Optional[str]" = None,
+    path: "Optional[str]" = None,
+    depth: int = 12,
+):
+    """Fetch (or reuse ``path``) + import a variant's weights as flax params.
+
+    The full parity point for the reference's pretrained-load path
+    (``passt_sed.py:108-115``): checkpoint URL -> state_dict ->
+    :func:`utils.torch_import.convert_passt_backbone` tree. Works
+    without torch installed (native ``.pt`` reader).
+    """
+    from transformer4sed_tpu.utils.torch_import import (
+        convert_passt_backbone,
+        load_torch_state_dict,
+    )
+
+    path = path or fetch_passt_checkpoint(name, cache_dir)
+    return convert_passt_backbone(load_torch_state_dict(path), depth=depth)
+
+
 def create_passt(name: str = "passt_s_swa_p16_128_ap476", **overrides) -> "PaSST":
-    """Build a named PaSST variant (flax module only — weights are
-    imported separately from the recorded ``url``)."""
+    """Build a named PaSST variant (flax module only — weights via
+    :func:`load_pretrained_passt_params` or an offline checkpoint)."""
     if name not in PASST_VARIANTS:
         raise ValueError(f"unknown PaSST variant {name!r}; know {sorted(PASST_VARIANTS)}")
     cfg = PASST_VARIANTS[name]

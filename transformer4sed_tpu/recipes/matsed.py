@@ -180,7 +180,9 @@ class MATSEDTrainer:
         )
         return metrics_acc
 
-    def _collect_scores(self, params, kwargs_key: str, model_state=None):
+    def _collect_scores(self, params, kwargs_key: str, model_state=None, raw: bool = False):
+        """Score the validation loader; ``raw=True`` returns unfiltered
+        score curves (for cSEBB tuning) instead of median-filtered ones."""
         scores_post = {}
         event_rows = []
         weak_preds_all, weak_labels_all = [], []
@@ -191,15 +193,15 @@ class MATSEDTrainer:
                 self.mesh, mel, jnp.asarray(batch["pad_mask"])
             )
             out = self._eval_apply(params, mel, pad_mask, kwargs_key, model_state=model_state)
-            _, post = batched_decode_preds(
+            raw_scores, post = batched_decode_preds(
                 out.strong,
                 batch["filename"],
                 self.codec,
-                filter=self.median_filter,
+                filter=None if raw else self.median_filter,
                 weak_preds=out.weak,
                 need_weak_mask=self.config["training"].get("weak_mask", False),
             )
-            scores_post.update(post)
+            scores_post.update(raw_scores if raw else post)
             preds = decode_pred_batch(
                 out.strong, out.weak, batch["filename"], self.codec, [0.5], self.median_filter
             )
@@ -292,6 +294,20 @@ class MATSEDTrainer:
         the PSD-ROC plot.
         """
         use_sebb = filter_type == "sebb"
+        ds = self.config["dataset"]
+        # score the test split against ITS ground truth (falls back to the
+        # val tables when no separate test split is configured — the
+        # reference's usual DESED setup)
+        test_tsv = ds.get("test_tsv") or ds["val_tsv"]
+        same_as_val = test_tsv == ds["val_tsv"]
+        test_gt = (
+            self.ground_truth if same_as_val else common.load_ground_truth(test_tsv)
+        )
+        test_dur = (
+            self.durations
+            if same_as_val
+            else common.load_durations(ds.get("test_dur") or ds["val_dur"])
+        )
         scores_post = {}
         for batch in self.test_loader:
             mel = self.frontend.normalize(self.frontend(jnp.asarray(batch["wav"])))
@@ -321,21 +337,32 @@ class MATSEDTrainer:
                     f"training.sebb must be 'auto' or a parameter mapping, got {sebb_cfg!r}"
                 )
             if sebb_cfg == "auto":
-                # per-class grid search against PSDS1 on the validation
-                # scores (the same set the reference tunes its median
-                # windows and thresholds on; the fast native PSDS core
-                # makes the 27-point grid cheap)
-                params, best = tune_csebbs(scores_post, self.ground_truth, self.durations)
-                self.logger.info(f"sebb auto-tune (best global psds1 {best:.4f}): {params}")
+                # per-class grid search against PSDS1 tuned on the
+                # VALIDATION split (the set the reference tunes its median
+                # windows and thresholds on), then applied to the test
+                # scores — no tuning on the reported set. When test IS the
+                # val split (the reference's usual DESED setup) the test
+                # scores are reused directly instead of a second val pass.
+                if same_as_val:
+                    tune_scores = scores_post
+                else:
+                    tune_scores, *_ = self._collect_scores(
+                        self.state.teacher_params, "test_kwargs",
+                        model_state=self.state.teacher_model_state, raw=True,
+                    )
+                params, best = tune_csebbs(tune_scores, self.ground_truth, self.durations)
+                self.logger.info(
+                    f"sebb auto-tune on val (best val psds1 {best:.4f}): {params}"
+                )
                 scores_post = apply_csebbs(scores_post, params)
             else:
                 scores_post = apply_csebbs(scores_post, CSEBBParams(**sebb_cfg))
         psds1, single1 = compute_psds_from_scores(
-            scores_post, self.ground_truth, self.durations,
+            scores_post, test_gt, test_dur,
             dtc_threshold=0.7, gtc_threshold=0.7, alpha_ct=0.0, alpha_st=1.0,
         )
         psds2, _ = compute_psds_from_scores(
-            scores_post, self.ground_truth, self.durations,
+            scores_post, test_gt, test_dur,
             dtc_threshold=0.1, gtc_threshold=0.1, cttc_threshold=0.3, alpha_ct=0.5, alpha_st=1.0,
         )
         results = {"psds1": psds1, "psds2": psds2}
@@ -352,7 +379,7 @@ class MATSEDTrainer:
                 from transformer4sed_tpu.utils.visualization import plot_psd_roc
 
                 roc = compute_psd_roc(
-                    scores_post, self.ground_truth, self.durations,
+                    scores_post, test_gt, test_dur,
                     0.7, 0.7, 0.3, 0.0, 1.0, 100.0,
                 )
                 plot_psd_roc(

@@ -79,7 +79,12 @@ class ProbMeanValue:
         self._hist(weak_preds, labels_weak, "weak_pos", "weak_neg")
 
     def compute_mean_prob(self) -> MeanProb:
-        with np.errstate(all="ignore"):
+        import warnings
+
+        # all-NaN per-class slices (class never observed) are a valid
+        # outcome, not worth a "Mean of empty slice" RuntimeWarning
+        with np.errstate(all="ignore"), warnings.catch_warnings():
+            warnings.filterwarnings("ignore", message="Mean of empty slice")
             return MeanProb(
                 *(
                     np.nanmean(np.stack(self._means[k], axis=0), axis=0)
