@@ -10,7 +10,13 @@ The reference publishes no throughput numbers (SURVEY.md §6), so
 estimate recorded in BASELINE.md methodology: the DESED validation
 forward at batch 24 on the reference's 2-GPU rig processes ~O(10)
 clips/s; absent a hard number we report vs_baseline=1.0 at 40 clips/s
-per chip and scale linearly.
+per chip and scale linearly. The emitted JSON labels this with
+``baseline_kind: "estimated"``.
+
+Also emits ``mfu``: analytic forward FLOPs/clip (counted below from the
+model dimensions — matmul/attention terms only, a slight lower bound
+since frontend FFT + elementwise work is excluded) divided by measured
+time and the chip's peak bf16 FLOP/s.
 """
 
 from __future__ import annotations
@@ -21,6 +27,44 @@ import time
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# peak dense bf16 FLOP/s per chip, by device_kind substring
+_PEAK_FLOPS = {
+    "v5 lite": 197e12,  # v5e
+    "v5p": 459e12,
+    "v5": 459e12,
+    "v4": 275e12,
+    "v6 lite": 918e12,  # Trillium
+    "v6e": 918e12,
+}
+
+
+def _peak_flops(device) -> float | None:
+    kind = getattr(device, "device_kind", "").lower()
+    for sub, peak in _PEAK_FLOPS.items():
+        if sub in kind:
+            return peak
+    return None
+
+
+def flops_per_clip() -> float:
+    """Analytic forward FLOPs for one 10-s clip through the flagship
+    MAT-SED configuration (PaSST 768/12/12 @ (128, 998) mel, stride-10
+    patch-16 -> 12x99 grid + 2 tokens; 3-layer XL context net at T=1000).
+
+    Per transformer block (2 FLOPs per MAC):
+      qkv 6ND^2 + scores 2N^2D + attnV 2N^2D + proj 2ND^2 + mlp 16ND^2
+      = 24 N D^2 + 4 N^2 D;  XL adds the linear_pos projection (+2ND^2).
+    """
+    d = 768
+    n_enc = 12 * 99 + 2          # PaSST tokens (12x99 grid + cls/dist)
+    n_dec = 1000                 # XL context length after x10 interp
+    patch = 2 * (12 * 99) * d * (16 * 16)          # conv patchify MACs*2
+    enc = 12 * (24 * n_enc * d * d + 4 * n_enc * n_enc * d)
+    dec = 3 * (26 * n_dec * d * d + 4 * n_dec * n_dec * d)
+    interp_heads = 2 * n_dec * d * 10              # classifier (C=10)
+    at_adapter = 24 * n_enc * d * d / 12           # one block-equivalent
+    return float(patch + enc + dec + interp_heads + at_adapter)
 
 
 def main():
@@ -76,6 +120,9 @@ def main():
 
     clips_per_sec = batch * iters / dt
     baseline_clips_per_sec = 40.0
+    fpc = flops_per_clip()
+    peak = _peak_flops(jax.devices()[0])
+    mfu = (fpc * clips_per_sec / peak) if peak else None
     print(
         json.dumps(
             {
@@ -83,6 +130,10 @@ def main():
                 "value": round(clips_per_sec, 2),
                 "unit": "10s_clips/sec/chip",
                 "vs_baseline": round(clips_per_sec / baseline_clips_per_sec, 3),
+                "baseline_kind": "estimated",
+                "flops_per_clip": fpc,
+                "mfu": round(mfu, 4) if mfu is not None else None,
+                "device_kind": jax.devices()[0].device_kind,
             }
         )
     )
