@@ -283,3 +283,122 @@ class TestCheckpointFetch:
         )
         out = fmodel.apply({"params": params}, jnp.asarray(x.numpy()))
         np.testing.assert_allclose(np.asarray(out["frame"]), t_frame.numpy(), atol=2e-5)
+
+
+class TestDASMConverter:
+    def test_cross_attn_layer_numerical_parity(self):
+        """convert a real torch CrossAttentionFirstDecoderLayer state dict
+        (at_adapter.py:7-33 semantics: post-norm, cross-attn before
+        self-attn) and check the flax layer reproduces the torch forward."""
+        from transformer4sed_tpu.models.dasm import CrossAttentionFirstDecoderLayer
+        from transformer4sed_tpu.utils.torch_import import _cross_attn_layer
+
+        class TorchXLayer(tnn.TransformerDecoderLayer):
+            def forward(self, tgt, memory):
+                x = tgt
+                x = self.norm1(x + self._mha_block(x, memory, None, None, False))
+                x = self.norm2(x + self._sa_block(x, None, None, False))
+                x = self.norm3(x + self._ff_block(x))
+                return x
+
+        torch.manual_seed(0)
+        d, heads, ffn = 32, 4, 64
+        tlayer = TorchXLayer(
+            d_model=d, nhead=heads, dim_feedforward=ffn, activation="gelu",
+            batch_first=True, dropout=0.0,
+        ).eval()
+        queries = torch.randn(2, 5, d)
+        memory = torch.randn(2, 11, d)
+        with torch.no_grad():
+            t_out = tlayer(queries, memory)
+
+        sd = {f"L.{k}": v.numpy() for k, v in tlayer.state_dict().items()}
+        params = _cross_attn_layer(sd, "L", heads)
+        flayer = CrossAttentionFirstDecoderLayer(num_heads=heads, dim_ffn=ffn)
+        f_out = flayer.apply(
+            {"params": params}, jnp.asarray(queries.numpy()), jnp.asarray(memory.numpy())
+        )
+        np.testing.assert_allclose(np.asarray(f_out), t_out.numpy(), atol=2e-5)
+
+    def test_full_dasm_tree_compatible(self):
+        """convert_dasm maps every reference-named leaf onto the flax DASM
+        init tree (shapes compared leaf-by-leaf; backbone covered by the
+        PaSST parity tests above)."""
+        import flax
+
+        from tests.test_dasm import tiny_dasm
+        from transformer4sed_tpu.frontend import PasstFrontend
+        from transformer4sed_tpu.utils.torch_import import check_tree_compatible, convert_dasm
+
+        dasm_kwargs = dict(
+            class_num=4, decoder_dim=32, num_heads=4, decoder="transformerXL",
+            decoder_layer_num=2, decoder_pos_emd_len=120, embed_dim=32,
+            backbone_depth=2, backbone_num_heads=4, passt_feature_layer=2,
+            at_decoder_layer=2, f_pool_heads=4, out_type="sigmoid", cnn_param=None,
+            query_projector=True, query_dim=16,
+        )
+        model = tiny_dasm(**dasm_kwargs)
+        frontend = PasstFrontend()
+        mel = frontend.normalize(frontend(jnp.zeros((1, 38400))))
+        template = model.init(
+            {"params": jax.random.PRNGKey(0)}, mel,
+            query=jnp.zeros((4, 16)), query_type="text",
+        )["params"]
+        template = {k: v for k, v in template.items() if k != "backbone"}
+
+        # build a torch-style state dict with the reference key naming
+        torch.manual_seed(1)
+        d, ffn, heads = 32, 32, 4
+        sd = {}
+
+        def put_dense(prefix, din, dout):
+            sd[f"{prefix}.weight"] = torch.randn(dout, din).numpy()
+            sd[f"{prefix}.bias"] = torch.randn(dout).numpy()
+
+        def put_ln(prefix, dim=d):
+            sd[f"{prefix}.weight"] = torch.ones(dim).numpy()
+            sd[f"{prefix}.bias"] = torch.zeros(dim).numpy()
+
+        def put_mha(prefix, dim=d):
+            sd[f"{prefix}.in_proj_weight"] = torch.randn(3 * dim, dim).numpy()
+            sd[f"{prefix}.in_proj_bias"] = torch.randn(3 * dim).numpy()
+            put_dense(f"{prefix}.out_proj", dim, dim)
+
+        sd["f_pool_module.f_att_token"] = torch.zeros(1, 1, d).numpy()
+        put_mha("f_pool_module.frequency_att")
+        put_ln("norm_before_pool")
+        put_ln("norm_after_merge")
+        put_dense("transformer_projector", d, d)
+        put_dense("at_projector", d, d)
+        put_dense("sed_head", d, d)
+        for i in range(2):  # XL sed_decoder blocks
+            p = f"sed_decoder.encoder_blocks.{i}"
+            put_ln(f"{p}.norm1"); put_ln(f"{p}.norm2")
+            put_dense(f"{p}.attn.in_proj", d, 3 * d)
+            put_dense(f"{p}.attn.out_proj", d, d)
+            sd[f"{p}.attn.linear_pos.weight"] = torch.randn(d, d).numpy()
+            sd[f"{p}.attn.pos_bias_u"] = torch.randn(heads, d // heads).numpy()
+            sd[f"{p}.attn.pos_bias_v"] = torch.randn(heads, d // heads).numpy()
+            put_dense(f"{p}.mlp.fc1", d, ffn)
+            put_dense(f"{p}.mlp.fc2", ffn, d)
+        for i in range(3):  # mask_embedding MLP (3 layers)
+            put_dense(f"mask_embedding_layer.layers.{i}", d, d)
+        put_dense("at_head.layers.0", d, d)
+        put_dense("at_head.layers.1", d, 1)
+        put_dense("query_projector.0", 16, d)  # Sequential(Linear, GELU)
+        for i in range(2):  # at_decoder cross-attn layers
+            p = f"at_decoder.decoder.layers.{i}"
+            put_mha(f"{p}.self_attn")
+            put_mha(f"{p}.multihead_attn")
+            put_ln(f"{p}.norm1"); put_ln(f"{p}.norm2"); put_ln(f"{p}.norm3")
+            put_dense(f"{p}.linear1", d, d)
+            put_dense(f"{p}.linear2", d, d)
+
+        tree = convert_dasm(sd, num_heads=heads, f_pool_heads=heads)
+        problems = check_tree_compatible(template, tree["params"])
+        assert problems == {}, problems
+        # and nothing extraneous was invented
+        extra = set(flax.traverse_util.flatten_dict(tree["params"], sep="/")) - set(
+            flax.traverse_util.flatten_dict(template, sep="/")
+        )
+        assert extra == set(), extra

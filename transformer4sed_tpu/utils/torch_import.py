@@ -471,3 +471,121 @@ def convert_htsat(
                 "reduction": {"kernel": sd[f"layers.{i}.downsample.reduction.weight"].T},
             }
     return {"params": params, "batch_stats": batch_stats}
+
+
+def _mlp_layers(sd, prefix):
+    """Reference DASM MLP (``detect_any_sound.py:404-416``): ModuleList
+    ``layers.{i}`` -> flax ``layers_{i}``; layer count auto-detected."""
+    out = {}
+    i = 0
+    while f"{prefix}.layers.{i}.weight" in sd:
+        out[f"layers_{i}"] = _dense(sd, f"{prefix}.layers.{i}")
+        i += 1
+    if not out:
+        raise KeyError(f"no '{prefix}.layers.*' keys in state dict")
+    return out
+
+
+def _cross_attn_layer(sd, prefix, num_heads: int):
+    """torch ``CrossAttentionFirstDecoderLayer`` (a TransformerDecoderLayer,
+    ``at_adapter.py:7-33``) -> flax layer tree: cross-attn (multihead_attn)
+    + norm1, self-attn + norm2, ffn linear1/2 + norm3."""
+    return {
+        "multihead_attn": _torch_mha_to_flax(sd, f"{prefix}.multihead_attn", num_heads),
+        "self_attn": _torch_mha_to_flax(sd, f"{prefix}.self_attn", num_heads),
+        "norm1": _ln(sd, f"{prefix}.norm1"),
+        "norm2": _ln(sd, f"{prefix}.norm2"),
+        "norm3": _ln(sd, f"{prefix}.norm3"),
+        "linear1": _dense(sd, f"{prefix}.linear1"),
+        "linear2": _dense(sd, f"{prefix}.linear2"),
+    }
+
+
+def convert_dasm(
+    sd: Mapping[str, np.ndarray],
+    num_heads: int = 12,
+    f_pool_heads: int = 6,
+    backbone_depth: int = 12,
+) -> Dict:
+    """torch DASM / DASM_HTSAT state_dict -> {'params', 'batch_stats'}.
+
+    Covers the reference's released open-vocabulary checkpoints
+    (``src/models/detect_any_sound/detect_any_sound.py:18-416``,
+    ``detect_any_sound_htast.py:12-119``): backbone (PaSST or HTSAT,
+    auto-detected from key naming), f_pool AttentionPooling (PaSST
+    variant only; hardcoded 6 heads at ``detect_any_sound.py:71``),
+    projectors + merge weight, XL sed_decoder, sed_head,
+    mask_embedding MLP, learnable/projected queries, the
+    cross-attention-first AT decoder stack, at_head MLP, and the MLM
+    head. Layer counts are auto-detected from the key set.
+    """
+    params: Dict = {}
+    batch_stats: Dict = {}
+
+    backbone_sd = {
+        k[len("backbone.") :]: v for k, v in sd.items() if k.startswith("backbone.")
+    }
+    if backbone_sd:
+        if any(k.startswith("layers.0.blocks") for k in backbone_sd):
+            tree = convert_htsat(backbone_sd)
+            params["backbone"] = tree["params"]
+            batch_stats["backbone"] = tree["batch_stats"]
+        else:
+            params["backbone"] = convert_passt_backbone(backbone_sd, depth=backbone_depth)
+
+    if "f_pool_module.f_att_token" in sd:
+        params["f_pool_module"] = {
+            "f_att_token": sd["f_pool_module.f_att_token"],
+            "frequency_att": _torch_mha_to_flax(
+                sd, "f_pool_module.frequency_att", f_pool_heads
+            ),
+        }
+    for ln_name in ("norm_before_pool", "norm_after_merge"):
+        if f"{ln_name}.weight" in sd:
+            params[ln_name] = _ln(sd, ln_name)
+    for dense_name in ("transformer_projector", "at_projector", "cnn_projector",
+                       "sed_head"):
+        if f"{dense_name}.weight" in sd:
+            params[dense_name] = _dense(sd, dense_name)
+    if "merge_weight" in sd:
+        params["merge_weight"] = sd["merge_weight"]
+
+    i = 0
+    while f"sed_decoder.encoder_blocks.{i}.norm1.weight" in sd:
+        params.setdefault("sed_decoder", {})[f"encoder_blocks_{i}"] = _xl_block(
+            sd, f"sed_decoder.encoder_blocks.{i}"
+        )
+        i += 1
+
+    if "mask_embedding_layer.layers.0.weight" in sd:
+        params["mask_embedding_layer"] = _mlp_layers(sd, "mask_embedding_layer")
+    if "at_head.layers.0.weight" in sd:
+        params["at_head"] = _mlp_layers(sd, "at_head")
+
+    if "at_query" in sd:
+        params["at_query"] = sd["at_query"]
+    if "query_projector.0.weight" in sd:
+        # single shared Sequential(Linear, GELU)
+        params["query_projector"] = _dense(sd, "query_projector.0")
+    else:
+        # per-modality ModuleList of Sequential(LayerNorm?, Linear, GELU):
+        # reference builds Sequential(nn.Linear(dim, D), nn.GELU()) per
+        # modality at detect_any_sound.py:141-150
+        m = 0
+        while f"query_projector.{m}.0.weight" in sd:
+            params[f"query_projector_{m}"] = _dense(sd, f"query_projector.{m}.0")
+            m += 1
+
+    i = 0
+    while f"at_decoder.decoder.layers.{i}.norm1.weight" in sd:
+        params.setdefault("at_decoder", {})[f"layers_{i}"] = _cross_attn_layer(
+            sd, f"at_decoder.decoder.layers.{i}", num_heads
+        )
+        i += 1
+
+    if "mask_token" in sd:
+        params["mask_token"] = sd["mask_token"]
+    if "mlm_mlp.0.weight" in sd:
+        params["mlm_fc1"] = _dense(sd, "mlm_mlp.0")
+        params["mlm_fc2"] = _dense(sd, "mlm_mlp.2")
+    return {"params": params, "batch_stats": batch_stats}
