@@ -55,7 +55,12 @@ class ProbMeanValue:
         pos = np.where(labels > 0.5, preds, np.nan)
         neg = np.where(labels <= 0.5, preds, np.nan)
         axes = tuple(i for i in range(preds.ndim) if i != 1)
-        with np.errstate(all="ignore"):
+        import warnings
+
+        # a class with no positives (or no negatives) in the batch is a
+        # valid all-NaN slice, not warning-worthy
+        with np.errstate(all="ignore"), warnings.catch_warnings():
+            warnings.filterwarnings("ignore", message="Mean of empty slice")
             return np.nanmean(pos, axis=axes), np.nanmean(neg, axis=axes)
 
     def _hist(self, preds: np.ndarray, labels: np.ndarray, key_pos: str, key_neg: str):
