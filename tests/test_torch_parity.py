@@ -402,3 +402,96 @@ class TestDASMConverter:
             flax.traverse_util.flatten_dict(template, sep="/")
         )
         assert extra == set(), extra
+
+
+class TestHTSATFamilyConverters:
+    def _htsat_cnn_template(self):
+        from transformer4sed_tpu.models.htsat import HTSATFrontend
+        from transformer4sed_tpu.models.htsat_heads import HTSAT_CNN
+
+        model = HTSAT_CNN(
+            class_num=3, decoder_dim=32, num_heads=4, decoder="transformerXL",
+            decoder_layer_num=1, decoder_pos_emd_len=512, htsat_config="tiny",
+            cnn_param={"n_in_channel": 1, "nb_filters": [16, 16],
+                       "kernel_size": [3, 3], "padding": [1, 1], "stride": [1, 1],
+                       "pooling": [(1, 8), (1, 8)], "activation": "glu",
+                       "normalization": "batch"},
+        )
+        fe = HTSATFrontend()
+        mel = fe.normalize(fe(jnp.zeros((1, 38400))))
+        return model.init({"params": jax.random.PRNGKey(0)}, mel)
+
+    def test_htsat_cnn_head_tree_compatible(self):
+        """convert_htsat_cnn maps the CNN branch (conv/batchnorm/GLU),
+        projectors, XL decoder, and head onto the flax tree leaf-for-leaf
+        (backbone covered by convert_htsat's own shape handling)."""
+        import flax
+
+        from transformer4sed_tpu.utils.torch_import import check_tree_compatible, convert_htsat_cnn
+
+        variables = self._htsat_cnn_template()
+        t_params = {k: v for k, v in variables["params"].items() if k != "backbone"}
+        t_stats = {k: v for k, v in variables["batch_stats"].items() if k != "backbone"}
+
+        torch.manual_seed(0)
+        d = 32
+        sd = {}
+
+        def put_dense(prefix, din, dout):
+            sd[f"{prefix}.weight"] = torch.randn(dout, din).numpy()
+            sd[f"{prefix}.bias"] = torch.randn(dout).numpy()
+
+        for i, (cin, cout) in enumerate([(1, 16), (16, 16)]):
+            sd[f"cnn.cnn.conv{i}.weight"] = torch.randn(cout, cin, 3, 3).numpy()
+            sd[f"cnn.cnn.conv{i}.bias"] = torch.randn(cout).numpy()
+            for stat in ("weight", "bias", "running_mean", "running_var"):
+                sd[f"cnn.cnn.batchnorm{i}.{stat}"] = torch.rand(cout).numpy()
+            put_dense(f"cnn.cnn.glu{i}.linear", cout, cout)
+        put_dense("transformer_projector", 768, d)
+        put_dense("cnn_projector", 16, d)
+        sd["merge_weight"] = torch.tensor([0.5]).numpy()
+        sd["norm_after_merge.weight"] = torch.ones(d).numpy()
+        sd["norm_after_merge.bias"] = torch.zeros(d).numpy()
+        p = "sed_decoder.encoder_blocks.0"
+        for ln in ("norm1", "norm2"):
+            sd[f"{p}.{ln}.weight"] = torch.ones(d).numpy()
+            sd[f"{p}.{ln}.bias"] = torch.zeros(d).numpy()
+        put_dense(f"{p}.attn.in_proj", d, 3 * d)
+        put_dense(f"{p}.attn.out_proj", d, d)
+        sd[f"{p}.attn.linear_pos.weight"] = torch.randn(d, d).numpy()
+        sd[f"{p}.attn.pos_bias_u"] = torch.randn(4, d // 4).numpy()
+        sd[f"{p}.attn.pos_bias_v"] = torch.randn(4, d // 4).numpy()
+        put_dense(f"{p}.mlp.fc1", d, d)
+        put_dense(f"{p}.mlp.fc2", d, d)
+        put_dense("sed_head", d, 3)
+
+        tree = convert_htsat_cnn(sd)
+        assert check_tree_compatible(t_params, tree["params"]) == {}
+        assert check_tree_compatible(t_stats, tree["batch_stats"]) == {}
+        extra = set(flax.traverse_util.flatten_dict(tree["params"], sep="/")) - set(
+            flax.traverse_util.flatten_dict(t_params, sep="/")
+        )
+        assert extra == set(), extra
+
+    def test_clap_sed_tree_compatible(self):
+        from transformer4sed_tpu.models.htsat import HTSATFrontend
+        from transformer4sed_tpu.models.htsat_heads import CLAP_SED
+        from transformer4sed_tpu.utils.torch_import import check_tree_compatible, convert_clap_sed
+
+        model = CLAP_SED(htsat_config="tiny", embed_dim=768, query_dim=16, class_num=3)
+        fe = HTSATFrontend()
+        mel = fe.normalize(fe(jnp.zeros((1, 38400))))
+        template = {
+            k: v
+            for k, v in model.init({"params": jax.random.PRNGKey(0)}, mel)["params"].items()
+            if k != "backbone"
+        }
+        torch.manual_seed(1)
+        sd = {"text_query": torch.randn(3, 16).numpy()}
+        for proj, din in (("audio_projector", 768), ("text_projector", 16)):
+            sd[f"{proj}.layers.0.weight"] = torch.randn(768, din).numpy()
+            sd[f"{proj}.layers.0.bias"] = torch.randn(768).numpy()
+            sd[f"{proj}.layers.1.weight"] = torch.randn(768, 768).numpy()
+            sd[f"{proj}.layers.1.bias"] = torch.randn(768).numpy()
+        tree = convert_clap_sed(sd)
+        assert check_tree_compatible(template, tree["params"]) == {}

@@ -589,3 +589,106 @@ def convert_dasm(
         params["mlm_fc1"] = _dense(sd, "mlm_mlp.0")
         params["mlm_fc2"] = _dense(sd, "mlm_mlp.2")
     return {"params": params, "batch_stats": batch_stats}
+
+
+def convert_cnn(sd: Mapping[str, np.ndarray], prefix: str = "cnn") -> Tuple[Dict, Dict]:
+    """Reference DCASE CNN stack (``src/models/cnn/base.py:33-113``) ->
+    (params, batch_stats) for the flax CNN.
+
+    torch names the Sequential stages ``{prefix}.conv{i}`` /
+    ``batchnorm{i}`` (or ``layernorm{i}`` GroupNorm) / ``glu{i}``/
+    ``cg{i}`` -> flax ``conv{i}`` / ``norm{i}`` / ``act{i}/linear``.
+    Stage count auto-detected.
+    """
+    params: Dict = {}
+    batch_stats: Dict = {}
+    i = 0
+    while f"{prefix}.conv{i}.weight" in sd:
+        params[f"conv{i}"] = {
+            "kernel": np.transpose(sd[f"{prefix}.conv{i}.weight"], (2, 3, 1, 0)),
+            "bias": sd[f"{prefix}.conv{i}.bias"],
+        }
+        if f"{prefix}.batchnorm{i}.weight" in sd:
+            params[f"norm{i}"] = {
+                "scale": sd[f"{prefix}.batchnorm{i}.weight"],
+                "bias": sd[f"{prefix}.batchnorm{i}.bias"],
+            }
+            batch_stats[f"norm{i}"] = {
+                "mean": sd[f"{prefix}.batchnorm{i}.running_mean"],
+                "var": sd[f"{prefix}.batchnorm{i}.running_var"],
+            }
+        elif f"{prefix}.layernorm{i}.weight" in sd:
+            params[f"norm{i}"] = {
+                "scale": sd[f"{prefix}.layernorm{i}.weight"],
+                "bias": sd[f"{prefix}.layernorm{i}.bias"],
+            }
+        for act in ("glu", "cg"):
+            if f"{prefix}.{act}{i}.linear.weight" in sd:
+                params[f"act{i}"] = {"linear": _dense(sd, f"{prefix}.{act}{i}.linear")}
+        i += 1
+    if not params:
+        raise KeyError(f"no '{prefix}.conv*' keys in state dict")
+    return params, batch_stats
+
+
+def convert_htsat_cnn(sd: Mapping[str, np.ndarray]) -> Dict:
+    """torch HTSAT_CNN state_dict -> {'params', 'batch_stats'}
+    (reference ``src/models/htsat/htsat_cnn.py:13-209``): HTSAT backbone,
+    optional CNN merge branch, projectors, XL sed_decoder, sed_head,
+    MLM head."""
+    params: Dict = {}
+    batch_stats: Dict = {}
+
+    backbone_sd = {
+        k[len("backbone.") :]: v for k, v in sd.items() if k.startswith("backbone.")
+    }
+    if backbone_sd:
+        tree = convert_htsat(backbone_sd)
+        params["backbone"] = tree["params"]
+        batch_stats["backbone"] = tree["batch_stats"]
+    if "cnn.cnn.conv0.weight" in sd:
+        cnn_sd = {k[len("cnn.") :]: v for k, v in sd.items() if k.startswith("cnn.")}
+        params["cnn"], cnn_stats = convert_cnn(cnn_sd)
+        if cnn_stats:
+            batch_stats["cnn"] = cnn_stats
+    for dense_name in ("transformer_projector", "cnn_projector", "sed_head"):
+        if f"{dense_name}.weight" in sd:
+            params[dense_name] = _dense(sd, dense_name)
+    for ln_name in ("norm_before_pool", "norm_after_merge"):
+        if f"{ln_name}.weight" in sd:
+            params[ln_name] = _ln(sd, ln_name)
+    if "merge_weight" in sd:
+        params["merge_weight"] = sd["merge_weight"]
+    i = 0
+    while f"sed_decoder.encoder_blocks.{i}.norm1.weight" in sd:
+        params.setdefault("sed_decoder", {})[f"encoder_blocks_{i}"] = _xl_block(
+            sd, f"sed_decoder.encoder_blocks.{i}"
+        )
+        i += 1
+    if "mask_token" in sd:
+        params["mask_token"] = sd["mask_token"]
+    if "mlm_mlp.0.weight" in sd:
+        params["mlm_fc1"] = _dense(sd, "mlm_mlp.0")
+        params["mlm_fc2"] = _dense(sd, "mlm_mlp.2")
+    return {"params": params, "batch_stats": batch_stats}
+
+
+def convert_clap_sed(sd: Mapping[str, np.ndarray]) -> Dict:
+    """torch CLAP_SED state_dict -> {'params', 'batch_stats'}
+    (reference ``src/models/htsat/clap_sed.py:9-49``): HTSAT backbone,
+    audio/text MLP projectors, and the registered text_query buffer."""
+    params: Dict = {}
+    batch_stats: Dict = {}
+    backbone_sd = {
+        k[len("backbone.") :]: v for k, v in sd.items() if k.startswith("backbone.")
+    }
+    if backbone_sd:
+        tree = convert_htsat(backbone_sd)
+        params["backbone"] = tree["params"]
+        batch_stats["backbone"] = tree["batch_stats"]
+    for proj in ("audio_projector", "text_projector"):
+        if f"{proj}.layers.0.weight" in sd:
+            params[proj] = _mlp_layers(sd, proj)
+    if "text_query" in sd:
+        params["text_query"] = sd["text_query"]
+    return {"params": params, "batch_stats": batch_stats}
