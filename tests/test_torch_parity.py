@@ -495,3 +495,124 @@ class TestHTSATFamilyConverters:
             sd[f"{proj}.layers.1.bias"] = torch.randn(768).numpy()
         tree = convert_clap_sed(sd)
         assert check_tree_compatible(template, tree["params"]) == {}
+
+
+class TestServeFromTorchCheckpoint:
+    def test_serve_passt_sed_pt(self, tmp_path):
+        """serve.main --ckpt <reference-named .pt>: the torch checkpoint is
+        converted by model family and served directly — the 'bring your
+        reference checkpoints' path, end to end."""
+        import json
+        import os
+
+        import yaml
+        from scipy.io import wavfile
+
+        from transformer4sed_tpu.frontend import PasstFrontend
+        from transformer4sed_tpu.models.passt_sed import PaSST_SED
+        from transformer4sed_tpu.recipes import serve
+        from transformer4sed_tpu.utils.torch_import import (
+            check_tree_compatible,
+            convert_torch_checkpoint,
+        )
+
+        torch.manual_seed(0)
+        d, heads, depth, C = 32, 4, 2, 2
+        sd = {}
+
+        def dense(prefix, din, dout, bias=True):
+            sd[f"{prefix}.weight"] = torch.randn(dout, din).numpy() * 0.05
+            if bias:
+                sd[f"{prefix}.bias"] = torch.zeros(dout).numpy()
+
+        def ln(prefix, dim=d):
+            sd[f"{prefix}.weight"] = torch.ones(dim).numpy()
+            sd[f"{prefix}.bias"] = torch.zeros(dim).numpy()
+
+        def mha(prefix, dim=d):
+            sd[f"{prefix}.in_proj_weight"] = (torch.randn(3 * dim, dim) * 0.05).numpy()
+            sd[f"{prefix}.in_proj_bias"] = torch.zeros(3 * dim).numpy()
+            dense(f"{prefix}.out_proj", dim, dim)
+
+        # backbone (reference PaSST naming; pos grids for the default
+        # (128, 998) img: freq 12, time 99 — cropped to the mel at apply)
+        sd["backbone.patch_embed.proj.weight"] = (torch.randn(d, 1, 16, 16) * 0.05).numpy()
+        sd["backbone.patch_embed.proj.bias"] = torch.zeros(d).numpy()
+        sd["backbone.cls_token"] = (torch.randn(1, 1, d) * 0.02).numpy()
+        sd["backbone.dist_token"] = (torch.randn(1, 1, d) * 0.02).numpy()
+        sd["backbone.new_pos_embed"] = (torch.randn(1, 2, d) * 0.02).numpy()
+        sd["backbone.freq_new_pos_embed"] = (torch.randn(1, d, 12, 1) * 0.02).numpy()
+        sd["backbone.time_new_pos_embed"] = (torch.randn(1, d, 1, 99) * 0.02).numpy()
+        ln("backbone.norm")
+        for i in range(depth):
+            p = f"backbone.blocks.{i}"
+            ln(f"{p}.norm1"); ln(f"{p}.norm2")
+            dense(f"{p}.attn.qkv", d, 3 * d)
+            dense(f"{p}.attn.proj", d, d)
+            dense(f"{p}.mlp.fc1", d, 4 * d)
+            dense(f"{p}.mlp.fc2", 4 * d, d)
+        # head: out_norm + XL decoder + classifier + AT adapter
+        ln("out_norm")
+        p = "decoder.encoder_blocks.0"
+        ln(f"{p}.norm1"); ln(f"{p}.norm2")
+        dense(f"{p}.attn.in_proj", d, 3 * d)
+        dense(f"{p}.attn.out_proj", d, d)
+        sd[f"{p}.attn.linear_pos.weight"] = (torch.randn(d, d) * 0.05).numpy()
+        sd[f"{p}.attn.pos_bias_u"] = (torch.randn(heads, d // heads) * 0.02).numpy()
+        sd[f"{p}.attn.pos_bias_v"] = (torch.randn(heads, d // heads) * 0.02).numpy()
+        dense(f"{p}.mlp.fc1", d, d)
+        dense(f"{p}.mlp.fc2", d, d)
+        dense("classifier", d, C)
+        sd["at_adpater.0.f_att_token"] = torch.zeros(1, 1, d).numpy()
+        mha("at_adpater.0.frequency_att")
+        dense("at_adpater.1", d, C)
+
+        init_kwargs = dict(
+            class_num=C, embed_dim=d, decoder_dim=d, backbone_depth=depth,
+            backbone_num_heads=heads, decoder_num_heads=heads,
+            at_adapter_heads=heads, passt_feature_layer=depth,
+            decoder="transformerXL", decoder_layer_num=1,
+            decoder_pos_emd_len=120, at_adapter=True,
+        )
+        # the converted tree must cover the flax init leaf-for-leaf,
+        # else serving would fail on a missing param
+        model = PaSST_SED(**init_kwargs)
+        fe = PasstFrontend()
+        mel = fe.normalize(fe(jnp.zeros((1, 38400))))
+        template = model.init({"params": jax.random.PRNGKey(0)}, mel)["params"]
+        np_sd = {k: np.asarray(v) for k, v in sd.items()}
+        params, state = convert_torch_checkpoint(np_sd, "PaSST_SED",
+                                                 backbone_depth=depth,
+                                                 decoder_layer_num=1,
+                                                 at_adapter_heads=heads)
+        assert check_tree_compatible(template, params) == {}
+        assert state == {}
+
+        ckpt = tmp_path / "reference_model.pt"
+        torch.save({k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in np_sd.items()}, str(ckpt))
+
+        sr, dur = 32000, 1.2
+        wav_dir = tmp_path / "wavs"
+        os.makedirs(wav_dir)
+        rng = np.random.RandomState(0)
+        for i in range(2):
+            wav = (rng.randn(int(dur * sr)) * 0.05 * 32767).astype(np.int16)
+            wavfile.write(str(wav_dir / f"p{i}.wav"), sr, wav)
+        config = {
+            "model_name": "PaSST_SED",
+            "PaSST_SED": {"init_kwargs": init_kwargs, "test_kwargs": {"temp_w": 0.5}},
+            "feature": {"pred_len": 120, "sr": sr, "hopsize": 320, "n_fft": 1024,
+                        "audio_max_len": dur, "net_subsample": 1},
+            "dataset": {"labels": ["a", "b"]},
+            "training": {"median_window": 3},
+        }
+        with open(tmp_path / "cfg.yaml", "w") as f:
+            yaml.safe_dump(config, f)
+        out_dir = tmp_path / "scores"
+        serve.main([
+            "--config_dir", str(tmp_path / "cfg.yaml"), "--ckpt", str(ckpt),
+            "--wav_dir", str(wav_dir), "--out_dir", str(out_dir),
+            "--batch_size", "2",
+        ])
+        lines = [json.loads(l) for l in open(out_dir / "events.jsonl")]
+        assert {l["filename"] for l in lines} == {"p0.wav", "p1.wav"}

@@ -77,12 +77,21 @@ def load_pretrained(model, frontend, config, args, logger):
     model_state = {k: v for k, v in variables.items() if k != "params"}
     if args.pretrained_ckpt:
         if args.pretrained_ckpt.endswith(".pt"):
+            # the reference's own torch checkpoints load directly, by
+            # model family (PaSST_SED/PaSST_CNN/DASM/HTSAT_CNN/CLAP_SED)
             from transformer4sed_tpu.utils.torch_import import (
-                convert_passt_sed,
+                convert_torch_checkpoint,
                 load_torch_state_dict,
             )
 
-            restored = convert_passt_sed(load_torch_state_dict(args.pretrained_ckpt))
+            _mname = config.get("model_name", "PaSST_SED")
+            restored, torch_state = convert_torch_checkpoint(
+                load_torch_state_dict(args.pretrained_ckpt), _mname,
+                init_kwargs=config.get(_mname, {}).get("init_kwargs", {}),
+            )
+            if torch_state and model_state:
+                model_state = load_partial(model_state, torch_state)
+                logger.info("restored model_state (BatchNorm stats) from the .pt")
         else:
             restored = restore_params(args.pretrained_ckpt)
             base = os.path.dirname(os.path.abspath(args.pretrained_ckpt))

@@ -172,17 +172,31 @@ def main(argv=None):
                 f"event name per query row to define the output classes"
             )
     model, frontend = build_model(config)
-    params = restore_params(args.ckpt)
-    # BatchNorm running stats saved by the training stages next to the
-    # params — required for HTSAT-family checkpoints; teacher checkpoints
-    # pair with the teacher's own stats (the trees diverge by design)
-    base = os.path.dirname(os.path.abspath(args.ckpt))
-    name = ("best_model_state_teacher"
-            if "teacher" in os.path.basename(args.ckpt) else "best_model_state")
-    ms_dir = os.path.join(base, name)
-    if not os.path.isdir(ms_dir):
-        ms_dir = os.path.join(base, "best_model_state")
-    model_state = restore_params(ms_dir) if os.path.isdir(ms_dir) else None
+    if args.ckpt.endswith(".pt"):
+        # reference torch checkpoints serve directly (converted by family)
+        from transformer4sed_tpu.utils.torch_import import (
+            convert_torch_checkpoint,
+            load_torch_state_dict,
+        )
+
+        _mname = config.get("model_name", "PaSST_SED")
+        params, model_state = convert_torch_checkpoint(
+            load_torch_state_dict(args.ckpt), _mname,
+            init_kwargs=config.get(_mname, {}).get("init_kwargs", {}),
+        )
+        model_state = model_state or None
+    else:
+        params = restore_params(args.ckpt)
+        # BatchNorm running stats saved by the training stages next to the
+        # params — required for HTSAT-family checkpoints; teacher checkpoints
+        # pair with the teacher's own stats (the trees diverge by design)
+        base = os.path.dirname(os.path.abspath(args.ckpt))
+        name = ("best_model_state_teacher"
+                if "teacher" in os.path.basename(args.ckpt) else "best_model_state")
+        ms_dir = os.path.join(base, name)
+        if not os.path.isdir(ms_dir):
+            ms_dir = os.path.join(base, "best_model_state")
+        model_state = restore_params(ms_dir) if os.path.isdir(ms_dir) else None
     model_name = config.get("model_name", "PaSST_SED")
     model_kwargs = dict(config.get(model_name, {}).get("test_kwargs", {}))
     if query is not None:

@@ -226,8 +226,16 @@ def _vit_block(sd, prefix):
     }
 
 
-def convert_passt_backbone(sd: Mapping[str, np.ndarray], depth: int = 12) -> Dict:
-    """torch PaSST state_dict -> flax PaSST param tree."""
+def convert_passt_backbone(
+    sd: Mapping[str, np.ndarray], depth: Optional[int] = None
+) -> Dict:
+    """torch PaSST state_dict -> flax PaSST param tree.
+
+    ``depth`` defaults to the number of ``blocks.{i}`` present."""
+    if depth is None:
+        depth = 0
+        while f"blocks.{depth}.norm1.weight" in sd:
+            depth += 1
     params: Dict = {
         "patch_embed": {
             "proj": {
@@ -295,9 +303,10 @@ def _xl_block(sd, prefix):
 
 def convert_passt_sed(
     sd: Mapping[str, np.ndarray],
-    backbone_depth: int = 12,
-    decoder_layer_num: int = 3,
+    backbone_depth: Optional[int] = None,
+    decoder_layer_num: Optional[int] = None,
     at_adapter_heads: int = 12,
+    f_pool_heads: int = 6,
 ) -> Dict:
     """torch PaSST_SED state_dict -> flax PaSST_SED param tree.
 
@@ -314,12 +323,14 @@ def convert_passt_sed(
     }
     if "classifier.weight" in sd:
         params["classifier"] = _dense(sd, "classifier")
-    for i in range(decoder_layer_num):
-        key = f"decoder.encoder_blocks.{i}.norm1.weight"
-        if key in sd:
-            params.setdefault("decoder_module", {})[f"encoder_blocks_{i}"] = _xl_block(
-                sd, f"decoder.encoder_blocks.{i}"
-            )
+    i = 0
+    while (decoder_layer_num is None or i < decoder_layer_num) and (
+        f"decoder.encoder_blocks.{i}.norm1.weight" in sd
+    ):
+        params.setdefault("decoder_module", {})[f"encoder_blocks_{i}"] = _xl_block(
+            sd, f"decoder.encoder_blocks.{i}"
+        )
+        i += 1
     if "at_adpater.0.f_att_token" in sd:
         params["at_pool"] = {
             "f_att_token": sd["at_adpater.0.f_att_token"],
@@ -329,7 +340,9 @@ def convert_passt_sed(
     if "f_pool_module.f_att_token" in sd:
         params["f_pool_module"] = {
             "f_att_token": sd["f_pool_module.f_att_token"],
-            "frequency_att": _torch_mha_to_flax(sd, "f_pool_module.frequency_att", 6),
+            "frequency_att": _torch_mha_to_flax(
+                sd, "f_pool_module.frequency_att", f_pool_heads
+            ),
         }
     if "mask_token" in sd:
         params["mask_token"] = sd["mask_token"]
@@ -505,7 +518,7 @@ def convert_dasm(
     sd: Mapping[str, np.ndarray],
     num_heads: int = 12,
     f_pool_heads: int = 6,
-    backbone_depth: int = 12,
+    backbone_depth: Optional[int] = None,
 ) -> Dict:
     """torch DASM / DASM_HTSAT state_dict -> {'params', 'batch_stats'}.
 
@@ -692,3 +705,70 @@ def convert_clap_sed(sd: Mapping[str, np.ndarray]) -> Dict:
     if "text_query" in sd:
         params["text_query"] = sd["text_query"]
     return {"params": params, "batch_stats": batch_stats}
+
+
+def convert_passt_cnn(sd: Mapping[str, np.ndarray], **kwargs) -> Dict:
+    """torch PaSST_CNN state_dict -> {'params', 'batch_stats'}
+    (reference ``src/models/cnn_transformer/passt_cnn.py:9-92``):
+    PaSST_SED tree plus the CNN merge branch + projectors."""
+    params = convert_passt_sed(sd, **kwargs)
+    batch_stats: Dict = {}
+    if "cnn.cnn.conv0.weight" in sd:
+        cnn_sd = {k[len("cnn.") :]: v for k, v in sd.items() if k.startswith("cnn.")}
+        params["cnn"], cnn_stats = convert_cnn(cnn_sd)
+        if cnn_stats:
+            batch_stats["cnn"] = cnn_stats
+    for dense_name in ("cnn_projector", "transformer_projector"):
+        if f"{dense_name}.weight" in sd:
+            params[dense_name] = _dense(sd, dense_name)
+    if "merge_weight" in sd:
+        params["merge_weight"] = sd["merge_weight"]
+    return {"params": params, "batch_stats": batch_stats}
+
+
+_CONVERTER_INIT_KWARGS = {
+    # init_kwargs keys a family's converter understands (head counts for
+    # packed-MHA splitting; layer counts are auto-detected from the keys)
+    "PaSST_SED": ("at_adapter_heads", "f_pool_heads"),
+    "PaSST_CNN": ("at_adapter_heads", "f_pool_heads"),
+    "PasstComplexCNN": ("at_adapter_heads", "f_pool_heads"),
+    "DASM": ("num_heads", "f_pool_heads"),
+    "DASM_HTSAT": ("num_heads", "f_pool_heads"),
+    "HTSAT_CNN": (),
+    "CLAP_SED": (),
+}
+
+
+def convert_torch_checkpoint(
+    sd: Mapping[str, np.ndarray],
+    model_name: str,
+    init_kwargs: Optional[Mapping] = None,
+    **kwargs,
+) -> Tuple[Dict, Dict]:
+    """Dispatch a reference ``.pt`` state_dict by model family.
+
+    Returns ``(params, model_state)`` where model_state is
+    ``{'batch_stats': ...}`` (or {}) — the shape the recipes CLI and
+    serving engine thread as non-params collections. This is what makes
+    ``--pretrained_ckpt foo.pt`` / ``--ckpt foo.pt`` accept the
+    reference's own checkpoints directly.
+    """
+    converters = {
+        "PaSST_SED": lambda s: {"params": convert_passt_sed(s, **kwargs), "batch_stats": {}},
+        "PaSST_CNN": lambda s: convert_passt_cnn(s, **kwargs),
+        "PasstComplexCNN": lambda s: convert_passt_cnn(s, **kwargs),
+        "DASM": lambda s: convert_dasm(s, **kwargs),
+        "DASM_HTSAT": lambda s: convert_dasm(s, **kwargs),
+        "HTSAT_CNN": lambda s: convert_htsat_cnn(s),
+        "CLAP_SED": lambda s: convert_clap_sed(s),
+    }
+    if model_name not in converters:
+        raise ValueError(
+            f"no torch converter for model {model_name!r}; know {sorted(converters)}"
+        )
+    for k in _CONVERTER_INIT_KWARGS[model_name]:
+        if init_kwargs and k in init_kwargs and k not in kwargs:
+            kwargs[k] = init_kwargs[k]
+    tree = converters[model_name](sd)
+    state = {"batch_stats": tree["batch_stats"]} if tree.get("batch_stats") else {}
+    return tree["params"], state
