@@ -616,3 +616,104 @@ class TestServeFromTorchCheckpoint:
         ])
         lines = [json.loads(l) for l in open(out_dir / "events.jsonl")]
         assert {l["filename"] for l in lines} == {"p0.wav", "p1.wav"}
+
+
+class TestXLDecoderTorchParity:
+    """Full XL context-network parity: the reference's rel-pos attention
+    math (transformerXL.py:129-540 — packed in_proj, pos_bias_u/v AC+BD
+    matrices, as_strided rel_shift, sqrt(d) input scaling, the unusual
+    post-norm1 residual wiring) reimplemented in torch here, vs the flax
+    TransformerXLDecoder with the same weights via _xl_block."""
+
+    def _torch_pos_emb(self, t, d):
+        """Reference RelPositionalEncoding table slice (:40-127):
+        positive offsets reversed then negative, center = offset 0."""
+        import math
+
+        pos = torch.arange(t, dtype=torch.float32).unsqueeze(1)
+        div = torch.exp(torch.arange(0, d, 2, dtype=torch.float32) * -(math.log(10000.0) / d))
+        pe_pos = torch.zeros(t, d)
+        pe_neg = torch.zeros(t, d)
+        pe_pos[:, 0::2] = torch.sin(pos * div)
+        pe_pos[:, 1::2] = torch.cos(pos * div)
+        pe_neg[:, 0::2] = torch.sin(-pos * div)
+        pe_neg[:, 1::2] = torch.cos(-pos * div)
+        return torch.cat([torch.flip(pe_pos, [0]), pe_neg[1:]], dim=0).unsqueeze(0)
+
+    def _torch_block(self, h, w, pos, heads):
+        """One reference TransformerXL block (transformerXL.py:23-35)."""
+        import torch.nn.functional as F
+
+        b, t, d = h.shape
+        hd = d // heads
+        hn = F.layer_norm(h, (d,), w["norm1.weight"], w["norm1.bias"], eps=1e-6)
+        q, k, v = (hn @ w["attn.in_proj.weight"].t() + w["attn.in_proj.bias"]).chunk(3, -1)
+        q = q.view(b, t, heads, hd)
+        k = k.view(b, t, heads, hd).permute(0, 2, 3, 1)           # [B,H,dk,T]
+        v = v.view(b, t, heads, hd).transpose(1, 2)               # [B,H,T,dk]
+        p = (pos @ w["attn.linear_pos.weight"].t()).view(1, 2 * t - 1, heads, hd)
+        p = p.permute(0, 2, 3, 1)                                  # [1,H,dk,2T-1]
+        qu = (q + w["attn.pos_bias_u"]).transpose(1, 2)            # [B,H,T,dk]
+        qv = (q + w["attn.pos_bias_v"]).transpose(1, 2)
+        ac = qu @ k                                                # [B,H,T,T]
+        bd = qv @ p                                                # [B,H,T,2T-1]
+        # rel_shift (:253-297): row i takes columns (T-1-i) .. (2T-2-i)
+        rows = torch.arange(t - 1, -1, -1).unsqueeze(-1) + torch.arange(t)
+        bd = torch.gather(bd, 3, rows.expand(b, heads, t, t))
+        attn = ((ac + bd) * hd ** -0.5).softmax(-1)
+        out = (attn @ v).transpose(1, 2).reshape(b, t, d)
+        out = out @ w["attn.out_proj.weight"].t() + w["attn.out_proj.bias"]
+        h = hn + out                                               # post-norm1 residual
+        hn2 = F.layer_norm(h, (d,), w["norm2.weight"], w["norm2.bias"], eps=1e-6)
+        mlp = F.gelu(hn2 @ w["mlp.fc1.weight"].t() + w["mlp.fc1.bias"])
+        mlp = mlp @ w["mlp.fc2.weight"].t() + w["mlp.fc2.bias"]
+        return h + mlp
+
+    def test_two_layer_decoder_matches(self):
+        import math
+
+        from transformer4sed_tpu.models.xl import TransformerXLDecoder
+        from transformer4sed_tpu.utils.torch_import import _xl_block
+
+        torch.manual_seed(0)
+        b, t, d, heads, layers = 2, 50, 32, 4, 2
+        weights = []
+        sd = {}
+        for i in range(layers):
+            w = {
+                "norm1.weight": torch.randn(d).abs() + 0.5,
+                "norm1.bias": torch.randn(d) * 0.1,
+                "attn.in_proj.weight": torch.randn(3 * d, d) * 0.1,
+                "attn.in_proj.bias": torch.randn(3 * d) * 0.02,
+                "attn.out_proj.weight": torch.randn(d, d) * 0.1,
+                "attn.out_proj.bias": torch.randn(d) * 0.02,
+                "attn.linear_pos.weight": torch.randn(d, d) * 0.1,
+                "attn.pos_bias_u": torch.randn(heads, d // heads) * 0.1,
+                "attn.pos_bias_v": torch.randn(heads, d // heads) * 0.1,
+                "norm2.weight": torch.randn(d).abs() + 0.5,
+                "norm2.bias": torch.randn(d) * 0.1,
+                "mlp.fc1.weight": torch.randn(d, d) * 0.1,
+                "mlp.fc1.bias": torch.randn(d) * 0.02,
+                "mlp.fc2.weight": torch.randn(d, d) * 0.1,
+                "mlp.fc2.bias": torch.randn(d) * 0.02,
+            }
+            weights.append(w)
+            sd.update({f"dec.encoder_blocks.{i}.{k}": v.numpy() for k, v in w.items()})
+
+        x = torch.randn(b, t, d)
+        with torch.no_grad():
+            pos = self._torch_pos_emb(t, d)
+            h = x * math.sqrt(d)
+            for w in weights:
+                h = self._torch_block(h, w, pos[0:1, :, :].squeeze(0).unsqueeze(0), heads)
+        t_out = h.numpy()
+
+        params = {
+            f"encoder_blocks_{i}": _xl_block(sd, f"dec.encoder_blocks.{i}")
+            for i in range(layers)
+        }
+        dec = TransformerXLDecoder(
+            decoder_layer_num=layers, num_heads=heads, mlp_ratio=1.0, seq_len=t
+        )
+        f_out = dec.apply({"params": params}, jnp.asarray(x.numpy()))
+        np.testing.assert_allclose(np.asarray(f_out), t_out, atol=3e-5)
