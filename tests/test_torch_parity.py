@@ -717,3 +717,115 @@ class TestXLDecoderTorchParity:
         )
         f_out = dec.apply({"params": params}, jnp.asarray(x.numpy()))
         np.testing.assert_allclose(np.asarray(f_out), t_out, atol=3e-5)
+
+
+class TestConformerTorchParity:
+    """Conformer decoder parity: reference ConformerEncoderLayer math
+    (conformer.py:10-270 — macaron FFNs with 0.5 scale, rel-pos MHA,
+    GLU pointwise + depthwise conv module with inner LayerNorm, Swish,
+    final norm) reimplemented in torch vs the flax ConformerDecoder with
+    shared weights via _conformer_block."""
+
+    def _block(self, h, w, pos, heads):
+        import torch.nn.functional as F
+
+        b, t, d = h.shape
+        hd = d // heads
+
+        def ln(x, name, dim=d):
+            return F.layer_norm(x, (dim,), w[f"{name}.weight"], w[f"{name}.bias"], eps=1e-6)
+
+        def ff(x, name):
+            x = x @ w[f"{name}.0.weight"].t() + w[f"{name}.0.bias"]
+            x = x * torch.sigmoid(x)  # Swish
+            return x @ w[f"{name}.3.weight"].t() + w[f"{name}.3.bias"]
+
+        h = h + 0.5 * ff(ln(h, "norm_ff_macaron"), "feed_forward_macaron")
+        # rel-pos MHA (same math as the XL test)
+        hn = ln(h, "norm_mha")
+        q, k, v = (hn @ w["self_attn.in_proj.weight"].t() + w["self_attn.in_proj.bias"]).chunk(3, -1)
+        q = q.view(b, t, heads, hd)
+        k = k.view(b, t, heads, hd).permute(0, 2, 3, 1)
+        v = v.view(b, t, heads, hd).transpose(1, 2)
+        p = (pos @ w["self_attn.linear_pos.weight"].t()).view(1, 2 * t - 1, heads, hd)
+        p = p.permute(0, 2, 3, 1)
+        qu = (q + w["self_attn.pos_bias_u"]).transpose(1, 2)
+        qv = (q + w["self_attn.pos_bias_v"]).transpose(1, 2)
+        rows = torch.arange(t - 1, -1, -1).unsqueeze(-1) + torch.arange(t)
+        bd = torch.gather(qv @ p, 3, rows.expand(b, heads, t, t))
+        attn = (((qu @ k) + bd) * hd ** -0.5).softmax(-1)
+        out = (attn @ v).transpose(1, 2).reshape(b, t, d)
+        h = h + (out @ w["self_attn.out_proj.weight"].t() + w["self_attn.out_proj.bias"])
+        # conv module: GLU pointwise -> depthwise -> LN -> Swish -> pointwise
+        x = ln(h, "norm_conv").transpose(1, 2)  # [B, C, T]
+        x = torch.nn.functional.conv1d(x, w["conv_module.pointwise_conv1.weight"],
+                                       w["conv_module.pointwise_conv1.bias"])
+        x = torch.nn.functional.glu(x, dim=1)
+        x = torch.nn.functional.conv1d(x, w["conv_module.depthwise_conv.weight"],
+                                       w["conv_module.depthwise_conv.bias"],
+                                       padding=(w["conv_module.depthwise_conv.weight"].shape[-1] - 1) // 2,
+                                       groups=d)
+        x = x.transpose(1, 2)
+        x = F.layer_norm(x, (d,), w["conv_module.norm.weight"], w["conv_module.norm.bias"], eps=1e-6)
+        x = x * torch.sigmoid(x)
+        x = torch.nn.functional.conv1d(x.transpose(1, 2), w["conv_module.pointwise_conv2.weight"],
+                                       w["conv_module.pointwise_conv2.bias"]).transpose(1, 2)
+        h = h + x
+        h = h + 0.5 * ff(ln(h, "norm_ff"), "feed_forward")
+        return ln(h, "norm_final")
+
+    def test_conformer_decoder_matches(self):
+        import math
+
+        from transformer4sed_tpu.models.xl import ConformerDecoder
+        from transformer4sed_tpu.utils.torch_import import _conformer_block
+
+        torch.manual_seed(0)
+        b, t, d, heads, K = 2, 40, 32, 4, 7
+        w = {
+            "norm_ff_macaron.weight": torch.randn(d).abs() + 0.5,
+            "norm_ff_macaron.bias": torch.randn(d) * 0.1,
+            "feed_forward_macaron.0.weight": torch.randn(d, d) * 0.1,
+            "feed_forward_macaron.0.bias": torch.randn(d) * 0.02,
+            "feed_forward_macaron.3.weight": torch.randn(d, d) * 0.1,
+            "feed_forward_macaron.3.bias": torch.randn(d) * 0.02,
+            "norm_mha.weight": torch.randn(d).abs() + 0.5,
+            "norm_mha.bias": torch.randn(d) * 0.1,
+            "self_attn.in_proj.weight": torch.randn(3 * d, d) * 0.1,
+            "self_attn.in_proj.bias": torch.randn(3 * d) * 0.02,
+            "self_attn.out_proj.weight": torch.randn(d, d) * 0.1,
+            "self_attn.out_proj.bias": torch.randn(d) * 0.02,
+            "self_attn.linear_pos.weight": torch.randn(d, d) * 0.1,
+            "self_attn.pos_bias_u": torch.randn(heads, d // heads) * 0.1,
+            "self_attn.pos_bias_v": torch.randn(heads, d // heads) * 0.1,
+            "norm_conv.weight": torch.randn(d).abs() + 0.5,
+            "norm_conv.bias": torch.randn(d) * 0.1,
+            "conv_module.pointwise_conv1.weight": torch.randn(2 * d, d, 1) * 0.1,
+            "conv_module.pointwise_conv1.bias": torch.randn(2 * d) * 0.02,
+            "conv_module.depthwise_conv.weight": torch.randn(d, 1, K) * 0.1,
+            "conv_module.depthwise_conv.bias": torch.randn(d) * 0.02,
+            "conv_module.norm.weight": torch.randn(d).abs() + 0.5,
+            "conv_module.norm.bias": torch.randn(d) * 0.1,
+            "conv_module.pointwise_conv2.weight": torch.randn(d, d, 1) * 0.1,
+            "conv_module.pointwise_conv2.bias": torch.randn(d) * 0.02,
+            "norm_ff.weight": torch.randn(d).abs() + 0.5,
+            "norm_ff.bias": torch.randn(d) * 0.1,
+            "feed_forward.0.weight": torch.randn(d, d) * 0.1,
+            "feed_forward.0.bias": torch.randn(d) * 0.02,
+            "feed_forward.3.weight": torch.randn(d, d) * 0.1,
+            "feed_forward.3.bias": torch.randn(d) * 0.02,
+            "norm_final.weight": torch.randn(d).abs() + 0.5,
+            "norm_final.bias": torch.randn(d) * 0.1,
+        }
+        x = torch.randn(b, t, d)
+        pos = TestXLDecoderTorchParity()._torch_pos_emb(t, d)
+        with torch.no_grad():
+            t_out = self._block(x * math.sqrt(d), w, pos, heads).numpy()
+
+        sd = {f"dec.blocks.0.{k}": v.numpy() for k, v in w.items()}
+        params = {"blocks_0": _conformer_block(sd, "dec.blocks.0")}
+        dec = ConformerDecoder(
+            decoder_layer_num=1, num_heads=heads, mlp_ratio=1.0, kernel_size=K, seq_len=t
+        )
+        f_out = dec.apply({"params": params}, jnp.asarray(x.numpy()))
+        np.testing.assert_allclose(np.asarray(f_out), t_out, atol=3e-5)

@@ -331,6 +331,15 @@ def convert_passt_sed(
             sd, f"decoder.encoder_blocks.{i}"
         )
         i += 1
+    i = 0
+    while (decoder_layer_num is None or i < decoder_layer_num) and (
+        f"decoder.blocks.{i}.norm_final.weight" in sd
+    ):
+        # conformer decoder variant (reference transformer_decoder.py:125-166)
+        params.setdefault("decoder_module", {})[f"blocks_{i}"] = _conformer_block(
+            sd, f"decoder.blocks.{i}"
+        )
+        i += 1
     if "at_adpater.0.f_att_token" in sd:
         params["at_pool"] = {
             "f_att_token": sd["at_adpater.0.f_att_token"],
@@ -772,3 +781,41 @@ def convert_torch_checkpoint(
     tree = converters[model_name](sd)
     state = {"batch_stats": tree["batch_stats"]} if tree.get("batch_stats") else {}
     return tree["params"], state
+
+
+def _conformer_block(sd, prefix):
+    """Reference ConformerEncoderLayer (``conformer.py:10-145``) -> flax
+    ConformerBlock tree. torch Sequential FFNs index Linear at .0/.3;
+    conv1d weights [O, I, K] -> flax [K, I/groups, O]."""
+    def conv1d(p):
+        w = sd[f"{p}.weight"]
+        return {"kernel": np.transpose(w, (2, 1, 0)), "bias": sd[f"{p}.bias"]}
+
+    def pointwise(p):
+        w = sd[f"{p}.weight"]  # [O, I, 1] -> dense [I, O]
+        return {"kernel": w[:, :, 0].T, "bias": sd[f"{p}.bias"]}
+
+    return {
+        "norm_ff_macaron": _ln(sd, f"{prefix}.norm_ff_macaron"),
+        "feed_forward_macaron_1": _dense(sd, f"{prefix}.feed_forward_macaron.0"),
+        "feed_forward_macaron_2": _dense(sd, f"{prefix}.feed_forward_macaron.3"),
+        "norm_mha": _ln(sd, f"{prefix}.norm_mha"),
+        "self_attn": {
+            "in_proj": _dense(sd, f"{prefix}.self_attn.in_proj"),
+            "out_proj": _dense(sd, f"{prefix}.self_attn.out_proj"),
+            "linear_pos": _dense_nobias(sd, f"{prefix}.self_attn.linear_pos"),
+            "pos_bias_u": sd[f"{prefix}.self_attn.pos_bias_u"],
+            "pos_bias_v": sd[f"{prefix}.self_attn.pos_bias_v"],
+        },
+        "norm_conv": _ln(sd, f"{prefix}.norm_conv"),
+        "conv_module": {
+            "pointwise_conv1": pointwise(f"{prefix}.conv_module.pointwise_conv1"),
+            "depthwise_conv": conv1d(f"{prefix}.conv_module.depthwise_conv"),
+            "norm": _ln(sd, f"{prefix}.conv_module.norm"),
+            "pointwise_conv2": pointwise(f"{prefix}.conv_module.pointwise_conv2"),
+        },
+        "norm_ff": _ln(sd, f"{prefix}.norm_ff"),
+        "feed_forward_1": _dense(sd, f"{prefix}.feed_forward.0"),
+        "feed_forward_2": _dense(sd, f"{prefix}.feed_forward.3"),
+        "norm_final": _ln(sd, f"{prefix}.norm_final"),
+    }
