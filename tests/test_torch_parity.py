@@ -829,3 +829,117 @@ class TestConformerTorchParity:
         )
         f_out = dec.apply({"params": params}, jnp.asarray(x.numpy()))
         np.testing.assert_allclose(np.asarray(f_out), t_out, atol=3e-5)
+
+
+class TestCNNTorchParity:
+    def test_glu_batchnorm_stack_matches(self):
+        """convert_cnn + flax CNN reproduce the reference conv pyramid
+        (base.py:33-113): Conv2d -> BatchNorm(eval running stats,
+        eps=1e-3) -> GLU(linear over channels-last) -> AvgPool."""
+        from transformer4sed_tpu.models.cnn import CNN
+        from transformer4sed_tpu.utils.torch_import import convert_cnn
+
+        torch.manual_seed(0)
+        filters = [8, 12]
+
+        layers = []
+        sd = {}
+        cin = 1
+        for i, cout in enumerate(filters):
+            conv = tnn.Conv2d(cin, cout, 3, 1, 1)
+            bn = tnn.BatchNorm2d(cout, eps=0.001, momentum=0.99).eval()
+            bn.running_mean.normal_(); bn.running_var.uniform_(0.5, 2.0)
+            bn.weight.data.normal_(); bn.bias.data.normal_()
+            glu = tnn.Linear(cout, cout)
+            layers.append((conv, bn, glu))
+            sd[f"cnn.conv{i}.weight"] = conv.weight.detach().numpy()
+            sd[f"cnn.conv{i}.bias"] = conv.bias.detach().numpy()
+            sd[f"cnn.batchnorm{i}.weight"] = bn.weight.detach().numpy()
+            sd[f"cnn.batchnorm{i}.bias"] = bn.bias.detach().numpy()
+            sd[f"cnn.batchnorm{i}.running_mean"] = bn.running_mean.numpy()
+            sd[f"cnn.batchnorm{i}.running_var"] = bn.running_var.numpy()
+            sd[f"cnn.glu{i}.linear.weight"] = glu.weight.detach().numpy()
+            sd[f"cnn.glu{i}.linear.bias"] = glu.bias.detach().numpy()
+            cin = cout
+
+        x = torch.randn(2, 1, 16, 16)
+        with torch.no_grad():
+            h = x
+            for conv, bn, glu in layers:
+                h = bn(conv(h))
+                lin = glu(h.permute(0, 2, 3, 1)).permute(0, 3, 1, 2)
+                h = lin * torch.sigmoid(h)
+                h = tnn.functional.avg_pool2d(h, (1, 2))
+        t_out = h.numpy()  # [B, C, T, F]
+
+        params, stats = convert_cnn(sd)
+        model = CNN(n_in_channel=1, nb_filters=filters, kernel_size=[3, 3],
+                    padding=[1, 1], stride=[1, 1], pooling=[(1, 2), (1, 2)],
+                    activation="glu", normalization="batch")
+        f_out = model.apply(
+            {"params": params, "batch_stats": stats}, jnp.asarray(x.numpy()), train=False
+        )
+        np.testing.assert_allclose(np.asarray(f_out), t_out, atol=3e-5)
+
+
+class TestSwinWindowAttentionParity:
+    def test_matches_torch_math(self):
+        """HTSAT Swin WindowAttention (htsat.py:277-352): qkv, q-scaled
+        scores, relative-position bias gathered via the pairwise index
+        table, optional additive window mask, proj — torch math vs the
+        flax module with converted weights."""
+        from transformer4sed_tpu.models.htsat import WindowAttention
+
+        torch.manual_seed(0)
+        d, heads, w = 32, 4, 4
+        n = w * w
+        nw, b = 3, 2  # windows per image, batch
+        qkv_w = torch.randn(3 * d, d) * 0.1
+        qkv_b = torch.randn(3 * d) * 0.02
+        proj_w = torch.randn(d, d) * 0.1
+        proj_b = torch.randn(d) * 0.02
+        bias_table = torch.randn((2 * w - 1) * (2 * w - 1), heads) * 0.1
+
+        coords = torch.stack(torch.meshgrid(
+            [torch.arange(w), torch.arange(w)], indexing="ij"))
+        flat = torch.flatten(coords, 1)
+        rel = (flat[:, :, None] - flat[:, None, :]).permute(1, 2, 0).contiguous()
+        rel[:, :, 0] += w - 1
+        rel[:, :, 1] += w - 1
+        rel[:, :, 0] *= 2 * w - 1
+        index = rel.sum(-1)
+
+        x = torch.randn(b * nw, n, d)
+        mask = torch.where(torch.rand(nw, n, n) > 0.8,
+                           torch.tensor(-100.0), torch.tensor(0.0))
+
+        def torch_forward(x, mask):
+            B_, N, C = x.shape
+            hd = C // heads
+            qkv = (x @ qkv_w.t() + qkv_b).reshape(B_, N, 3, heads, hd).permute(2, 0, 3, 1, 4)
+            q, k, v = qkv[0] * hd ** -0.5, qkv[1], qkv[2]
+            attn = q @ k.transpose(-2, -1)
+            bias = bias_table[index.view(-1)].view(N, N, heads).permute(2, 0, 1)
+            attn = attn + bias.unsqueeze(0)
+            if mask is not None:
+                nW = mask.shape[0]
+                attn = attn.view(B_ // nW, nW, heads, N, N) + mask.unsqueeze(1).unsqueeze(0)
+                attn = attn.view(-1, heads, N, N)
+            attn = attn.softmax(dim=-1)
+            out = (attn @ v).transpose(1, 2).reshape(B_, N, C)
+            return out @ proj_w.t() + proj_b
+
+        params = {
+            "qkv": {"kernel": qkv_w.t().numpy(), "bias": qkv_b.numpy()},
+            "proj": {"kernel": proj_w.t().numpy(), "bias": proj_b.numpy()},
+            "relative_position_bias_table": bias_table.numpy(),
+        }
+        fmod = WindowAttention(num_heads=heads, window_size=w)
+        with torch.no_grad():
+            for m in (None, mask):
+                t_out = torch_forward(x, m).numpy()
+                f_out = fmod.apply(
+                    {"params": params}, jnp.asarray(x.numpy()),
+                    None if m is None else jnp.asarray(m.numpy()),
+                )
+                np.testing.assert_allclose(np.asarray(f_out), t_out, atol=3e-5)
