@@ -943,3 +943,77 @@ class TestSwinWindowAttentionParity:
                     None if m is None else jnp.asarray(m.numpy()),
                 )
                 np.testing.assert_allclose(np.asarray(f_out), t_out, atol=3e-5)
+
+
+class TestFDYCNNTorchParity:
+    def test_dynamic_conv_stack_matches(self):
+        """FDY-CNN parity (FDY_cnn.py:7-180): per-frame softmax attention
+        over 4 basis kernels (mean-over-freq -> conv1d -> BN -> relu ->
+        conv1d -> softmax/T), basis convs aggregated as one grouped-channel
+        conv, then BatchNorm + GLU + AvgPool — torch math vs the flax
+        FDY_CNN with convert_cnn-imported weights."""
+        import torch.nn.functional as F
+
+        from transformer4sed_tpu.models.cnn import FDY_CNN
+        from transformer4sed_tpu.utils.torch_import import convert_cnn
+
+        torch.manual_seed(0)
+        cin, cout, nk, k, temp = 1, 8, 4, 3, 31.0
+        hidden = 4  # max(cin // 4, 4)
+        sd = {}
+        # dynamic stage 0
+        wb = torch.randn(nk, cout, cin, k, k) * 0.2
+        att_c1 = torch.randn(hidden, cin, k) * 0.2
+        bn_w, bn_b = torch.rand(hidden) + 0.5, torch.randn(hidden) * 0.1
+        bn_m, bn_v = torch.randn(hidden) * 0.1, torch.rand(hidden) + 0.5
+        att_c2_w = torch.randn(nk, hidden, 1) * 0.2
+        att_c2_b = torch.randn(nk) * 0.1
+        sd["cnn.conv0.weight"] = wb.numpy()
+        sd["cnn.conv0.attention.conv1d1.weight"] = att_c1.numpy()
+        sd["cnn.conv0.attention.bn.weight"] = bn_w.numpy()
+        sd["cnn.conv0.attention.bn.bias"] = bn_b.numpy()
+        sd["cnn.conv0.attention.bn.running_mean"] = bn_m.numpy()
+        sd["cnn.conv0.attention.bn.running_var"] = bn_v.numpy()
+        sd["cnn.conv0.attention.conv1d2.weight"] = att_c2_w.numpy()
+        sd["cnn.conv0.attention.conv1d2.bias"] = att_c2_b.numpy()
+        st_w, st_b = torch.rand(cout) + 0.5, torch.randn(cout) * 0.1
+        st_m, st_v = torch.randn(cout) * 0.1, torch.rand(cout) + 0.5
+        sd["cnn.batchnorm0.weight"] = st_w.numpy()
+        sd["cnn.batchnorm0.bias"] = st_b.numpy()
+        sd["cnn.batchnorm0.running_mean"] = st_m.numpy()
+        sd["cnn.batchnorm0.running_var"] = st_v.numpy()
+        glu_w = torch.randn(cout, cout) * 0.2
+        glu_b = torch.randn(cout) * 0.1
+        sd["cnn.glu0.linear.weight"] = glu_w.numpy()
+        sd["cnn.glu0.linear.bias"] = glu_b.numpy()
+
+        x = torch.randn(2, cin, 12, 8)
+        with torch.no_grad():
+            # attention: mean over freq -> conv1d -> BN(eval) -> relu -> conv1d -> softmax/T
+            a = x.mean(dim=3)
+            a = F.conv1d(a, att_c1, None, 1, 1)
+            a = (a - bn_m[None, :, None]) / torch.sqrt(bn_v[None, :, None] + 1e-5)
+            a = a * bn_w[None, :, None] + bn_b[None, :, None]
+            a = F.relu(a)
+            a = F.conv1d(a, att_c2_w, att_c2_b)
+            att = F.softmax(a / temp, dim=1)  # [B, nk, T]
+            y = F.conv1d(x.flatten(0, 0), wb.view(nk * cout, cin, k, k)[..., :, :], None) \
+                if False else F.conv2d(x, wb.view(nk * cout, cin, k, k), None, 1, 1)
+            y = y.view(2, nk, cout, 12, 8)
+            y = (y * att[:, :, None, :, None]).sum(1)  # [B, cout, T, F]
+            # stage BN (eps=1e-3) + GLU + AvgPool(1,2)
+            y = (y - st_m[None, :, None, None]) / torch.sqrt(st_v[None, :, None, None] + 1e-3)
+            y = y * st_w[None, :, None, None] + st_b[None, :, None, None]
+            lin = (y.permute(0, 2, 3, 1) @ glu_w.t() + glu_b).permute(0, 3, 1, 2)
+            y = lin * torch.sigmoid(y)
+            t_out = F.avg_pool2d(y, (1, 2)).numpy()
+
+        params, stats = convert_cnn(sd)
+        model = FDY_CNN(n_input_ch=cin, nb_filters=[cout], kernel=[k], pad=[1],
+                        stride=[1], pooling=[(1, 2)], activation="glu",
+                        normalization="batch", n_basis_kernels=nk,
+                        DY_layers=[1], temperature=temp)
+        f_out = model.apply(
+            {"params": params, "batch_stats": stats}, jnp.asarray(x.numpy()), train=False
+        )
+        np.testing.assert_allclose(np.asarray(f_out), t_out, atol=3e-5)

@@ -626,8 +626,58 @@ def convert_cnn(sd: Mapping[str, np.ndarray], prefix: str = "cnn") -> Tuple[Dict
     batch_stats: Dict = {}
     i = 0
     while f"{prefix}.conv{i}.weight" in sd:
+        w = sd[f"{prefix}.conv{i}.weight"]
+        if w.ndim == 5:
+            # Dynamic_conv2d basis bank [nk, out, in, kh, kw]
+            # (``FDY_cnn.py:7-117``): flax runs ONE conv with nk*out
+            # channels (nk outer, matching torch's aggregate view)
+            nk, out, cin, kh, kw = w.shape
+            agg = w.reshape(nk * out, cin, kh, kw)
+            tree: Dict = {"basis_conv": {"kernel": np.transpose(agg, (2, 3, 1, 0))}}
+            ap = f"{prefix}.conv{i}.attention"
+            if f"{ap}.conv1d1.weight" in sd:
+                tree["att_conv1"] = {
+                    "kernel": np.transpose(sd[f"{ap}.conv1d1.weight"], (2, 1, 0))
+                }
+                tree["att_bn"] = {
+                    "scale": sd[f"{ap}.bn.weight"],
+                    "bias": sd[f"{ap}.bn.bias"],
+                }
+                batch_stats[f"conv{i}"] = {
+                    "att_bn": {
+                        "mean": sd[f"{ap}.bn.running_mean"],
+                        "var": sd[f"{ap}.bn.running_var"],
+                    }
+                }
+                tree["att_conv2"] = {
+                    "kernel": np.transpose(sd[f"{ap}.conv1d2.weight"], (2, 1, 0)),
+                    "bias": sd[f"{ap}.conv1d2.bias"],
+                }
+            else:  # pool_dim == 'both' variant uses fc1/fc2
+                tree["att_fc1"] = _dense(sd, f"{ap}.fc1")
+                tree["att_fc2"] = _dense(sd, f"{ap}.fc2")
+            params[f"conv{i}"] = tree
+            if f"{prefix}.batchnorm{i}.weight" in sd:
+                params[f"norm{i}"] = {
+                    "scale": sd[f"{prefix}.batchnorm{i}.weight"],
+                    "bias": sd[f"{prefix}.batchnorm{i}.bias"],
+                }
+                batch_stats.setdefault(f"norm{i}", {}).update({
+                    "mean": sd[f"{prefix}.batchnorm{i}.running_mean"],
+                    "var": sd[f"{prefix}.batchnorm{i}.running_var"],
+                })
+            elif f"{prefix}.layernorm{i}.weight" in sd:
+                params[f"norm{i}"] = {
+                    "scale": sd[f"{prefix}.layernorm{i}.weight"],
+                    "bias": sd[f"{prefix}.layernorm{i}.bias"],
+                }
+            for act in ("glu", "cg"):
+                if f"{prefix}.{act}{i}.linear.weight" in sd:
+                    params[f"act{i}"] = {"linear": _dense(sd, f"{prefix}.{act}{i}.linear")}
+            i += 1
+            continue
         params[f"conv{i}"] = {
-            "kernel": np.transpose(sd[f"{prefix}.conv{i}.weight"], (2, 3, 1, 0)),
+            "kernel": np.transpose(w, (2, 3, 1, 0)),
             "bias": sd[f"{prefix}.conv{i}.bias"],
         }
         if f"{prefix}.batchnorm{i}.weight" in sd:
