@@ -1017,3 +1017,210 @@ class TestFDYCNNTorchParity:
             {"params": params, "batch_stats": stats}, jnp.asarray(x.numpy()), train=False
         )
         np.testing.assert_allclose(np.asarray(f_out), t_out, atol=3e-5)
+
+
+class TestHTSATFullStackParity:
+    """Full HTSAT backbone parity on a mini config: the reference Swin
+    forward (htsat.py:621-945 — bn0, freq-ratio folding, patch embed +
+    LN, shifted-window blocks with the 9-region -100 additive mask,
+    PatchMerging, final LN, freq-bin grouping, tscam conv head, nearest
+    framewise upsample) reimplemented in torch here, weights shared via
+    convert_htsat. Catches folding/shift/merge wiring errors that the
+    per-module tests cannot."""
+
+    CFG = dict(spec_size=64, patch_size=4, patch_stride=(4, 4), num_classes=3,
+               embed_dim=8, depths=(2, 1), num_heads=(2, 2), window_size=4,
+               mlp_ratio=4.0, mel_bins=16)
+
+    def _weights(self):
+        torch.manual_seed(0)
+        cfg = self.CFG
+        E = cfg["embed_dim"]
+        sd = {}
+
+        def dense(p, din, dout, bias=True):
+            sd[f"{p}.weight"] = torch.randn(dout, din) * (1.0 / np.sqrt(din))
+            if bias:
+                sd[f"{p}.bias"] = torch.randn(dout) * 0.02
+
+        def ln(p, dim):
+            sd[f"{p}.weight"] = torch.rand(dim) + 0.5
+            sd[f"{p}.bias"] = torch.randn(dim) * 0.05
+
+        sd["bn0.weight"] = torch.rand(cfg["mel_bins"]) + 0.5
+        sd["bn0.bias"] = torch.randn(cfg["mel_bins"]) * 0.1
+        sd["bn0.running_mean"] = torch.randn(cfg["mel_bins"]) * 0.2
+        sd["bn0.running_var"] = torch.rand(cfg["mel_bins"]) + 0.5
+        sd["patch_embed.proj.weight"] = torch.randn(E, 1, 4, 4) * 0.2
+        sd["patch_embed.proj.bias"] = torch.randn(E) * 0.02
+        ln("patch_embed.norm", E)
+        w = cfg["window_size"]
+        for i, depth in enumerate(cfg["depths"]):
+            dim = E * 2 ** i
+            heads = cfg["num_heads"][i]
+            for j in range(depth):
+                p = f"layers.{i}.blocks.{j}"
+                ln(f"{p}.norm1", dim)
+                dense(f"{p}.attn.qkv", dim, 3 * dim)
+                dense(f"{p}.attn.proj", dim, dim)
+                sd[f"{p}.attn.relative_position_bias_table"] = (
+                    torch.randn((2 * w - 1) * (2 * w - 1), heads) * 0.1
+                )
+                ln(f"{p}.norm2", dim)
+                dense(f"{p}.mlp.fc1", dim, int(dim * cfg["mlp_ratio"]))
+                dense(f"{p}.mlp.fc2", int(dim * cfg["mlp_ratio"]), dim)
+            if i < len(cfg["depths"]) - 1:
+                ln(f"layers.{i}.downsample.norm", 4 * dim)
+                dense(f"layers.{i}.downsample.reduction", 4 * dim, 2 * dim, bias=False)
+        nf = E * 2 ** (len(cfg["depths"]) - 1)
+        ln("norm", nf)
+        # tscam: kernel (c_freq_bin=SF/freq_ratio, 3)
+        freq_ratio = cfg["spec_size"] // cfg["mel_bins"]
+        sf = cfg["spec_size"] // (2 ** (len(cfg["depths"]) - 1)) // cfg["patch_stride"][0]
+        cfb = sf // freq_ratio
+        sd["tscam_conv.weight"] = torch.randn(cfg["num_classes"], nf, cfb, 3) * 0.1
+        sd["tscam_conv.bias"] = torch.randn(cfg["num_classes"]) * 0.02
+        return sd
+
+    def _torch_forward(self, mel, sd):
+        import torch.nn.functional as F
+
+        cfg = self.CFG
+        E, w = cfg["embed_dim"], cfg["window_size"]
+        ratio = cfg["spec_size"] // cfg["mel_bins"]
+
+        def ln(x, p):
+            return F.layer_norm(x, (x.shape[-1],), sd[f"{p}.weight"], sd[f"{p}.bias"], eps=1e-5)
+
+        # bn0 over mel bins (wav2mel transpose convention)
+        x = mel.transpose(1, 3)
+        m, v_ = sd["bn0.running_mean"], sd["bn0.running_var"]
+        x = (x - m[None, :, None, None]) / torch.sqrt(v_[None, :, None, None] + 1e-5)
+        x = x * sd["bn0.weight"][None, :, None, None] + sd["bn0.bias"][None, :, None, None]
+        x = x.transpose(1, 3)
+        # reshape_wav2img (:846-863), exact-size path
+        B, C, T, Fq = x.shape
+        x = x.permute(0, 1, 3, 2).contiguous()
+        x = x.reshape(B, C, Fq, ratio, T // ratio)
+        x = x.permute(0, 1, 3, 2, 4).contiguous().reshape(B, C, ratio * Fq, T // ratio)
+        frames_num = x.shape[2]
+        # patch embed
+        h = F.conv2d(x, sd["patch_embed.proj.weight"], sd["patch_embed.proj.bias"], stride=4)
+        B, _, gh, gw = h.shape
+        h = h.flatten(2).transpose(1, 2)
+        h = ln(h, "patch_embed.norm")
+        res = (gh, gw)
+
+        def window_attn(xw, p, heads):
+            B_, N, Cd = xw.shape
+            hd = Cd // heads
+            qkv = (xw @ sd[f"{p}.qkv.weight"].t() + sd[f"{p}.qkv.bias"]).reshape(
+                B_, N, 3, heads, hd).permute(2, 0, 3, 1, 4)
+            q, k, v = qkv[0] * hd ** -0.5, qkv[1], qkv[2]
+            attn = q @ k.transpose(-2, -1)
+            coords = torch.stack(torch.meshgrid(
+                [torch.arange(w), torch.arange(w)], indexing="ij"))
+            flat = torch.flatten(coords, 1)
+            rel = (flat[:, :, None] - flat[:, None, :]).permute(1, 2, 0).contiguous()
+            rel[:, :, 0] += w - 1; rel[:, :, 1] += w - 1; rel[:, :, 0] *= 2 * w - 1
+            idx = rel.sum(-1)
+            bias = sd[f"{p}.relative_position_bias_table"][idx.view(-1)].view(
+                N, N, heads).permute(2, 0, 1)
+            attn = attn + bias.unsqueeze(0)
+            return attn, v
+
+        def swin_block(x, res, heads, shift, p):
+            H, Wd = res
+            B, L, Cd = x.shape
+            hd = Cd // heads
+            h = ln(x, f"{p}.norm1").view(B, H, Wd, Cd)
+            if shift:
+                h = torch.roll(h, (-shift, -shift), (1, 2))
+            windows = h.view(B, H // w, w, Wd // w, w, Cd).permute(
+                0, 1, 3, 2, 4, 5).reshape(-1, w * w, Cd)
+            attn, v = window_attn(windows, f"{p}.attn", heads)
+            if shift:
+                img = torch.zeros(1, H, Wd, 1)
+                cnt = 0
+                for hs in (slice(0, -w), slice(-w, -shift), slice(-shift, None)):
+                    for ws in (slice(0, -w), slice(-w, -shift), slice(-shift, None)):
+                        img[:, hs, ws, :] = cnt
+                        cnt += 1
+                mw = img.view(1, H // w, w, Wd // w, w, 1).permute(
+                    0, 1, 3, 2, 4, 5).reshape(-1, w * w)
+                am = mw.unsqueeze(1) - mw.unsqueeze(2)
+                am = am.masked_fill(am != 0, -100.0).masked_fill(am == 0, 0.0)
+                nW = am.shape[0]
+                attn = attn.view(-1, nW, heads, w * w, w * w) + am.unsqueeze(1).unsqueeze(0)
+                attn = attn.view(-1, heads, w * w, w * w)
+            attn = attn.softmax(dim=-1)
+            out = (attn @ v).transpose(1, 2).reshape(-1, w * w, Cd)
+            out = out @ sd[f"{p}.attn.proj.weight"].t() + sd[f"{p}.attn.proj.bias"]
+            h = out.view(B, H // w, Wd // w, w, w, Cd).permute(
+                0, 1, 3, 2, 4, 5).reshape(B, H, Wd, Cd)
+            if shift:
+                h = torch.roll(h, (shift, shift), (1, 2))
+            x = x + h.reshape(B, L, Cd)
+            h2 = ln(x, f"{p}.norm2")
+            h2 = F.gelu(h2 @ sd[f"{p}.mlp.fc1.weight"].t() + sd[f"{p}.mlp.fc1.bias"])
+            h2 = h2 @ sd[f"{p}.mlp.fc2.weight"].t() + sd[f"{p}.mlp.fc2.bias"]
+            return x + h2
+
+        for i, depth in enumerate(cfg["depths"]):
+            heads = cfg["num_heads"][i]
+            for j in range(depth):
+                shift = 0 if j % 2 == 0 else w // 2
+                h = swin_block(h, res, heads, shift, f"layers.{i}.blocks.{j}")
+            if i < len(cfg["depths"]) - 1:
+                H, Wd = res
+                Cd = h.shape[-1]
+                hm = h.view(B, H, Wd, Cd)
+                hm = torch.cat([hm[:, 0::2, 0::2], hm[:, 1::2, 0::2],
+                                hm[:, 0::2, 1::2], hm[:, 1::2, 1::2]], -1)
+                hm = hm.view(B, -1, 4 * Cd)
+                hm = ln(hm, f"layers.{i}.downsample.norm")
+                h = hm @ sd[f"layers.{i}.downsample.reduction.weight"].t()
+                res = (H // 2, Wd // 2)
+
+        h = ln(h, "norm")
+        B, N, Cd = h.shape
+        SF = frames_num // (2 ** (len(cfg["depths"]) - 1)) // cfg["patch_stride"][0]
+        ST = frames_num // (2 ** (len(cfg["depths"]) - 1)) // cfg["patch_stride"][1]
+        g = h.permute(0, 2, 1).contiguous().reshape(B, Cd, SF, ST)
+        cfb = SF // ratio
+        g = g.reshape(B, Cd, SF // cfb, cfb, ST)
+        g = g.permute(0, 1, 3, 2, 4).contiguous().reshape(B, Cd, cfb, -1)
+        fine = torch.mean(g, dim=2).transpose(1, 2)
+        emb = torch.flatten(g, 2).mean(-1)
+        logits = F.conv2d(g, sd["tscam_conv.weight"], sd["tscam_conv.bias"],
+                          padding=(0, 1))
+        logits = torch.flatten(logits, 2)  # [B, classes, T]
+        frame = torch.sigmoid(logits).permute(0, 2, 1).repeat_interleave(
+            8 * cfg["patch_stride"][1], dim=1)
+        clip = torch.sigmoid(logits.mean(-1))
+        return frame, clip, fine, emb
+
+    def test_full_stack_matches(self):
+        from transformer4sed_tpu.models.htsat import HTSAT
+        from transformer4sed_tpu.utils.torch_import import convert_htsat
+
+        sd = self._weights()
+        mel = torch.randn(2, 1, 256, 16)
+        with torch.no_grad():
+            t_frame, t_clip, t_fine, t_emb = self._torch_forward(mel, sd)
+
+        tree = convert_htsat({k: v.numpy() for k, v in sd.items()},
+                             depths=self.CFG["depths"])
+        model = HTSAT(**self.CFG)
+        out = model.apply(
+            {"params": tree["params"], "batch_stats": tree["batch_stats"]},
+            jnp.asarray(mel.numpy()), train=False,
+        )
+        np.testing.assert_allclose(np.asarray(out["fine_grained_embedding"]),
+                                   t_fine.numpy(), atol=5e-5)
+        np.testing.assert_allclose(np.asarray(out["embedding"]),
+                                   t_emb.numpy(), atol=5e-5)
+        np.testing.assert_allclose(np.asarray(out["clipwise_output"]),
+                                   t_clip.numpy(), atol=5e-5)
+        np.testing.assert_allclose(np.asarray(out["framewise_output"]),
+                                   t_frame.numpy(), atol=5e-5)
