@@ -1224,3 +1224,98 @@ class TestHTSATFullStackParity:
                                    t_clip.numpy(), atol=5e-5)
         np.testing.assert_allclose(np.asarray(out["framewise_output"]),
                                    t_frame.numpy(), atol=5e-5)
+
+
+class TestPaSSTSEDFullModelParity:
+    """Full MAT-SED assembly parity (passt_sed.py:240-298): backbone tap
+    -> drop cls/dist tokens -> out_norm -> (B, f, t, C) freq mean-pool ->
+    last-frame pad -> x10 linear interpolate -> XL decoder -> classifier
+    -> sigmoid(/temp) strong + linear-softmax weak (clamped 1e-7), plus
+    the AT branch (attention pooling over the backbone frame tokens).
+    Everything reimplemented with torch ops; weights shared through
+    convert_torch_checkpoint."""
+
+    def test_forward_matches(self):
+        import torch.nn.functional as F
+
+        from transformer4sed_tpu.frontend import PasstFrontend  # noqa: F401
+        from transformer4sed_tpu.models.passt_sed import PaSST_SED
+        from transformer4sed_tpu.utils.torch_import import convert_torch_checkpoint
+
+        torch.manual_seed(0)
+        d, heads, C = D, HEADS, 3
+        temp_w = 0.5
+        tmodel = TorchMiniPaSST().eval()
+
+        xl = {
+            "norm1.weight": torch.rand(d) + 0.5,
+            "norm1.bias": torch.randn(d) * 0.05,
+            "attn.in_proj.weight": torch.randn(3 * d, d) * 0.1,
+            "attn.in_proj.bias": torch.randn(3 * d) * 0.02,
+            "attn.out_proj.weight": torch.randn(d, d) * 0.1,
+            "attn.out_proj.bias": torch.randn(d) * 0.02,
+            "attn.linear_pos.weight": torch.randn(d, d) * 0.1,
+            "attn.pos_bias_u": torch.randn(heads, d // heads) * 0.1,
+            "attn.pos_bias_v": torch.randn(heads, d // heads) * 0.1,
+            "norm2.weight": torch.rand(d) + 0.5,
+            "norm2.bias": torch.randn(d) * 0.05,
+            "mlp.fc1.weight": torch.randn(d, d) * 0.1,
+            "mlp.fc1.bias": torch.randn(d) * 0.02,
+            "mlp.fc2.weight": torch.randn(d, d) * 0.1,
+            "mlp.fc2.bias": torch.randn(d) * 0.02,
+        }
+        out_norm_w, out_norm_b = torch.rand(d) + 0.5, torch.randn(d) * 0.05
+        cls_w, cls_b = torch.randn(C, d) * 0.1, torch.randn(C) * 0.02
+        at_pool = tnn.MultiheadAttention(d, heads, batch_first=True).eval()
+        at_token = torch.randn(1, 1, d) * 0.02
+        at_w, at_b = torch.randn(C, d) * 0.1, torch.randn(C) * 0.02
+
+        mel = torch.randn(2, *IMG) * 0.5  # [B, F=32, T=200]
+        with torch.no_grad():
+            frame, taps = tmodel(mel.unsqueeze(1))
+            tap = taps[DEPTH]  # layer{DEPTH}_out, [B, P+2, C]
+            h = tap[:, 2:, :]
+            h = F.layer_norm(h, (d,), out_norm_w, out_norm_b, eps=1e-5)
+            f_dim, t_dim = 2, 19
+            h = h.reshape(2, f_dim, t_dim, d).mean(dim=1)  # [B, t, C]
+            h = torch.cat((h, h[:, -1, :].unsqueeze(1)), dim=1)  # pad to 20
+            h = F.interpolate(h.transpose(1, 2), scale_factor=10, mode="linear").transpose(1, 2)
+            pos = TestXLDecoderTorchParity()._torch_pos_emb(h.shape[1], d)
+            h = TestXLDecoderTorchParity()._torch_block(
+                h * np.sqrt(d), xl, pos, heads
+            )
+            logits = h @ cls_w.t() + cls_b
+            sed = torch.sigmoid(logits / temp_w)  # [B, T, C]
+            weak = torch.clamp((sed * sed).sum(1) / sed.sum(1), 1e-7, 1.0)
+            at_emb = frame[:, 2:, :]
+            pooled, _ = at_pool(at_token.repeat(2, 1, 1), at_emb, at_emb)
+            at_out = torch.sigmoid(pooled.squeeze(1) @ at_w.t() + at_b)
+
+        sd = {f"backbone.{k}": v for k, v in tmodel.reference_state_dict().items()}
+        sd.update({f"decoder.encoder_blocks.0.{k}": v.numpy() for k, v in xl.items()})
+        sd["out_norm.weight"] = out_norm_w.numpy()
+        sd["out_norm.bias"] = out_norm_b.numpy()
+        sd["classifier.weight"] = cls_w.numpy()
+        sd["classifier.bias"] = cls_b.numpy()
+        sd["at_adpater.0.f_att_token"] = at_token.numpy()
+        for k, v in at_pool.state_dict().items():
+            sd[f"at_adpater.0.frequency_att.{k}"] = v.numpy()
+        sd["at_adpater.1.weight"] = at_w.numpy()
+        sd["at_adpater.1.bias"] = at_b.numpy()
+
+        init_kwargs = dict(
+            class_num=C, embed_dim=d, decoder_dim=d, backbone_depth=DEPTH,
+            backbone_num_heads=heads, decoder_num_heads=heads,
+            at_adapter_heads=heads, passt_feature_layer=DEPTH,
+            decoder="transformerXL", decoder_layer_num=1,
+            decoder_pos_emd_len=200, at_adapter=True,
+            backbone_img_size=IMG,
+        )
+        params, _ = convert_torch_checkpoint(sd, "PaSST_SED", init_kwargs=init_kwargs)
+        model = PaSST_SED(**init_kwargs)
+        out = model.apply({"params": params}, jnp.asarray(mel.numpy()), temp_w=temp_w)
+
+        np.testing.assert_allclose(np.asarray(out.strong), sed.transpose(1, 2).numpy(),
+                                   atol=5e-5)
+        np.testing.assert_allclose(np.asarray(out.weak), weak.numpy(), atol=5e-5)
+        np.testing.assert_allclose(np.asarray(out.at_out), at_out.numpy(), atol=5e-5)

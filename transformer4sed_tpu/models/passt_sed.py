@@ -67,6 +67,7 @@ class PaSST_SED(nn.Module):
     mlm_dict: Optional[Dict[str, Any]] = None
     backbone_depth: int = 12
     backbone_num_heads: int = 12
+    backbone_img_size: Tuple[int, int] = (128, 998)
     decoder_num_heads: int = 12
     at_adapter_heads: int = 12
     lora_rank: int = 0
@@ -80,6 +81,9 @@ class PaSST_SED(nn.Module):
             embed_dim=self.embed_dim,
             depth=self.backbone_depth,
             num_heads=self.backbone_num_heads,
+            # pos-embed grid; the 20s/30s reference variants use longer
+            # time grids (passt.py:1073-1232 -> PASST_VARIANTS img_size)
+            img_size=tuple(self.backbone_img_size),
             s_patchout_f=self.s_patchout_f,
             s_patchout_t=self.s_patchout_t,
             tap_layers=(self.passt_feature_layer,),
