@@ -1319,3 +1319,128 @@ class TestPaSSTSEDFullModelParity:
                                    atol=5e-5)
         np.testing.assert_allclose(np.asarray(out.weak), weak.numpy(), atol=5e-5)
         np.testing.assert_allclose(np.asarray(out.at_out), at_out.numpy(), atol=5e-5)
+
+
+class TestDASMFullModelParity:
+    """Full DASM assembly parity (detect_any_sound.py:266-389): attention
+    f_pool, pad + x10 interp, projector + norm, at_projector over frame
+    tokens, query projection (Linear+GELU), cross-attention-first AT
+    decoder, at_head sigmoid, XL sed branch, sed_head, mask-embedding
+    MLP einsum, sigmoid(/temp)*at_out with double clamped linear-softmax
+    weak pool — torch ops vs the flax DASM via convert_torch_checkpoint."""
+
+    def test_forward_matches(self):
+        import torch.nn.functional as F
+
+        from tests.test_dasm import tiny_dasm
+        from transformer4sed_tpu.utils.torch_import import convert_torch_checkpoint
+
+        torch.manual_seed(1)
+        d, heads, Q, qdim, temp_w = D, HEADS, 4, 16, 0.5
+        tmodel = TorchMiniPaSST().eval()
+
+        f_pool_att = tnn.MultiheadAttention(d, heads, batch_first=True).eval()
+        f_token = torch.randn(1, 1, d) * 0.02
+
+        class TorchXLayer(tnn.TransformerDecoderLayer):
+            def forward(self, tgt, memory):
+                x = tgt
+                x = self.norm1(x + self._mha_block(x, memory, None, None, False))
+                x = self.norm2(x + self._sa_block(x, None, None, False))
+                x = self.norm3(x + self._ff_block(x))
+                return x
+
+        at_layer = TorchXLayer(d_model=d, nhead=heads, dim_feedforward=d,
+                               activation="gelu", batch_first=True, dropout=0.0).eval()
+        tproj = tnn.Linear(d, d)
+        atproj = tnn.Linear(d, d)
+        qproj = tnn.Linear(qdim, d)
+        nbp_w, nbp_b = torch.rand(d) + 0.5, torch.randn(d) * 0.05
+        nam_w, nam_b = torch.rand(d) + 0.5, torch.randn(d) * 0.05
+        sed_head = tnn.Linear(d, d)
+        me = [tnn.Linear(d, d) for _ in range(3)]
+        ah = [tnn.Linear(d, d), tnn.Linear(d, 1)]
+        xl = {
+            "norm1.weight": torch.rand(d) + 0.5, "norm1.bias": torch.randn(d) * 0.05,
+            "attn.in_proj.weight": torch.randn(3 * d, d) * 0.1,
+            "attn.in_proj.bias": torch.randn(3 * d) * 0.02,
+            "attn.out_proj.weight": torch.randn(d, d) * 0.1,
+            "attn.out_proj.bias": torch.randn(d) * 0.02,
+            "attn.linear_pos.weight": torch.randn(d, d) * 0.1,
+            "attn.pos_bias_u": torch.randn(heads, d // heads) * 0.1,
+            "attn.pos_bias_v": torch.randn(heads, d // heads) * 0.1,
+            "norm2.weight": torch.rand(d) + 0.5, "norm2.bias": torch.randn(d) * 0.05,
+            "mlp.fc1.weight": torch.randn(d, d) * 0.1,
+            "mlp.fc1.bias": torch.randn(d) * 0.02,
+            "mlp.fc2.weight": torch.randn(d, d) * 0.1,
+            "mlp.fc2.bias": torch.randn(d) * 0.02,
+        }
+        query = torch.randn(Q, qdim)
+        mel = torch.randn(2, *IMG) * 0.5
+
+        with torch.no_grad():
+            frame, taps = tmodel(mel.unsqueeze(1))
+            tap = taps[DEPTH][:, 2:, :]
+            h = F.layer_norm(tap, (d,), nbp_w, nbp_b, eps=1e-5)
+            f_dim, t_dim = 2, 19
+            B = 2
+            h = h.reshape(B, f_dim, t_dim, d).transpose(1, 2).reshape(B * t_dim, f_dim, d)
+            pooled, _ = f_pool_att(f_token.repeat(B * t_dim, 1, 1), h, h)
+            x = pooled.squeeze(1).reshape(B, t_dim, d)
+            x = torch.cat((x, x[:, -1, :].unsqueeze(1)), dim=1)
+            x = F.interpolate(x.transpose(1, 2), scale_factor=10, mode="linear").transpose(1, 2)
+            x = tproj(x)
+            x = F.layer_norm(x, (d,), nam_w, nam_b, eps=1e-5)
+            at_feat = atproj(frame[:, 2:, :])
+            q = F.gelu(qproj(query))
+            mask_feat = at_layer(q.expand(B, -1, -1), at_feat)
+            at_out = torch.sigmoid(ah[1](F.gelu(ah[0](mask_feat))).squeeze(-1))
+            pos = TestXLDecoderTorchParity()._torch_pos_emb(x.shape[1], d)
+            x = TestXLDecoderTorchParity()._torch_block(x * np.sqrt(d), xl, pos, heads)
+            x = sed_head(x)
+            memb = me[2](F.gelu(me[1](F.gelu(me[0](mask_feat)))))
+            logits = torch.einsum("bqc,bct->bqt", memb, x.transpose(1, 2)).transpose(1, 2)
+            sed = torch.sigmoid(logits / temp_w) * at_out.unsqueeze(1)
+            sed = torch.clamp(sed, 1e-7, 1.0)
+            weak = torch.clamp((sed * sed).sum(1) / sed.sum(1), 1e-7, 1.0)
+
+        sd = {f"backbone.{k}": torch.from_numpy(v) for k, v in tmodel.reference_state_dict().items()}
+        sd["f_pool_module.f_att_token"] = f_token
+        for k, v in f_pool_att.state_dict().items():
+            sd[f"f_pool_module.frequency_att.{k}"] = v
+        sd["norm_before_pool.weight"] = nbp_w; sd["norm_before_pool.bias"] = nbp_b
+        sd["norm_after_merge.weight"] = nam_w; sd["norm_after_merge.bias"] = nam_b
+        for name, mod in (("transformer_projector", tproj), ("at_projector", atproj),
+                          ("sed_head", sed_head)):
+            sd[f"{name}.weight"] = mod.weight.detach(); sd[f"{name}.bias"] = mod.bias.detach()
+        sd["query_projector.0.weight"] = qproj.weight.detach()
+        sd["query_projector.0.bias"] = qproj.bias.detach()
+        for i, mod in enumerate(me):
+            sd[f"mask_embedding_layer.layers.{i}.weight"] = mod.weight.detach()
+            sd[f"mask_embedding_layer.layers.{i}.bias"] = mod.bias.detach()
+        for i, mod in enumerate(ah):
+            sd[f"at_head.layers.{i}.weight"] = mod.weight.detach()
+            sd[f"at_head.layers.{i}.bias"] = mod.bias.detach()
+        for k, v in at_layer.state_dict().items():
+            sd[f"at_decoder.decoder.layers.0.{k}"] = v
+        for k, v in xl.items():
+            sd[f"sed_decoder.encoder_blocks.0.{k}"] = v
+
+        init_kwargs = dict(
+            class_num=Q, decoder_dim=d, num_heads=heads, decoder="transformerXL",
+            decoder_layer_num=1, decoder_pos_emd_len=200, embed_dim=d,
+            backbone_depth=DEPTH, backbone_num_heads=heads, passt_feature_layer=DEPTH,
+            at_decoder_layer=1, f_pool_heads=heads, out_type="sigmoid", cnn_param=None,
+            query_projector=True, query_dim=qdim, backbone_img_size=IMG,
+        )
+        np_sd = {k: np.asarray(v) for k, v in sd.items()}
+        params, _ = convert_torch_checkpoint(np_sd, "DASM", init_kwargs=init_kwargs)
+        model = tiny_dasm(**init_kwargs)
+        out = model.apply(
+            {"params": params}, jnp.asarray(mel.numpy()),
+            query=jnp.asarray(query.numpy()), query_type="text", temp_w=temp_w,
+        )
+        np.testing.assert_allclose(np.asarray(out.at_out), at_out.numpy(), atol=5e-5)
+        np.testing.assert_allclose(np.asarray(out.strong), sed.transpose(1, 2).numpy(),
+                                   atol=5e-5)
+        np.testing.assert_allclose(np.asarray(out.weak), weak.numpy(), atol=5e-5)

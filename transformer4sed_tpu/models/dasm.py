@@ -152,6 +152,7 @@ class DASM(nn.Module):
     embed_dim: int = 768
     backbone_depth: int = 12
     backbone_num_heads: int = 12
+    backbone_img_size: Tuple[int, int] = (128, 998)
     passt_feature_layer: int = 10
     lora_rank: int = 0
     lora_alpha: float = 1.0
@@ -172,6 +173,7 @@ class DASM(nn.Module):
             embed_dim=self.embed_dim,
             depth=self.backbone_depth,
             num_heads=self.backbone_num_heads,
+            img_size=tuple(self.backbone_img_size),
             tap_layers=(self.passt_feature_layer,),
             lora_rank=self.lora_rank,
             lora_alpha=self.lora_alpha,
@@ -304,8 +306,11 @@ class DASM(nn.Module):
             # use it directly (detect_any_sound.py:279 projects only when a
             # query_projector exists).
             return query
+        # the reference projector is Sequential(Linear, GELU)
+        # (detect_any_sound.py:137,144-148) — the GELU is part of it
+        proj_act = lambda proj, q: nn.gelu(proj(q), approximate=False)  # noqa: E731
         if isinstance(query, (list, tuple)):
-            projected = [proj(q) for proj, q in zip(self.query_projectors, query)]
+            projected = [proj_act(proj, q) for proj, q in zip(self.query_projectors, query)]
             stacked = jnp.stack(projected, axis=1)  # [Q, n_modal, D]
             n_q, n_modal, d = stacked.shape
             if train and n_modal > 1:
@@ -318,8 +323,8 @@ class DASM(nn.Module):
             idx = {"text": 0, "audio": 1}.get(query_type)
             if idx is None:
                 raise RuntimeError("query_type must be 'text' or 'audio' with multi-modal projectors")
-            return self.query_projectors[idx](query)
-        return self.query_projectors[0](query)
+            return proj_act(self.query_projectors[idx], query)
+        return proj_act(self.query_projectors[0], query)
 
     def at_branch(self, at_feat, query, query_type, tgt_mask, train: bool):
         q = self._project_queries(query, query_type, train)
