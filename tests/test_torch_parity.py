@@ -1444,3 +1444,24 @@ class TestDASMFullModelParity:
         np.testing.assert_allclose(np.asarray(out.strong), sed.transpose(1, 2).numpy(),
                                    atol=5e-5)
         np.testing.assert_allclose(np.asarray(out.weak), weak.numpy(), atol=5e-5)
+
+
+class TestPMAMPrototypeParity:
+    def test_prediction_formula_matches_torch(self):
+        """PMAM prototype posteriors (pmam/train.py:82-87): only the logit
+        side normalised, leaky_relu(0.2)*2-1, sigmoid(/0.1) — torch vs jax
+        on unnormalised GMM means."""
+        import torch.nn.functional as F
+
+        from transformer4sed_tpu.pmam import prototype_predictions
+
+        torch.manual_seed(0)
+        logit = torch.randn(2, 7, 16) * 2.0
+        means = torch.randn(5, 16) * 3.0  # NOT unit norm — magnitudes matter
+
+        with torch.no_grad():
+            sim = F.normalize(logit, dim=-1) @ means.t()
+            ref = torch.sigmoid((F.leaky_relu(sim, negative_slope=0.2) * 2 - 1) / 0.1)
+
+        out = prototype_predictions(jnp.asarray(logit.numpy()), jnp.asarray(means.numpy()))
+        np.testing.assert_allclose(np.asarray(out), ref.numpy(), atol=2e-6)

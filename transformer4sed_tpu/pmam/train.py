@@ -25,11 +25,18 @@ from transformer4sed_tpu.frontend import augment
 def prototype_predictions(
     logit: jnp.ndarray, gmm_means: jnp.ndarray, temperature: float = 0.1
 ) -> jnp.ndarray:
-    """[B, T, C] reconstruction x [K, C] prototypes -> [B, T, K] probabilities."""
+    """[B, T, C] reconstruction x [K, C] prototypes -> [B, T, K] probabilities.
+
+    Reference ``recipes/desed/pmam/train.py:82-87``: only the LOGIT side
+    is L2-normalised (``F.normalize(logit) @ gmm_means.T``) — the GMM
+    means keep their magnitudes, so this is a scaled projection rather
+    than a true cosine; reproducing that exactly matters because the
+    sigmoid saturation depends on the means' norms. torch F.normalize
+    clamps the norm at eps=1e-12.
+    """
     logit_n = logit / jnp.maximum(jnp.linalg.norm(logit, axis=-1, keepdims=True), 1e-12)
-    means_n = gmm_means / jnp.maximum(jnp.linalg.norm(gmm_means, axis=-1, keepdims=True), 1e-12)
-    cos = jnp.einsum("btc,kc->btk", logit_n, means_n, preferred_element_type=jnp.float32)
-    act = jax.nn.leaky_relu(cos, negative_slope=0.2) * 2.0 - 1.0
+    sim = jnp.einsum("btc,kc->btk", logit_n, gmm_means, preferred_element_type=jnp.float32)
+    act = jax.nn.leaky_relu(sim, negative_slope=0.2) * 2.0 - 1.0
     return jax.nn.sigmoid(act / temperature)
 
 
