@@ -1465,3 +1465,108 @@ class TestPMAMPrototypeParity:
 
         out = prototype_predictions(jnp.asarray(logit.numpy()), jnp.asarray(means.numpy()))
         np.testing.assert_allclose(np.asarray(out), ref.numpy(), atol=2e-6)
+
+
+class TestLossTorchParity:
+    """Loss-library parity against torch reimplementations of the
+    reference formulas (functional/loss/*)."""
+
+    def test_asl_family(self):
+        from transformer4sed_tpu.core.losses import asl, asymmetric_focal, reweighted_asl
+
+        torch.manual_seed(0)
+        pred = torch.rand(4, 6, 10) * 0.98 + 0.01
+        target = (torch.rand(4, 6, 10) > 0.7).float()
+
+        rp, rn, margin = 0.5, 2.0, 0.05
+        pred_m = torch.clamp_min(pred - margin, 0.0)
+        ref_asl = -(((1 - pred) ** rp) * target * torch.clamp_min(torch.log(pred), -100)
+                    + (pred_m ** rn) * (1 - target) * torch.clamp_min(torch.log(1 - pred_m), -100))
+        np.testing.assert_allclose(
+            float(asl(jnp.asarray(pred.numpy()), jnp.asarray(target.numpy()), rp, rn, margin)),
+            float(ref_asl.mean()), atol=1e-6,
+        )
+
+        weight = torch.rand(10) + 0.2
+        ref_rw = (weight * ref_asl).mean()
+        np.testing.assert_allclose(
+            float(reweighted_asl(jnp.asarray(pred.numpy()), jnp.asarray(target.numpy()),
+                                 rp, rn, margin, weight.numpy())),
+            float(ref_rw), atol=1e-6,
+        )
+
+        gamma, zeta = 1.5, 0.5
+        ref_af = -(((1 - pred) ** gamma) * target * torch.clamp_min(torch.log(pred), -100)
+                   + (pred ** zeta) * (1 - target) * torch.clamp_min(torch.log(1 - pred), -100))
+        np.testing.assert_allclose(
+            float(asymmetric_focal(jnp.asarray(pred.numpy()), jnp.asarray(target.numpy()), gamma, zeta)),
+            float(ref_af.mean()), atol=1e-6,
+        )
+
+    def test_info_nce_modes(self):
+        import torch.nn.functional as F
+
+        from transformer4sed_tpu.core.losses import info_nce
+
+        torch.manual_seed(1)
+        q = torch.randn(6, 8)
+        pos = torch.randn(6, 8)
+        neg_u = torch.randn(9, 8)
+        neg_p = torch.randn(6, 4, 8)
+
+        def ref(query, positive, negatives, mode):
+            qn = F.normalize(query, dim=-1)
+            pn = F.normalize(positive, dim=-1)
+            if negatives is None:
+                logits = qn @ pn.t()
+                labels = torch.arange(len(qn))
+            else:
+                nn_ = F.normalize(negatives, dim=-1)
+                pl = (qn * pn).sum(1, keepdim=True)
+                if mode == "unpaired":
+                    nl = qn @ nn_.t()
+                else:
+                    nl = (qn.unsqueeze(1) @ nn_.transpose(-2, -1)).squeeze(1)
+                logits = torch.cat([pl, nl], dim=1)
+                labels = torch.zeros(len(logits), dtype=torch.long)
+            return float(F.cross_entropy(logits / 0.1, labels))
+
+        for negatives, mode in ((None, "unpaired"), (neg_u, "unpaired"), (neg_p, "paired")):
+            ours = float(info_nce(
+                jnp.asarray(q.numpy()), jnp.asarray(pos.numpy()),
+                None if negatives is None else jnp.asarray(negatives.numpy()),
+                temperature=0.1, negative_mode=mode,
+            ))
+            np.testing.assert_allclose(ours, ref(q, pos, negatives, mode), atol=1e-5)
+
+    def test_sup_con(self):
+        from transformer4sed_tpu.core.losses import sup_con
+
+        torch.manual_seed(2)
+        feats = torch.nn.functional.normalize(torch.randn(5, 2, 8), dim=-1)
+        labels = torch.tensor([0, 1, 0, 2, 1])
+
+        def ref(features, labels, temperature=0.07, base_temperature=0.07, mode="all"):
+            bsz = features.shape[0]
+            mask = torch.eq(labels.view(-1, 1), labels.view(1, -1)).float()
+            n_views = features.shape[1]
+            contrast = torch.cat(torch.unbind(features, dim=1), dim=0)
+            anchor = contrast if mode == "all" else features[:, 0]
+            a_count = n_views if mode == "all" else 1
+            adc = (anchor @ contrast.t()) / temperature
+            logits = adc - adc.max(dim=1, keepdim=True).values
+            mask = mask.repeat(a_count, n_views)
+            lm = torch.ones_like(mask)
+            lm[torch.arange(bsz * a_count), torch.arange(bsz * a_count)] = 0
+            mask = mask * lm
+            exp_logits = torch.exp(logits) * lm
+            log_prob = logits - torch.log(exp_logits.sum(1, keepdim=True))
+            mlpp = (mask * log_prob).sum(1) / mask.sum(1)
+            return float((-(temperature / base_temperature) * mlpp).view(a_count, bsz).mean())
+
+        for mode in ("all", "one"):
+            ours = float(sup_con(
+                jnp.asarray(feats.numpy()), labels=jnp.asarray(labels.numpy()),
+                contrast_mode=mode,
+            ))
+            np.testing.assert_allclose(ours, ref(feats, labels, mode=mode), atol=1e-5)
