@@ -1570,3 +1570,199 @@ class TestLossTorchParity:
                 contrast_mode=mode,
             ))
             np.testing.assert_allclose(ours, ref(feats, labels, mode=mode), atol=1e-5)
+
+
+class TestPaSSTCNNFullModelParity:
+    """PaSST_CNN (PMAM net) assembly parity (passt_cnn.py:32-92): the
+    PaSST_SED path plus the CNN merge branch — CNN on [B,1,T,F] mel,
+    freq pooled to 1, linearly resized to the 1000-frame grid,
+    transformer_projector(x) + merge_weight * cnn_projector(cnn_feat)
+    (NO norm after merge in this family)."""
+
+    def test_forward_matches(self):
+        import torch.nn.functional as F
+
+        from transformer4sed_tpu.models.passt_cnn import PaSST_CNN
+        from transformer4sed_tpu.utils.torch_import import convert_torch_checkpoint
+
+        torch.manual_seed(3)
+        d, heads, C = D, HEADS, 3
+        temp_w = 0.5
+        tmodel = TorchMiniPaSST().eval()
+
+        filters = [8, 12]
+        convs = []
+        cnn_sd = {}
+        cin = 1
+        for i, cout in enumerate(filters):
+            conv = tnn.Conv2d(cin, cout, 3, 1, 1)
+            bn = tnn.BatchNorm2d(cout, eps=0.001).eval()
+            bn.running_mean.normal_(); bn.running_var.uniform_(0.5, 2.0)
+            bn.weight.data.normal_(); bn.bias.data.normal_()
+            glu = tnn.Linear(cout, cout)
+            convs.append((conv, bn, glu))
+            cnn_sd[f"cnn.cnn.conv{i}.weight"] = conv.weight.detach()
+            cnn_sd[f"cnn.cnn.conv{i}.bias"] = conv.bias.detach()
+            cnn_sd[f"cnn.cnn.batchnorm{i}.weight"] = bn.weight.detach()
+            cnn_sd[f"cnn.cnn.batchnorm{i}.bias"] = bn.bias.detach()
+            cnn_sd[f"cnn.cnn.batchnorm{i}.running_mean"] = bn.running_mean
+            cnn_sd[f"cnn.cnn.batchnorm{i}.running_var"] = bn.running_var
+            cnn_sd[f"cnn.cnn.glu{i}.linear.weight"] = glu.weight.detach()
+            cnn_sd[f"cnn.cnn.glu{i}.linear.bias"] = glu.bias.detach()
+            cin = cout
+        poolings = [(1, 8), (1, 4)]  # 32 mel bins -> 1
+
+        xl = {
+            "norm1.weight": torch.rand(d) + 0.5, "norm1.bias": torch.randn(d) * 0.05,
+            "attn.in_proj.weight": torch.randn(3 * d, d) * 0.1,
+            "attn.in_proj.bias": torch.randn(3 * d) * 0.02,
+            "attn.out_proj.weight": torch.randn(d, d) * 0.1,
+            "attn.out_proj.bias": torch.randn(d) * 0.02,
+            "attn.linear_pos.weight": torch.randn(d, d) * 0.1,
+            "attn.pos_bias_u": torch.randn(heads, d // heads) * 0.1,
+            "attn.pos_bias_v": torch.randn(heads, d // heads) * 0.1,
+            "norm2.weight": torch.rand(d) + 0.5, "norm2.bias": torch.randn(d) * 0.05,
+            "mlp.fc1.weight": torch.randn(d, d) * 0.1,
+            "mlp.fc1.bias": torch.randn(d) * 0.02,
+            "mlp.fc2.weight": torch.randn(d, d) * 0.1,
+            "mlp.fc2.bias": torch.randn(d) * 0.02,
+        }
+        out_norm_w, out_norm_b = torch.rand(d) + 0.5, torch.randn(d) * 0.05
+        tproj = tnn.Linear(d, d)
+        cproj = tnn.Linear(filters[-1], d)
+        mw = torch.tensor([0.5])
+        cls_w, cls_b = torch.randn(C, d) * 0.1, torch.randn(C) * 0.02
+
+        mel = torch.randn(2, *IMG) * 0.5  # [B, F=32, T=200]
+        with torch.no_grad():
+            frame, taps = tmodel(mel.unsqueeze(1))
+            h = taps[DEPTH][:, 2:, :]
+            h = F.layer_norm(h, (d,), out_norm_w, out_norm_b, eps=1e-5)
+            h = h.reshape(2, 2, 19, d).mean(dim=1)
+            h = torch.cat((h, h[:, -1, :].unsqueeze(1)), dim=1)
+            x = F.interpolate(h.transpose(1, 2), scale_factor=10, mode="linear").transpose(1, 2)
+            # CNN branch on [B, 1, T, F]
+            y = mel.transpose(1, 2).unsqueeze(1)
+            for (conv, bn, glu), pool in zip(convs, poolings):
+                y = bn(conv(y))
+                lin = glu(y.permute(0, 2, 3, 1)).permute(0, 3, 1, 2)
+                y = lin * torch.sigmoid(y)
+                y = F.avg_pool2d(y, pool)
+            assert y.shape[-1] == 1
+            cnn_feat = F.interpolate(y.squeeze(-1), size=x.shape[1],
+                                     mode="linear").transpose(1, 2)
+            x = tproj(x) + mw * cproj(cnn_feat)
+            pos = TestXLDecoderTorchParity()._torch_pos_emb(x.shape[1], d)
+            x = TestXLDecoderTorchParity()._torch_block(x * np.sqrt(d), xl, pos, heads)
+            logits = x @ cls_w.t() + cls_b
+            sed = torch.sigmoid(logits / temp_w)
+            weak = torch.clamp((sed * sed).sum(1) / sed.sum(1), 1e-7, 1.0)
+
+        sd = {f"backbone.{k}": torch.from_numpy(v) for k, v in tmodel.reference_state_dict().items()}
+        sd.update(cnn_sd)
+        sd.update({f"decoder.encoder_blocks.0.{k}": v for k, v in xl.items()})
+        sd["out_norm.weight"] = out_norm_w; sd["out_norm.bias"] = out_norm_b
+        sd["transformer_projector.weight"] = tproj.weight.detach()
+        sd["transformer_projector.bias"] = tproj.bias.detach()
+        sd["cnn_projector.weight"] = cproj.weight.detach()
+        sd["cnn_projector.bias"] = cproj.bias.detach()
+        sd["merge_weight"] = mw
+        sd["classifier.weight"] = cls_w; sd["classifier.bias"] = cls_b
+
+        init_kwargs = dict(
+            class_num=C, embed_dim=d, decoder_dim=d, backbone_depth=DEPTH,
+            backbone_num_heads=heads, decoder_num_heads=heads,
+            passt_feature_layer=DEPTH, decoder="transformerXL",
+            decoder_layer_num=1, decoder_pos_emd_len=200, at_adapter=False,
+            backbone_img_size=IMG,
+            cnn_param={"n_in_channel": 1, "nb_filters": filters,
+                       "kernel_size": [3, 3], "padding": [1, 1], "stride": [1, 1],
+                       "pooling": poolings, "activation": "glu",
+                       "normalization": "batch"},
+        )
+        np_sd = {k: np.asarray(v) for k, v in sd.items()}
+        params, state = convert_torch_checkpoint(np_sd, "PaSST_CNN", init_kwargs=init_kwargs)
+        model = PaSST_CNN(**init_kwargs)
+        out = model.apply(
+            {"params": params, **state}, jnp.asarray(mel.numpy()), temp_w=temp_w,
+        )
+        np.testing.assert_allclose(np.asarray(out.strong), sed.transpose(1, 2).numpy(),
+                                   atol=5e-5)
+        np.testing.assert_allclose(np.asarray(out.weak), weak.numpy(), atol=5e-5)
+
+
+class TestHTSATCNNFullModelParity:
+    """HTSAT_CNN assembly parity (htsat_cnn.py:127-185): fine-grained
+    backbone embedding -> linear x-ratio interp -> transformer_projector
+    -> norm_after_merge -> XL decoder -> sed_head -> sigmoid/temp,
+    clamp, linear-softmax weak. Backbone weights/forward shared with
+    TestHTSATFullStackParity's mini config."""
+
+    def test_forward_matches(self):
+        import torch.nn.functional as F
+
+        from transformer4sed_tpu.models.htsat_heads import HTSAT_CNN
+        from transformer4sed_tpu.utils.torch_import import convert_htsat_cnn
+
+        base = TestHTSATFullStackParity()
+        bsd = base._weights()
+        mel = torch.randn(2, 1, 256, 16)
+        with torch.no_grad():
+            _, _, fine, _ = base._torch_forward(mel, bsd)  # [B, 32, 16]
+
+        torch.manual_seed(4)
+        d, heads, C, ratio = 32, 4, 3, 4
+        nf = fine.shape[-1]
+        xl = {
+            "norm1.weight": torch.rand(d) + 0.5, "norm1.bias": torch.randn(d) * 0.05,
+            "attn.in_proj.weight": torch.randn(3 * d, d) * 0.1,
+            "attn.in_proj.bias": torch.randn(3 * d) * 0.02,
+            "attn.out_proj.weight": torch.randn(d, d) * 0.1,
+            "attn.out_proj.bias": torch.randn(d) * 0.02,
+            "attn.linear_pos.weight": torch.randn(d, d) * 0.1,
+            "attn.pos_bias_u": torch.randn(heads, d // heads) * 0.1,
+            "attn.pos_bias_v": torch.randn(heads, d // heads) * 0.1,
+            "norm2.weight": torch.rand(d) + 0.5, "norm2.bias": torch.randn(d) * 0.05,
+            "mlp.fc1.weight": torch.randn(d, d) * 0.1,
+            "mlp.fc1.bias": torch.randn(d) * 0.02,
+            "mlp.fc2.weight": torch.randn(d, d) * 0.1,
+            "mlp.fc2.bias": torch.randn(d) * 0.02,
+        }
+        tproj = tnn.Linear(nf, d)
+        nam_w, nam_b = torch.rand(d) + 0.5, torch.randn(d) * 0.05
+        head = tnn.Linear(d, C)
+        temp_w = 0.5
+
+        with torch.no_grad():
+            x = F.interpolate(fine.transpose(1, 2), scale_factor=ratio,
+                              mode="linear").transpose(1, 2)
+            x = tproj(x)
+            x = F.layer_norm(x, (d,), nam_w, nam_b, eps=1e-5)
+            pos = TestXLDecoderTorchParity()._torch_pos_emb(x.shape[1], d)
+            x = TestXLDecoderTorchParity()._torch_block(x * np.sqrt(d), xl, pos, heads)
+            logits = head(x)
+            sed = torch.clamp(torch.sigmoid(logits / temp_w), 1e-7, 1.0)
+            weak = torch.clamp((sed * sed).sum(1) / sed.sum(1), 1e-7, 1.0)
+
+        sd = {f"backbone.{k}": v.numpy() for k, v in bsd.items()}
+        sd.update({f"sed_decoder.encoder_blocks.0.{k}": v.numpy() for k, v in xl.items()})
+        sd["transformer_projector.weight"] = tproj.weight.detach().numpy()
+        sd["transformer_projector.bias"] = tproj.bias.detach().numpy()
+        sd["norm_after_merge.weight"] = nam_w.numpy()
+        sd["norm_after_merge.bias"] = nam_b.numpy()
+        sd["sed_head.weight"] = head.weight.detach().numpy()
+        sd["sed_head.bias"] = head.bias.detach().numpy()
+
+        tree = convert_htsat_cnn(sd)
+        model = HTSAT_CNN(
+            class_num=C, decoder_dim=d, num_heads=heads, decoder="transformerXL",
+            decoder_layer_num=1, decoder_pos_emd_len=128, htsat_config="tiny",
+            htsat_kwargs=dict(base.CFG), backbone_upsample_ratio=ratio,
+        )
+        out = model.apply(
+            {"params": tree["params"], "batch_stats": tree["batch_stats"]},
+            jnp.asarray(mel.numpy()), temp_w=temp_w,
+        )
+        np.testing.assert_allclose(np.asarray(out.strong), sed.transpose(1, 2).numpy(),
+                                   atol=5e-5)
+        np.testing.assert_allclose(np.asarray(out.weak), weak.numpy(), atol=5e-5)

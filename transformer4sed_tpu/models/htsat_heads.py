@@ -43,12 +43,13 @@ class HTSAT_CNN(nn.Module):
     decoder_expand_rate: float = 1.0
     backbone_upsample_ratio: int = 10
     htsat_config: str = "tiny"
+    htsat_kwargs: Optional[Dict[str, Any]] = None  # create_htsat_model overrides
     cnn_param: Optional[Dict[str, Any]] = None
     mlm_dict: Optional[Dict[str, Any]] = None
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.backbone = create_htsat_model(self.htsat_config, dtype=self.dtype)
+        self.backbone = create_htsat_model(self.htsat_config, dtype=self.dtype, **(self.htsat_kwargs or {}))
         if self.cnn_param is not None:
             param = dict(self.cnn_param)
             self.cnn = CNN(dtype=self.dtype, **param)
@@ -153,10 +154,11 @@ class CLAP_SED(nn.Module):
     class_num: int = 10
     query_dim: int = 512
     htsat_config: str = "tiny"
+    htsat_kwargs: Optional[Dict[str, Any]] = None  # create_htsat_model overrides
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.backbone = create_htsat_model(self.htsat_config, dtype=self.dtype)
+        self.backbone = create_htsat_model(self.htsat_config, dtype=self.dtype, **(self.htsat_kwargs or {}))
         self.audio_projector = MLP(self.embed_dim, self.embed_dim, 2)
         self.text_projector = MLP(self.embed_dim, self.embed_dim, 2)
         # stored text-query buffer (reference registers it from a .pt file);
@@ -197,6 +199,7 @@ class DASM_HTSAT(nn.Module):
     decoder_expand_rate: float = 1.0
     backbone_upsample_ratio: int = 10
     htsat_config: str = "tiny"
+    htsat_kwargs: Optional[Dict[str, Any]] = None  # create_htsat_model overrides
     htsat_embed_dim: int = 768
     at_decoder_layer: int = 2
     query_projector: bool = False
@@ -207,7 +210,7 @@ class DASM_HTSAT(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.backbone = create_htsat_model(self.htsat_config, dtype=self.dtype)
+        self.backbone = create_htsat_model(self.htsat_config, dtype=self.dtype, **(self.htsat_kwargs or {}))
         if self.cnn_param is not None:
             param = dict(self.cnn_param)
             self.cnn = CNN(dtype=self.dtype, **param)

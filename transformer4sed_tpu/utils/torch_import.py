@@ -433,7 +433,7 @@ def convert_imagenet_vit_to_passt(
 
 
 def convert_htsat(
-    sd: Mapping[str, np.ndarray], depths: Tuple[int, ...] = (2, 2, 6, 2)
+    sd: Mapping[str, np.ndarray], depths: Optional[Tuple[int, ...]] = None
 ) -> Dict:
     """torch HTSAT (CLAP audio branch) state_dict -> flax HTSAT params.
 
@@ -447,6 +447,18 @@ def convert_htsat(
     """
     strip = lambda k: k[len("backbone.") :] if k.startswith("backbone.") else k
     sd = {strip(k): v for k, v in sd.items()}
+    if depths is None:
+        # auto-detect the stage/block layout from the key set (tiny is
+        # (2,2,6,2), base (2,2,12,2) — hardcoding either breaks the other)
+        detected = []
+        i = 0
+        while f"layers.{i}.blocks.0.norm1.weight" in sd:
+            j = 0
+            while f"layers.{i}.blocks.{j}.norm1.weight" in sd:
+                j += 1
+            detected.append(j)
+            i += 1
+        depths = tuple(detected)
 
     params: Dict = {
         "patch_embed_proj": {
