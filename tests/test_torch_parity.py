@@ -1766,3 +1766,51 @@ class TestHTSATCNNFullModelParity:
         np.testing.assert_allclose(np.asarray(out.strong), sed.transpose(1, 2).numpy(),
                                    atol=5e-5)
         np.testing.assert_allclose(np.asarray(out.weak), weak.numpy(), atol=5e-5)
+
+
+class TestCLAPSEDFullModelParity:
+    def test_forward_matches(self):
+        """CLAP_SED assembly parity (clap_sed.py:9-41): fine-grained
+        embedding -> audio MLP projector x text MLP projector einsum ->
+        sigmoid/temp strong + clamped linear-softmax weak."""
+        import torch.nn.functional as F
+
+        from transformer4sed_tpu.models.htsat_heads import CLAP_SED
+        from transformer4sed_tpu.utils.torch_import import convert_clap_sed
+
+        base = TestHTSATFullStackParity()
+        bsd = base._weights()
+        mel = torch.randn(2, 1, 256, 16)
+        with torch.no_grad():
+            _, _, fine, _ = base._torch_forward(mel, bsd)  # [B, 32, 16]
+
+        torch.manual_seed(5)
+        nf, qdim, C, temp_w = fine.shape[-1], 8, 3, 0.5
+        ap = [tnn.Linear(nf, nf), tnn.Linear(nf, nf)]
+        tp = [tnn.Linear(qdim, nf), tnn.Linear(nf, nf)]
+        tq = torch.randn(C, qdim)
+
+        with torch.no_grad():
+            audio = ap[1](F.gelu(ap[0](fine)))
+            text = tp[1](F.gelu(tp[0](tq))).expand(2, -1, -1)
+            logit = torch.einsum("bqc,bct->bqt", text, audio.transpose(1, 2)).transpose(1, 2)
+            sed = torch.sigmoid(logit / temp_w)
+            weak = torch.clamp((sed * sed).sum(1) / sed.sum(1), 1e-7, 1.0)
+
+        sd = {f"backbone.{k}": v.numpy() for k, v in bsd.items()}
+        for name, mods in (("audio_projector", ap), ("text_projector", tp)):
+            for i, mod in enumerate(mods):
+                sd[f"{name}.layers.{i}.weight"] = mod.weight.detach().numpy()
+                sd[f"{name}.layers.{i}.bias"] = mod.bias.detach().numpy()
+        sd["text_query"] = tq.numpy()
+
+        tree = convert_clap_sed(sd)
+        model = CLAP_SED(embed_dim=nf, class_num=C, query_dim=qdim,
+                         htsat_config="tiny", htsat_kwargs=dict(base.CFG))
+        out = model.apply(
+            {"params": tree["params"], "batch_stats": tree["batch_stats"]},
+            jnp.asarray(mel.numpy()), temp_w=temp_w,
+        )
+        np.testing.assert_allclose(np.asarray(out.strong), sed.transpose(1, 2).numpy(),
+                                   atol=5e-5)
+        np.testing.assert_allclose(np.asarray(out.weak), weak.numpy(), atol=5e-5)
