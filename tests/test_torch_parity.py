@@ -1814,3 +1814,74 @@ class TestCLAPSEDFullModelParity:
         np.testing.assert_allclose(np.asarray(out.strong), sed.transpose(1, 2).numpy(),
                                    atol=5e-5)
         np.testing.assert_allclose(np.asarray(out.weak), weak.numpy(), atol=5e-5)
+
+
+class TestASTBackboneParity:
+    def test_forward_matches(self):
+        """AST backbone parity (ast_models.py:88-230): 1-channel patch
+        conv, cls/dist tokens with a flat pos embed added post-concat,
+        timm blocks, final norm, (cls+dist)/2 -> mlp_head LN+Linear."""
+        import torch.nn.functional as F
+
+        from transformer4sed_tpu.models.ast import AST
+        from transformer4sed_tpu.utils.torch_import import convert_ast
+
+        torch.manual_seed(6)
+        fdim, tdim, label_dim = 32, 100, 5
+        grid = ((fdim - 16) // 10 + 1, (tdim - 16) // 10 + 1)
+        n_tok = 2 + grid[0] * grid[1]
+        proj = tnn.Conv2d(1, D, 16, 10)
+        cls_t = torch.randn(1, 1, D) * 0.02
+        dist_t = torch.randn(1, 1, D) * 0.02
+        pos = torch.randn(1, n_tok, D) * 0.02
+        blocks = [TorchBlock().eval() for _ in range(DEPTH)]
+        norm = tnn.LayerNorm(D, eps=1e-6)
+        head_norm = tnn.LayerNorm(D, eps=1e-6)
+        head = tnn.Linear(D, label_dim)
+
+        x = torch.randn(2, 1, fdim, tdim) * 0.5
+        with torch.no_grad():
+            p = proj(x)  # [B, D, F', T']
+            seq = p.flatten(2).transpose(1, 2)
+            h = torch.cat([cls_t.expand(2, -1, -1), dist_t.expand(2, -1, -1), seq], dim=1)
+            h = h + pos
+            for blk in blocks:
+                h = blk(h)
+            h = norm(h)
+            ref_globals = head(head_norm((h[:, 0] + h[:, 1]) / 2.0))
+
+        sd = {
+            "v.patch_embed.proj.weight": proj.weight.detach().numpy(),
+            "v.patch_embed.proj.bias": proj.bias.detach().numpy(),
+            "v.cls_token": cls_t.numpy(),
+            "v.dist_token": dist_t.numpy(),
+            "v.pos_embed": pos.numpy(),
+            "v.norm.weight": norm.weight.detach().numpy(),
+            "v.norm.bias": norm.bias.detach().numpy(),
+            "mlp_head.0.weight": head_norm.weight.detach().numpy(),
+            "mlp_head.0.bias": head_norm.bias.detach().numpy(),
+            "mlp_head.1.weight": head.weight.detach().numpy(),
+            "mlp_head.1.bias": head.bias.detach().numpy(),
+        }
+        for i, blk in enumerate(blocks):
+            sd.update({
+                f"v.blocks.{i}.norm1.weight": blk.norm1.weight.detach().numpy(),
+                f"v.blocks.{i}.norm1.bias": blk.norm1.bias.detach().numpy(),
+                f"v.blocks.{i}.attn.qkv.weight": blk.attn_qkv.weight.detach().numpy(),
+                f"v.blocks.{i}.attn.qkv.bias": blk.attn_qkv.bias.detach().numpy(),
+                f"v.blocks.{i}.attn.proj.weight": blk.attn_proj.weight.detach().numpy(),
+                f"v.blocks.{i}.attn.proj.bias": blk.attn_proj.bias.detach().numpy(),
+                f"v.blocks.{i}.norm2.weight": blk.norm2.weight.detach().numpy(),
+                f"v.blocks.{i}.norm2.bias": blk.norm2.bias.detach().numpy(),
+                f"v.blocks.{i}.mlp.fc1.weight": blk.mlp_fc1.weight.detach().numpy(),
+                f"v.blocks.{i}.mlp.fc1.bias": blk.mlp_fc1.bias.detach().numpy(),
+                f"v.blocks.{i}.mlp.fc2.weight": blk.mlp_fc2.weight.detach().numpy(),
+                f"v.blocks.{i}.mlp.fc2.bias": blk.mlp_fc2.bias.detach().numpy(),
+            })
+
+        params = convert_ast(sd)
+        model = AST(embed_dim=D, depth=DEPTH, num_heads=HEADS, input_fdim=fdim,
+                    input_tdim=tdim, label_dim=label_dim, tap_layers=(DEPTH,))
+        out = model.apply({"params": params}, jnp.asarray(x.numpy()))
+        np.testing.assert_allclose(np.asarray(out["frame"]), h.numpy(), atol=3e-5)
+        np.testing.assert_allclose(np.asarray(out["globals"]), ref_globals.numpy(), atol=3e-5)

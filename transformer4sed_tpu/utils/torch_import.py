@@ -881,3 +881,38 @@ def _conformer_block(sd, prefix):
         "feed_forward_2": _dense(sd, f"{prefix}.feed_forward.3"),
         "norm_final": _ln(sd, f"{prefix}.norm_final"),
     }
+
+
+def convert_ast(sd: Mapping[str, np.ndarray]) -> Dict:
+    """torch ASTModel state_dict -> flax AST params.
+
+    Reference naming (``src/models/ast/ast_models.py:88-137``): the timm
+    deit lives under ``v.*`` (cls/dist tokens, flat pos_embed, 1-channel
+    patch conv after the init-time adaptation, ``blocks.{i}``, ``norm``)
+    plus the ``mlp_head`` Sequential (LayerNorm at .0, Linear at .1).
+    Depth auto-detected.
+    """
+    v = {k[len("v.") :]: val for k, val in sd.items() if k.startswith("v.")}
+    depth = 0
+    while f"blocks.{depth}.norm1.weight" in v:
+        depth += 1
+    params: Dict = {
+        "patch_embed": {
+            "proj": {
+                "kernel": np.transpose(v["patch_embed.proj.weight"], (2, 3, 1, 0)),
+                "bias": v["patch_embed.proj.bias"],
+            }
+        },
+        "cls_token": v["cls_token"],
+        "dist_token": v["dist_token"],
+        "pos_embed": v["pos_embed"],
+        "norm": _ln(v, "norm"),
+    }
+    for i in range(depth):
+        params[f"blocks_{i}"] = _vit_block(v, f"blocks.{i}")
+    if "mlp_head.0.weight" in sd:
+        params["mlp_head_norm"] = {
+            "scale": sd["mlp_head.0.weight"], "bias": sd["mlp_head.0.bias"]
+        }
+        params["mlp_head"] = _dense(sd, "mlp_head.1")
+    return params
