@@ -1,9 +1,18 @@
-"""Import published torch checkpoints (PaSST / MAT-SED) into flax params.
+"""Import published torch checkpoints into flax params — every family.
 
 The reference loads ``passt-s-f128-p16-s10-ap.476-swa.pt`` into its
 timm-style PaSST (``src/models/passt/passt_sed.py:108-115``) and hands
 checkpoints between stages with ``strict=False``. This module maps
-those torch state_dicts onto this repo's flax trees:
+those torch state_dicts onto this repo's flax trees for the whole zoo:
+PaSST backbone / PaSST_SED (XL or conformer decoder) / PaSST_CNN
+(incl. FDY dynamic convs) / DASM / DASM_HTSAT / HTSAT / HTSAT_CNN /
+CLAP_SED / AST — :func:`convert_torch_checkpoint` dispatches by model
+name (what makes ``--pretrained_ckpt foo.pt`` / serve ``--ckpt foo.pt``
+accept reference checkpoints directly), with layer counts auto-detected
+from the key set. Numerical fidelity is pinned by
+``tests/test_torch_parity.py`` (PARITY.md "Numerical parity evidence").
+
+Core naming conventions:
 
   torch key                         -> flax path
   patch_embed.proj.weight [O,1,H,W] -> patch_embed/proj/kernel [H,W,1,O]
