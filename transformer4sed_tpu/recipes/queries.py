@@ -265,8 +265,10 @@ def _cmd_extract_audio(args) -> int:
     )
     loader = DataLoader(ds, batch_size=args.batch_size, drop_last=False,
                         num_workers=args.num_workers)
+    cap_classes = [int(c) for c in args.cap_classes.split(",") if c] if args.cap_classes else ()
     bank = extract_audio_queries(
-        embed_fn, iter(loader), codec.n_classes, int(probe.shape[-1])
+        embed_fn, iter(loader), codec.n_classes, int(probe.shape[-1]),
+        cap_classes=cap_classes, cap_threshold=args.cap_threshold,
     )
     os.makedirs(os.path.dirname(os.path.abspath(args.out)) or ".", exist_ok=True)
     np.save(args.out, bank)
@@ -311,6 +313,10 @@ def main(argv=None) -> int:
                    help="labeldict json (defaults to dataset.label_dict from config)")
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--cap_classes", default=None,
+                   help="comma-separated class indices capped once their frame "
+                        "count passes --cap_threshold (reference exp_event_set)")
+    p.add_argument("--cap_threshold", type=int, default=0)
     p.set_defaults(fn=_cmd_extract_audio)
 
     args = parser.parse_args(argv)
