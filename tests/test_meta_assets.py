@@ -79,3 +79,102 @@ class TestVendoredAssets:
         assert resolve_meta_path(resolved) == resolved
         (tmp_path / "local.json").write_text("{}")
         assert resolve_meta_path("local.json") == "local.json"
+
+
+class TestVendoredTablesDriveCLI:
+    def test_audioset_supervised_with_vendored_labeldict(self, tmp_path):
+        """The round-1 'done' criterion: an AudioSet-family stage runs with
+        NO hand-supplied class tables — the repo-relative vendored
+        labeldict (447 classes, reference order) and state.json resolve
+        from any cwd, the model gets 447 logits, and the common/rare PSDS
+        split reports (val classes drawn from the real table)."""
+        import numpy as np
+        import pandas as pd
+        import yaml
+        from scipy.io import wavfile
+
+        sr, dur = 32000, 1.2
+        n = int(sr * dur)
+        rng = np.random.RandomState(0)
+        ld = _load("meta/audioset_strong/labeldict_audioset_strong.json")
+        order = sorted(ld, key=ld.get)
+        classes = [order[0], order[9], order[446]]  # real names, spread out
+
+        def rows(folder, count, prefix):
+            os.makedirs(tmp_path / folder, exist_ok=True)
+            out = []
+            for i in range(count):
+                wav = (rng.randn(n) * 0.05 * 32767).astype(np.int16)
+                wavfile.write(str(tmp_path / folder / f"{prefix}{i}.wav"), sr, wav)
+                out.append((f"{prefix}{i}.wav", 0.2, 0.9, classes[i % len(classes)]))
+            return out
+
+        pd.DataFrame(rows("train", 3, "t"),
+                     columns=["filename", "onset", "offset", "event_label"]).to_csv(
+            tmp_path / "train.tsv", sep="\t", index=False)
+        val_rows = rows("val", 2, "v")
+        pd.DataFrame(val_rows, columns=["filename", "onset", "offset", "event_label"]).to_csv(
+            tmp_path / "val.tsv", sep="\t", index=False)
+        pd.DataFrame([(r[0], dur) for r in val_rows],
+                     columns=["filename", "duration"]).to_csv(
+            tmp_path / "val_dur.tsv", sep="\t", index=False)
+
+        config = {
+            "generals": {"num_workers": 0},
+            "model_name": "PaSST_SED",
+            "PaSST_SED": {
+                "init_kwargs": {
+                    "class_num": 447, "embed_dim": 32, "decoder_dim": 32,
+                    "backbone_depth": 2, "backbone_num_heads": 4,
+                    "decoder_num_heads": 4, "passt_feature_layer": 2,
+                    "decoder": "transformerXL", "decoder_layer_num": 1,
+                    "decoder_pos_emd_len": 120, "at_adapter": False,
+                },
+                "train_kwargs": {"temp_w": 1},
+                "val_kwargs": {"temp_w": 0.5},
+            },
+            "feature": {"pred_len": 120, "sr": sr, "hopsize": 320, "n_fft": 1024,
+                        "audio_max_len": dur, "net_subsample": 1},
+            "dataset": {
+                # repo-relative vendored tables — nothing hand-supplied
+                "label_dict": "meta/audioset_strong/labeldict_audioset_strong.json",
+                "type_map": "meta/audioset_strong/state.json",
+                "train_tsv": str(tmp_path / "train.tsv"),
+                "train_folder": str(tmp_path / "train"),
+                "val_tsv": str(tmp_path / "val.tsv"),
+                "val_folder": str(tmp_path / "val"),
+                "val_dur": str(tmp_path / "val_dur.tsv"),
+            },
+            "training": {
+                "batch_size": [3], "batch_size_val": 2, "median_window": 3,
+                "scheduler": {"n_epochs": 1, "n_epochs_cut": 1},
+            },
+            "opt": {"param_groups": {"backbone": {"lr": 1e-4},
+                                     "sed_decoder": {"lr": 1e-3},
+                                     "head": {"lr": 1e-3}}},
+        }
+        cfg = tmp_path / "cfg.yaml"
+        with open(cfg, "w") as f:
+            yaml.safe_dump(config, f)
+        save = tmp_path / "run"
+
+        import subprocess
+        import sys
+
+        code = (
+            "import jax; jax.config.update('jax_platforms','cpu');\n"
+            "import sys\n"
+            f"sys.path.insert(0, {REPO!r})\n"
+            f"sys.argv=['cli','audioset_supervised','--config_dir',{str(cfg)!r},"
+            f"'--save_folder',{str(save)!r}]\n"
+            "from transformer4sed_tpu.recipes.cli import main\n"
+            "sys.exit(main())\n"
+        )
+        r = subprocess.run([sys.executable, "-c", code], cwd=str(tmp_path),
+                           capture_output=True, text=True, env={**os.environ},
+                           timeout=1200)
+        assert r.returncode == 0, r.stderr[-3000:]
+        log = (save / "log.txt").read_text()
+        assert "epoch 1" in log
+        # common/rare aggregate proves state.json resolved and was applied
+        assert "psds_common" in log or "common" in log, log
