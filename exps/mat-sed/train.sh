@@ -26,18 +26,21 @@ retry() {
 REPO="$(cd "$(dirname "$0")/../.." && pwd)"
 EXP_DIR="${1:-$REPO/exps/mat-sed/run1}"
 SEED="${2:-42}"
+# override to run the same pipeline on custom configs (tests use a
+# synthetic mini-DESED config set)
+CONFIG_DIR="${CONFIG_DIR:-config/mat-sed}"
 
 cd "$REPO"
 
 echo "=== stage 1: masked-reconstruction pretraining ==="
 python -m transformer4sed_tpu.recipes.cli matsed_pretrain \
-    --config_dir config/mat-sed/pretrain.yaml \
+    --config_dir "$CONFIG_DIR/pretrain.yaml" \
     --save_folder "$EXP_DIR/pretrain" \
     --random_seed "$SEED"
 
 echo "=== stage 2: mean-teacher fine-tune (global) ==="
 retry python -m transformer4sed_tpu.recipes.cli matsed_finetune \
-    --config_dir config/mat-sed/finetune1.yaml \
+    --config_dir "$CONFIG_DIR/finetune1.yaml" \
     --save_folder "$EXP_DIR/finetune1" \
     --pretrained_ckpt "$EXP_DIR/pretrain/best/best_student" \
     --resume_ckpt auto \
@@ -45,7 +48,7 @@ retry python -m transformer4sed_tpu.recipes.cli matsed_finetune \
 
 echo "=== stage 3: fine-tune with sliding-window fusion ==="
 retry python -m transformer4sed_tpu.recipes.cli matsed_finetune \
-    --config_dir config/mat-sed/finetune2.yaml \
+    --config_dir "$CONFIG_DIR/finetune2.yaml" \
     --save_folder "$EXP_DIR/finetune2" \
     --pretrained_ckpt "$EXP_DIR/finetune1/best/best_student" \
     --resume_ckpt auto \
