@@ -21,6 +21,8 @@ REPO="$(cd "$(dirname "$0")/../.." && pwd)"
 EXP_DIR="${1:-$REPO/exps/pmam/run1}"
 SEED="${2:-42}"
 CONFIG="${CONFIG:-config/pmam/post_pretrain.yaml}"
+FT1_CONFIG="${FT1_CONFIG:-config/pmam/finetune1.yaml}"
+FT2_CONFIG="${FT2_CONFIG:-config/pmam/finetune2.yaml}"
 
 cd "$REPO"
 
@@ -37,15 +39,17 @@ python -m transformer4sed_tpu.recipes.cli pmam_pseudo_labels \
 echo "=== post-pretrain: prototype-BCE on masked frames (LoRA-only) ==="
 retry python -m transformer4sed_tpu.recipes.cli pmam_train \
     --config_dir "$CONFIG" --save_folder "$EXP_DIR/post_pretrain" --random_seed "$SEED" \
+    --gmm_means_path "$EXP_DIR/tokenizer/gmm_means.npy" \
+    --pseudo_label_dir "$EXP_DIR/tokenizer/pseudo_labels" \
     --pretrained_ckpt "${MLM_CKPT:-$EXP_DIR/../mlm/best/best_student}"
 
 echo "=== finetune1 / finetune2 (mean-teacher) ==="
 retry python -m transformer4sed_tpu.recipes.cli matsed_finetune \
-    --config_dir config/pmam/finetune1.yaml --save_folder "$EXP_DIR/finetune1" \
+    --config_dir "$FT1_CONFIG" --save_folder "$EXP_DIR/finetune1" \
     --pretrained_ckpt "$EXP_DIR/post_pretrain/best/best_student" \
     --resume_ckpt auto --random_seed "$SEED"
 retry python -m transformer4sed_tpu.recipes.cli matsed_finetune \
-    --config_dir config/pmam/finetune2.yaml --save_folder "$EXP_DIR/finetune2" \
+    --config_dir "$FT2_CONFIG" --save_folder "$EXP_DIR/finetune2" \
     --pretrained_ckpt "$EXP_DIR/finetune1/best/best_student" \
     --resume_ckpt auto --random_seed "$SEED"
 

@@ -82,3 +82,85 @@ def test_three_stage_pipeline(mini_desed, tmp_path):  # noqa: F811
     ft2_log = (exp_dir / "finetune2" / "log.txt").read_text()
     assert "warm-started from" in ft2_log
     assert "psds1" in ft2_log
+
+
+def test_pmam_pipeline(mini_desed, tmp_path):  # noqa: F811
+    """Full PMAM staging through exps/pmam/train.sh: MLM checkpoint ->
+    tokenizer (extract -> GMM -> pseudo-labels) -> prototype-BCE
+    post-pretrain (separate save folder, tokenizer outputs passed by the
+    new --gmm_means_path/--pseudo_label_dir flags) -> mean-teacher
+    finetune1/2 with checkpoint hand-off."""
+    base = make_config(mini_desed)
+
+    mlm_init = {
+        **TINY_INIT, "at_adapter": False, "mlm": True,
+        "mlm_dict": {"mask_rate": 0.75, "mask_style": [0.8, 0.1, 0.1],
+                     "strategy": "block", "block_width": 4, "out_dim": 32},
+    }
+
+    # stage 0 (outside the script, like the reference's mat-sed mlm stage):
+    # produce the MLM checkpoint the PMAM tokenizer consumes
+    pre = copy.deepcopy(base)
+    pre["training"]["batch_size"] = [1, 1, 2]
+    pre["training"]["transform"]["n_transform"] = 1
+    pre["PaSST_SED"] = {"init_kwargs": mlm_init, "train_kwargs": {}}
+    pre["opt"] = {"param_groups": {
+        "encoder": {"lr": 0, "weight_decay": 1.0e-4, "freeze_layer": 0, "step_lr": 0},
+        "decoder": {"lr": 2.0e-4, "weight_decay": 1.0e-4},
+        "head": {"lr": 2.0e-4, "weight_decay": 1.0e-4},
+    }}
+
+    post = copy.deepcopy(base)
+    post["PaSST_SED"] = {"init_kwargs": mlm_init, "train_kwargs": {}}
+    post["training"]["batch_size"] = 2
+    post["training"]["w_AT"] = 0.0
+    post["dataset"]["unlabeled_folder"] = f"{mini_desed['root']}/unlabeled"
+    post["pmam"] = {"feature_layer": "transformer_0", "downsample_rate": 4,
+                    "n_components": 3, "covariance_type": "diag", "n_iter": 5,
+                    "temperature": 0.1}
+    post["opt"] = {"lora_trainable": False, "param_groups": {
+        "encoder": {"lr": 0, "weight_decay": 1.0e-4},
+        "decoder": {"lr": 1.0e-3, "weight_decay": 1.0e-4},
+        "head": {"lr": 1.0e-3, "weight_decay": 1.0e-4},
+    }}
+
+    ft1 = copy.deepcopy(base)
+    ft1["PaSST_SED"]["init_kwargs"] = {**TINY_INIT, "at_adapter": True}
+    ft2 = copy.deepcopy(ft1)
+
+    cfg_dir = tmp_path / "configs"
+    os.makedirs(cfg_dir)
+    for name, cfg in (("pretrain", pre), ("post_pretrain", post),
+                      ("finetune1", ft1), ("finetune2", ft2)):
+        with open(cfg_dir / f"{name}.yaml", "w") as f:
+            yaml.safe_dump(cfg, f)
+
+    env = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": REPO,
+           "MAX_RETRIES": "1"}
+    mlm_dir = tmp_path / "mlm"
+    r = subprocess.run(
+        ["python", "-m", "transformer4sed_tpu.recipes.cli", "matsed_pretrain",
+         "--config_dir", str(cfg_dir / "pretrain.yaml"),
+         "--save_folder", str(mlm_dir), "--random_seed", "7"],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=900,
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    exp_dir = tmp_path / "exp"
+    env.update({
+        "CONFIG": str(cfg_dir / "post_pretrain.yaml"),
+        "FT1_CONFIG": str(cfg_dir / "finetune1.yaml"),
+        "FT2_CONFIG": str(cfg_dir / "finetune2.yaml"),
+        "MLM_CKPT": str(mlm_dir / "best" / "best_student"),
+    })
+    r = subprocess.run(
+        ["bash", os.path.join(REPO, "exps/pmam/train.sh"), str(exp_dir), "7"],
+        capture_output=True, text=True, env=env, timeout=1800,
+    )
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-3000:])
+
+    assert (exp_dir / "tokenizer" / "gmm_means.npy").exists()
+    assert len(os.listdir(exp_dir / "tokenizer" / "pseudo_labels")) == 4
+    for stage in ("post_pretrain", "finetune1", "finetune2"):
+        assert (exp_dir / stage / "best" / "best_student").exists(), stage
+    assert "psds1" in (exp_dir / "finetune2" / "log.txt").read_text()

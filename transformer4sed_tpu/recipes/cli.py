@@ -263,10 +263,12 @@ def main(argv=None):
 
         pm = config.get("pmam", {})
         gmm_means = np.load(
-            pm.get("gmm_means_path", f"{paths['save_folder']}/gmm_means.npy")
+            args.gmm_means_path
+            or pm.get("gmm_means_path", f"{paths['save_folder']}/gmm_means.npy")
         )
         ds = FrameWiseLabeledDataset(
-            pm.get("pseudo_label_dir", f"{paths['save_folder']}/pseudo_labels"),
+            args.pseudo_label_dir
+            or pm.get("pseudo_label_dir", f"{paths['save_folder']}/pseudo_labels"),
             config["dataset"]["unlabeled_folder"], False, codec,
         )
         loader = DataLoader(

@@ -63,6 +63,10 @@ def build_argparser() -> argparse.ArgumentParser:
     parser.add_argument("--test_only", action="store_true")
     parser.add_argument("--resume_ckpt", type=str, default=None)
     parser.add_argument("--pretrained_ckpt", type=str, default=None)
+    # PMAM stage plumbing (reference pmam/main.py:49 --gmm_means_path):
+    # point pmam_train at a tokenizer run in a different save_folder
+    parser.add_argument("--gmm_means_path", type=str, default=None)
+    parser.add_argument("--pseudo_label_dir", type=str, default=None)
     return parser
 
 
