@@ -164,3 +164,107 @@ def test_pmam_pipeline(mini_desed, tmp_path):  # noqa: F811
     for stage in ("post_pretrain", "finetune1", "finetune2"):
         assert (exp_dir / stage / "best" / "best_student").exists(), stage
     assert "psds1" in (exp_dir / "finetune2" / "log.txt").read_text()
+
+
+def test_dasm_pipeline(tmp_path):
+    """DASM staging through exps/dasm/train.sh: closed-set training ->
+    open-vocabulary AS-partial (common classes only) -> zero-shot
+    open-set evaluation with a novel query — one config drives all
+    three stages, checkpoints chain via best_student."""
+    import json
+
+    import numpy as np
+    import pandas as pd
+    from scipy.io import wavfile
+
+    sr, dur = 32000, 1.2
+    n = int(sr * dur)
+    rng = np.random.RandomState(0)
+    classes = ["dog", "cat", "rain"]
+    root = tmp_path / "data"
+
+    def rows(folder, count, prefix):
+        os.makedirs(root / folder, exist_ok=True)
+        out = []
+        for i in range(count):
+            wav = (rng.randn(n) * 0.05 * 32767).astype(np.int16)
+            wavfile.write(str(root / folder / f"{prefix}{i}.wav"), sr, wav)
+            out.append((f"{prefix}{i}.wav", 0.2, 0.9, classes[i % 3]))
+        return out
+
+    pd.DataFrame(rows("train", 4, "t"),
+                 columns=["filename", "onset", "offset", "event_label"]).to_csv(
+        root / "train.tsv", sep="\t", index=False)
+    val_rows = rows("val", 2, "v")
+    pd.DataFrame(val_rows, columns=["filename", "onset", "offset", "event_label"]).to_csv(
+        root / "val.tsv", sep="\t", index=False)
+    pd.DataFrame([(r[0], dur) for r in val_rows],
+                 columns=["filename", "duration"]).to_csv(
+        root / "val_dur.tsv", sep="\t", index=False)
+
+    with open(root / "labeldict.json", "w") as f:
+        json.dump({c: i for i, c in enumerate(classes)}, f)
+    with open(root / "state.json", "w") as f:
+        json.dump({"dog": "common", "cat": "common", "rain": "rare"}, f)
+    with open(root / "openset_label.json", "w") as f:
+        json.dump(["thunder"], f)
+    np.save(root / "openset_emb.npy", rng.randn(1, 32).astype(np.float32))
+    orows = pd.read_csv(root / "val.tsv", sep="\t")
+    orows.loc[orows.index[-1], "event_label"] = "thunder"
+    orows.to_csv(root / "openset.tsv", sep="\t", index=False)
+
+    config = {
+        "generals": {"num_workers": 0},
+        "model_name": "DASM",
+        "DASM": {
+            "init_kwargs": {
+                "class_num": 3, "decoder_dim": 32, "num_heads": 4,
+                "decoder": "transformerXL", "decoder_layer_num": 1,
+                "decoder_pos_emd_len": 120, "embed_dim": 32,
+                "backbone_depth": 2, "backbone_num_heads": 4,
+                "passt_feature_layer": 2, "at_decoder_layer": 1,
+                "f_pool_heads": 4, "out_type": "sigmoid", "cnn_param": None,
+            },
+            "train_kwargs": {}, "val_kwargs": {}, "test_kwargs": {},
+        },
+        "feature": {"pred_len": 120, "sr": sr, "hopsize": 320, "n_fft": 1024,
+                    "audio_max_len": dur, "net_subsample": 1},
+        "dataset": {
+            "label_dict_path": str(root / "labeldict.json"),
+            "state_json": str(root / "state.json"),
+            "train_tsv": str(root / "train.tsv"), "train_folder": str(root / "train"),
+            "val_tsv": str(root / "val.tsv"), "val_folder": str(root / "val"),
+            "val_dur": str(root / "val_dur.tsv"),
+            "openset_label": str(root / "openset_label.json"),
+            "openset_embedding": str(root / "openset_emb.npy"),
+            "openset_tsv": str(root / "openset.tsv"),
+            "openset_folder": str(root / "val"),
+            "openset_dur": str(root / "val_dur.tsv"),
+        },
+        "training": {
+            "batch_size": 2, "batch_size_val": 2, "num_samples": 4,
+            "clip_grad": True, "median_window": 5, "w_AT": 1.0,
+            "scheduler": {"n_epochs": 1, "n_epochs_cut": 1, "exponent": -1,
+                          "lr_warmup_epochs": 0, "lr_warmup_rate": 0.1},
+        },
+        "opt": {"param_groups": {
+            "encoder": {"lr": 1e-4, "weight_decay": 1e-4},
+            "decoder": {"lr": 1e-3, "weight_decay": 1e-4},
+            "head": {"lr": 1e-3, "weight_decay": 1e-4},
+        }},
+    }
+    cfg = tmp_path / "dasm.yaml"
+    with open(cfg, "w") as f:
+        yaml.safe_dump(config, f)
+
+    exp_dir = tmp_path / "exp"
+    env = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": REPO,
+           "MAX_RETRIES": "1", "CONFIG": str(cfg)}
+    r = subprocess.run(
+        ["bash", os.path.join(REPO, "exps/dasm/train.sh"), str(exp_dir), "7"],
+        capture_output=True, text=True, env=env, timeout=1800,
+    )
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-3000:])
+    for stage in ("closed", "ov"):
+        assert (exp_dir / stage / "best" / "best_student").is_dir(), stage
+    assert "openset psds=" in (exp_dir / "openset" / "log.txt").read_text()
