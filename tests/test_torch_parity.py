@@ -1885,3 +1885,47 @@ class TestASTBackboneParity:
         out = model.apply({"params": params}, jnp.asarray(x.numpy()))
         np.testing.assert_allclose(np.asarray(out["frame"]), h.numpy(), atol=3e-5)
         np.testing.assert_allclose(np.asarray(out["globals"]), ref_globals.numpy(), atol=3e-5)
+
+
+class TestBiGRUDecoderParity:
+    def test_matches_torch_bidirectional_gru(self):
+        """BiGRUDecoder == torch nn.GRU(bidirectional, 2 layers) with
+        mapped weights: torch packs gates [r; z; n] with separate
+        b_ih/b_hh; flax GRUCell folds b_hh_r/z into the input bias
+        (additive inside the sigmoid) and keeps b_hn on hn (applied
+        before the reset gate, matching torch's n-gate form)."""
+        from transformer4sed_tpu.models.xl import BiGRUDecoder
+
+        torch.manual_seed(0)
+        din, H, layers = 6, 8, 2
+        gru = tnn.GRU(din, H, num_layers=layers, bidirectional=True,
+                      batch_first=True).eval()
+        x = torch.randn(2, 11, din)
+        with torch.no_grad():
+            ref, _ = gru(x)
+
+        params = {}
+        cell = 0
+        for layer in range(layers):
+            for direction in ("", "_reverse"):
+                wih = getattr(gru, f"weight_ih_l{layer}{direction}")
+                whh = getattr(gru, f"weight_hh_l{layer}{direction}")
+                bih = getattr(gru, f"bias_ih_l{layer}{direction}")
+                bhh = getattr(gru, f"bias_hh_l{layer}{direction}")
+                (wr, wz, wn) = wih.detach().chunk(3, 0)
+                (ur, uz, un) = whh.detach().chunk(3, 0)
+                (br, bz, bn_) = bih.detach().chunk(3, 0)
+                (cr, cz, cn) = bhh.detach().chunk(3, 0)
+                params[f"GRUCell_{cell}"] = {
+                    "ir": {"kernel": wr.t().numpy(), "bias": (br + cr).numpy()},
+                    "iz": {"kernel": wz.t().numpy(), "bias": (bz + cz).numpy()},
+                    "in": {"kernel": wn.t().numpy(), "bias": bn_.numpy()},
+                    "hr": {"kernel": ur.t().numpy()},
+                    "hz": {"kernel": uz.t().numpy()},
+                    "hn": {"kernel": un.t().numpy(), "bias": cn.numpy()},
+                }
+                cell += 1
+
+        dec = BiGRUDecoder(hidden_dim=H, num_layers=layers)
+        out = dec.apply({"params": params}, jnp.asarray(x.numpy()))
+        np.testing.assert_allclose(np.asarray(out), ref.numpy(), atol=2e-5)
