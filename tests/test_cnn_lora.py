@@ -65,8 +65,10 @@ class TestCNN:
         assert out.shape == (1, 10, 8, 4)
 
     def test_resnet(self):
-        net = ResNet(nb_filters=(8, 8, 8), pooling=((1, 4), (1, 4), (1, 4)), v2=True)
-        x = jnp.zeros((1, 1, 32, 64))
+        # pair-wise filters (mid, out) x2, v2 pre-conv eats 2 from T and F
+        net = ResNet(nb_filters=(8, 8, 8, 8), pooling=((1, 1), (1, 4), (1, 1), (1, 4)),
+                     res_block_type="resnetv2")
+        x = jnp.zeros((1, 1, 34, 18))
         variables = net.init(KEY, x)
         out, _ = net.apply(variables, x, train=True, mutable=["batch_stats"])
         assert out.shape == (1, 8, 32, 1)
@@ -74,14 +76,14 @@ class TestCNN:
     def test_resnet_cnn1d_head(self):
         net = ResNet(
             nb_filters=(8, 8),
-            pooling=((1, 8), (1, 8)),
-            cnn_1d_filters=(12,),
-            cnn_1d_kernels=(3,),
+            pooling=((1, 1), (1, 64)),
+            cnn_1d_dict={"filters": (12,), "kernel_size": (3,)},
         )
         x = jnp.zeros((1, 1, 16, 64))
         variables = net.init(KEY, x)
-        out = net.apply(variables, x)
-        assert out.shape == (1, 12, 16, 1)
+        out, _ = net.apply(variables, x, train=True, mutable=["batch_stats"])
+        # unpadded conv1d (reference CNN1d) shrinks T by k-1
+        assert out.shape == (1, 12, 14, 1)
 
 
 class TestPaSSTCNN:

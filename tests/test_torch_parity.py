@@ -1929,3 +1929,70 @@ class TestBiGRUDecoderParity:
         dec = BiGRUDecoder(hidden_dim=H, num_layers=layers)
         out = dec.apply({"params": params}, jnp.asarray(x.numpy()))
         np.testing.assert_allclose(np.asarray(out), ref.numpy(), atol=2e-5)
+
+
+class TestResNetTorchParity:
+    def test_basic_stack_with_1d_head(self):
+        """Reference ResNet parity (resnet.py:26-255): pair-wise basic
+        blocks (conv/bn/GELU x2, conv1x1+bn downsample on channel change,
+        post-residual GELU), AvgPool between, freq squeeze + unpadded
+        conv1d/BN/GELU head — via convert_resnet ('res_block {i}' keys
+        with the reference's literal space)."""
+        import torch.nn.functional as F
+
+        from transformer4sed_tpu.models.cnn import ResNet
+        from transformer4sed_tpu.utils.torch_import import convert_resnet
+
+        torch.manual_seed(0)
+        cin, mid, cout = 1, 6, 10
+        conv1 = tnn.Conv2d(cin, mid, 3, 1, 1, bias=False)
+        bn1 = tnn.BatchNorm2d(mid).eval()
+        conv2 = tnn.Conv2d(mid, cout, 3, 1, 1, bias=False)
+        bn2 = tnn.BatchNorm2d(cout).eval()
+        ds_conv = tnn.Conv2d(cin, cout, 1, bias=False)
+        ds_bn = tnn.BatchNorm2d(cout).eval()
+        head = tnn.Conv1d(cout, 12, 3)
+        head_bn = tnn.BatchNorm1d(12).eval()
+        for bn in (bn1, bn2, ds_bn, head_bn):
+            bn.running_mean.normal_(0, 0.2)
+            bn.running_var.uniform_(0.5, 2.0)
+            bn.weight.data.normal_(1.0, 0.2)
+            bn.bias.data.normal_(0, 0.1)
+
+        x = torch.randn(2, cin, 12, 8)
+        with torch.no_grad():
+            h = F.gelu(bn1(conv1(x)))
+            h = bn2(conv2(h))
+            res = ds_bn(ds_conv(x))
+            h = F.gelu(h + res)
+            h = F.avg_pool2d(h, (1, 8))   # freq -> 1
+            s = h.squeeze(-1)             # [B, C, T]
+            s = F.gelu(head_bn(head(s)))  # unpadded: T 12 -> 10
+            ref = s.unsqueeze(-1)         # [B, 12, 10, 1]
+
+        sd = {
+            "cnn.res_block 0.conv1.weight": conv1.weight.detach().numpy(),
+            "cnn.res_block 0.conv2.weight": conv2.weight.detach().numpy(),
+            "cnn.res_block 0.downsample.1.weight": ds_conv.weight.detach().numpy(),
+            "cnn.cnn_1d_0.conv_1d.weight": head.weight.detach().numpy(),
+            "cnn.cnn_1d_0.conv_1d.bias": head.bias.detach().numpy(),
+        }
+        for name, bn in (("cnn.res_block 0.bn1", bn1), ("cnn.res_block 0.bn2", bn2),
+                         ("cnn.res_block 0.downsample.2", ds_bn),
+                         ("cnn.cnn_1d_0.norm_layer", head_bn)):
+            sd[f"{name}.weight"] = bn.weight.detach().numpy()
+            sd[f"{name}.bias"] = bn.bias.detach().numpy()
+            sd[f"{name}.running_mean"] = bn.running_mean.numpy()
+            sd[f"{name}.running_var"] = bn.running_var.numpy()
+
+        params, stats = convert_resnet(sd)
+        model = ResNet(
+            n_in_channel=cin, nb_filters=(mid, cout), stride=(1, 1),
+            pooling=((1, 1), (1, 8)), res_block_type="basic",
+            cnn_1d_dict={"filters": (12,), "kernel_size": (3,)},
+        )
+        out = model.apply(
+            {"params": params, "batch_stats": stats},
+            jnp.asarray(x.numpy()), train=False,
+        )
+        np.testing.assert_allclose(np.asarray(out), ref.numpy(), atol=3e-5)

@@ -230,76 +230,117 @@ class FDY_CNN(nn.Module):
 
 
 class _BasicBlock(nn.Module):
+    """Reference BasicBlock / ResNetV2Block (``resnet.py:26-122``):
+    GELU activations; both convs use the pair's FIRST stride (the second
+    is accepted and ignored upstream — reference quirk preserved);
+    channel-changing residuals go through timm's ``downsample_avg``
+    (1x1 conv + BatchNorm at stride 1). Basic applies a final GELU after
+    the residual add; v2 is pre-activation with no final act."""
+
     mid_channel: int
     out_channel: int
     stride: int = 1
     v2: bool = False
+    drop_rate: float = 0.0
+    drop_width: int = 3
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:  # NHWC
         in_ch = x.shape[-1]
+
+        def drop(h):
+            if self.drop_rate:
+                h = DropBlock2D(rate=self.drop_rate, block_size=self.drop_width)(
+                    h, deterministic=not train
+                )
+            return h
+
         residual = x
         if self.v2:  # pre-activation
             h = nn.BatchNorm(use_running_average=not train, name="bn1")(x)
-            h = jax.nn.relu(h)
+            h = drop(h)
+            h = jax.nn.gelu(h, approximate=False)
             h = nn.Conv(self.mid_channel, (3, 3), (self.stride, self.stride), padding=1,
                         use_bias=False, dtype=self.dtype, name="conv1")(h)
             h = nn.BatchNorm(use_running_average=not train, name="bn2")(h)
-            h = jax.nn.relu(h)
-            h = nn.Conv(self.out_channel, (3, 3), padding=1, use_bias=False,
-                        dtype=self.dtype, name="conv2")(h)
+            h = drop(h)
+            h = jax.nn.gelu(h, approximate=False)
+            h = nn.Conv(self.out_channel, (3, 3), (self.stride, self.stride), padding=1,
+                        use_bias=False, dtype=self.dtype, name="conv2")(h)
         else:
             h = nn.Conv(self.mid_channel, (3, 3), (self.stride, self.stride), padding=1,
                         use_bias=False, dtype=self.dtype, name="conv1")(x)
             h = nn.BatchNorm(use_running_average=not train, name="bn1")(h)
-            h = jax.nn.relu(h)
-            h = nn.Conv(self.out_channel, (3, 3), padding=1, use_bias=False,
-                        dtype=self.dtype, name="conv2")(h)
+            h = drop(h)
+            h = jax.nn.gelu(h, approximate=False)
+            h = nn.Conv(self.out_channel, (3, 3), (self.stride, self.stride), padding=1,
+                        use_bias=False, dtype=self.dtype, name="conv2")(h)
             h = nn.BatchNorm(use_running_average=not train, name="bn2")(h)
-        if in_ch != self.out_channel or self.stride != 1:
-            residual = nn.Conv(self.out_channel, (1, 1), (self.stride, self.stride),
-                               use_bias=False, dtype=self.dtype, name="downsample")(residual)
+            h = drop(h)
+        if in_ch != self.out_channel:
+            residual = nn.Conv(self.out_channel, (1, 1), use_bias=False,
+                               dtype=self.dtype, name="downsample_conv")(residual)
+            residual = nn.BatchNorm(use_running_average=not train,
+                                    name="downsample_bn")(residual)
         out = h + residual
-        return out if self.v2 else jax.nn.relu(out)
+        return out if self.v2 else jax.nn.gelu(out, approximate=False)
 
 
 class ResNet(nn.Module):
-    """ResNet conv branch with optional 1-D head (reference ResNet)."""
+    """ResNet conv branch (reference ``resnet.py:143-255``).
+
+    Filters are consumed in PAIRS: block i uses mid=nb_filters[i],
+    out=nb_filters[i+1] (so ``len(nb_filters)`` must be even) and is
+    followed by AvgPool(pooling[i+1]). ``res_block_type='resnetv2'``
+    prepends the 3x3 VALID pre-conv. The optional 1-D head is
+    conv1d (no padding) -> BatchNorm -> GELU per stage on the
+    freq-squeezed sequence.
+    """
 
     n_in_channel: int = 1
-    nb_filters: Sequence[int] = (64, 64, 64)
-    pooling: Sequence[Tuple[int, int]] = ((1, 4), (1, 4), (1, 4))
-    v2: bool = False
-    cnn_1d_filters: Optional[Sequence[int]] = None
-    cnn_1d_kernels: Optional[Sequence[int]] = None
+    nb_filters: Sequence[int] = (64, 64, 64, 64)
+    stride: Sequence[int] = (1, 1, 1, 1, 1)
+    pooling: Sequence[Tuple[int, int]] = ((1, 4), (1, 4), (1, 4), (1, 4))
+    res_block_type: str = "basic"
+    drop_block: float = 0.0
+    drop_block_width: Sequence[int] = (3, 3, 3, 3)
+    cnn_1d_dict: Optional[Dict[str, Any]] = None
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        assert len(self.nb_filters) % 2 == 0, "nb_filters pairs (mid, out)"
+        v2 = self.res_block_type == "resnetv2"
         h = jnp.transpose(x, (0, 2, 3, 1))  # NHWC
-        h = nn.Conv(self.nb_filters[0], (3, 3), padding=1, use_bias=False,
-                    dtype=self.dtype, name="stem")(h)
-        pt, pf = self.pooling[0]
-        h = nn.avg_pool(h, (pt, pf), (pt, pf))
-        for i in range(1, len(self.nb_filters)):
+        if v2:
+            # reference pre_cov: Conv2d(1, nb_filters[0], 3) with NO padding
+            h = nn.Conv(self.nb_filters[0], (3, 3), padding="VALID",
+                        dtype=self.dtype, name="pre_cov")(h)
+        for i in range(0, len(self.nb_filters), 2):
             h = _BasicBlock(
                 mid_channel=self.nb_filters[i],
-                out_channel=self.nb_filters[i],
-                v2=self.v2,
+                out_channel=self.nb_filters[i + 1],
+                stride=self.stride[i],
+                v2=v2,
+                drop_rate=self.drop_block,
+                drop_width=self.drop_block_width[i],
                 dtype=self.dtype,
-                name=f"block{i}",
+                name=f"res_block{i}",
             )(h, train=train)
-            pt, pf = self.pooling[i]
+            pt, pf = self.pooling[i + 1]
             h = nn.avg_pool(h, (pt, pf), (pt, pf))
-        if self.cnn_1d_filters:
-            # squeeze freq (must be pooled to 1), run 1-D convs over time
+        if self.cnn_1d_dict:
             assert h.shape[2] == 1, "cnn_1d head requires freq pooled to 1"
             s = h[:, :, 0, :]  # [B, T, C]
-            for j, (flt, ker) in enumerate(zip(self.cnn_1d_filters, self.cnn_1d_kernels)):
-                s = nn.Conv(flt, (ker,), padding="SAME", dtype=self.dtype, name=f"cnn1d_{j}")(s)
-                s = nn.BatchNorm(use_running_average=not train, name=f"cnn1d_bn{j}")(s)
-                s = jax.nn.relu(s)
+            for j, (flt, ker) in enumerate(
+                zip(self.cnn_1d_dict["filters"], self.cnn_1d_dict["kernel_size"])
+            ):
+                # reference CNN1d: unpadded conv -> BatchNorm -> GELU
+                s = nn.Conv(flt, (ker,), padding="VALID", dtype=self.dtype,
+                            name=f"cnn_1d_{j}")(s)
+                s = nn.BatchNorm(use_running_average=not train, name=f"cnn_1d_bn{j}")(s)
+                s = jax.nn.gelu(s, approximate=False)
             h = s[:, :, None, :]
         return jnp.transpose(h, (0, 3, 1, 2))
 

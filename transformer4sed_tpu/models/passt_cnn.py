@@ -41,9 +41,9 @@ class PaSST_CNN(PaSST_SED):
             elif self.cnn_name == "resnet":
                 self.cnn = ResNet(dtype=self.dtype, **param)
                 self.cnn_feat_dim = (
-                    param["cnn_1d_filters"][-1]
-                    if param.get("cnn_1d_filters")
-                    else param.get("nb_filters", (64, 64, 64))[-1]
+                    param["cnn_1d_dict"]["filters"][-1]
+                    if param.get("cnn_1d_dict")
+                    else param.get("nb_filters", (64, 64, 64, 64))[-1]
                 )
             else:
                 raise NotImplementedError(f"unknown cnn encoder {self.cnn_name!r}")

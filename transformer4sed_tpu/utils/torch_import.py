@@ -925,3 +925,57 @@ def convert_ast(sd: Mapping[str, np.ndarray]) -> Dict:
         }
         params["mlp_head"] = _dense(sd, "mlp_head.1")
     return params
+
+
+def convert_resnet(sd: Mapping[str, np.ndarray], prefix: str = "cnn") -> Tuple[Dict, Dict]:
+    """Reference ResNet stack (``resnet.py:143-255``) -> (params, batch_stats).
+
+    torch names the Sequential stages ``{prefix}.res_block {i}`` (with a
+    literal space, reference quirk), ``{prefix}.pre_cov`` (v2), and
+    ``{prefix}.cnn_1d_{j}.{conv_1d,norm_layer}``. Downsample is timm's
+    ``downsample_avg``: Sequential(pool, conv1x1, bn) -> keys ``.1``/``.2``.
+    """
+    params: Dict = {}
+    batch_stats: Dict = {}
+
+    def conv(tp, p):
+        return {"kernel": np.transpose(sd[tp + ".weight"], (2, 3, 1, 0)),
+                **({"bias": sd[tp + ".bias"]} if tp + ".bias" in sd else {})}
+
+    def bn(dst, tp):
+        params_sub = {"scale": sd[tp + ".weight"], "bias": sd[tp + ".bias"]}
+        stats_sub = {"mean": sd[tp + ".running_mean"], "var": sd[tp + ".running_var"]}
+        return params_sub, stats_sub
+
+    if f"{prefix}.pre_cov.weight" in sd:
+        params["pre_cov"] = conv(f"{prefix}.pre_cov", f"{prefix}.pre_cov")
+    i = 0
+    while f"{prefix}.res_block {i}.conv1.weight" in sd:
+        tp = f"{prefix}.res_block {i}"
+        blk: Dict = {"conv1": conv(tp + ".conv1", tp + ".conv1"),
+                     "conv2": conv(tp + ".conv2", tp + ".conv2")}
+        blk_stats: Dict = {}
+        for n in ("bn1", "bn2"):
+            blk[n], blk_stats[n] = bn(n, f"{tp}.{n}")
+        if f"{tp}.downsample.1.weight" in sd:
+            blk["downsample_conv"] = conv(tp + ".downsample.1", tp + ".downsample.1")
+            blk["downsample_bn"], blk_stats["downsample_bn"] = bn(
+                "downsample_bn", f"{tp}.downsample.2"
+            )
+        params[f"res_block{i}"] = blk
+        batch_stats[f"res_block{i}"] = blk_stats
+        i += 2
+    j = 0
+    while f"{prefix}.cnn_1d_{j}.conv_1d.weight" in sd:
+        w = sd[f"{prefix}.cnn_1d_{j}.conv_1d.weight"]  # [O, I, K] -> [K, I, O]
+        params[f"cnn_1d_{j}"] = {
+            "kernel": np.transpose(w, (2, 1, 0)),
+            "bias": sd[f"{prefix}.cnn_1d_{j}.conv_1d.bias"],
+        }
+        params[f"cnn_1d_bn{j}"], batch_stats[f"cnn_1d_bn{j}"] = bn(
+            f"cnn_1d_bn{j}", f"{prefix}.cnn_1d_{j}.norm_layer"
+        )
+        j += 1
+    if not params:
+        raise KeyError(f"no '{prefix}.res_block *' keys in state dict")
+    return params, batch_stats
