@@ -1996,3 +1996,40 @@ class TestResNetTorchParity:
             jnp.asarray(x.numpy()), train=False,
         )
         np.testing.assert_allclose(np.asarray(out), ref.numpy(), atol=3e-5)
+
+
+class TestSchedulerParity:
+    def test_exponential_down_values(self):
+        """core.schedules.exponential_down == the reference
+        ExponentialDown._get_scale (scheduler.py:58-67) across all three
+        regimes: linear warmup, plateau, exp(exponent * phase^2) decay."""
+        from transformer4sed_tpu.core.schedules import exponential_down
+
+        start_iter, total_iter, exponent = 50, 200, -1.5
+        warmup_iter, warmup_rate = 10, 0.1
+        sched = exponential_down(start_iter, total_iter, exponent, warmup_iter, warmup_rate)
+
+        def ref(step_num):
+            if step_num < warmup_iter:
+                phase = step_num / warmup_iter
+                return (1 - warmup_rate) * phase + warmup_rate
+            if step_num > start_iter:
+                phase = (step_num - start_iter) / (total_iter - start_iter)
+                return float(np.exp(exponent * phase * phase))
+            return 1.0
+
+        for step in [0, 1, 5, 9, 10, 30, 50, 51, 100, 199, 200]:
+            np.testing.assert_allclose(float(sched(step)), ref(step), rtol=1e-6,
+                                       err_msg=f"step {step}")
+
+    def test_update_ema_alpha_ramp(self):
+        """Mean-teacher EMA alpha = min(1 - 1/step, factor)
+        (scheduler.py:125-130): teacher after one update equals
+        alpha*teacher + (1-alpha)*student at the reference's step count."""
+        from transformer4sed_tpu.core.ema import ema_update
+
+        t, s = {"w": jnp.asarray(2.0)}, {"w": jnp.asarray(4.0)}
+        for step, alpha in ((1, 0.0), (2, 0.5), (10, 0.9), (10_000, 0.999)):
+            out = ema_update(s, t, step, 0.999)
+            np.testing.assert_allclose(float(out["w"]), alpha * 2.0 + (1 - alpha) * 4.0,
+                                       rtol=1e-6, err_msg=f"step {step}")
