@@ -2033,3 +2033,124 @@ class TestSchedulerParity:
             out = ema_update(s, t, step, 0.999)
             np.testing.assert_allclose(float(out["w"]), alpha * 2.0 + (1 - alpha) * 4.0,
                                        rtol=1e-6, err_msg=f"step {step}")
+
+
+class TestFrontendFullPipelineParity:
+    """wav -> normalized log-mel parity against the reference frontends.
+
+    Rebuilds ``PasstFeatureExtractor.forward``+``normalize``
+    (src/models/passt/passt_feature_extraction.py:53-94) and
+    ``setmelspectrogram``+``take_log``
+    (src/preprocess/feats_extraction.py:41-57) in torch inside the test
+    — including the Kaldi/HTK mel-bank formulas torchaudio would supply
+    — and checks the jit frontends end-to-end on the same waveform.
+    """
+
+    @staticmethod
+    def _torch_kaldi_banks(n_mels, n_fft, sr, fmin, fmax):
+        # torchaudio.compliance.kaldi.get_mel_banks semantics at
+        # vtln_warp_factor=1.0: n_fft//2 columns, centers uniform in
+        # kaldi-mel between fmin and fmax.
+        import math
+
+        num_fft_bins = n_fft // 2
+        fft_bin_width = sr / n_fft
+        mel = lambda f: 1127.0 * math.log(1.0 + f / 700.0)
+        mel_low, mel_high = mel(fmin), mel(fmax)
+        mel_delta = (mel_high - mel_low) / (n_mels + 1)
+        freqs = fft_bin_width * torch.arange(num_fft_bins, dtype=torch.float32)
+        mels = 1127.0 * torch.log1p(freqs / 700.0)
+        left = mel_low + torch.arange(n_mels, dtype=torch.float32)[:, None] * mel_delta
+        center = left + mel_delta
+        right = center + mel_delta
+        up = (mels[None, :] - left) / (center - left)
+        down = (right - mels[None, :]) / (right - center)
+        return torch.clamp(torch.minimum(up, down), min=0.0)
+
+    @classmethod
+    def _torch_passt_forward(cls, wav, n_mels, sr, win, hop, n_fft, fmin, fmax):
+        x = torch.tensor(wav, dtype=torch.float32)
+        max_vals = torch.max(x, dim=1, keepdim=True)[0]
+        min_vals = torch.min(x, dim=1, keepdim=True)[0]
+        x = x / (torch.maximum(max_vals.abs(), min_vals.abs()) + 1e-10)
+        pre = torch.as_tensor([[[-0.97, 1.0]]])
+        x = torch.nn.functional.conv1d(x.unsqueeze(1), pre).squeeze(1)
+        spec = torch.stft(
+            x, n_fft, hop_length=hop, win_length=win, center=True,
+            normalized=False, window=torch.hann_window(win, periodic=False),
+            return_complex=True,
+        )
+        power = spec.real**2 + spec.imag**2
+        banks = torch.nn.functional.pad(
+            cls._torch_kaldi_banks(n_mels, n_fft, sr, fmin, fmax), (0, 1)
+        )
+        melspec = torch.matmul(banks, power)
+        return ((melspec + 1e-5).log() + 4.5) / 5.0
+
+    def test_passt_frontend_eval_path(self):
+        from transformer4sed_tpu.frontend.mel import PasstFrontend
+
+        rng = np.random.default_rng(11)
+        wav = rng.standard_normal((2, 64000)).astype(np.float32) * 0.3
+        fe = PasstFrontend(fmin_aug_range=10, fmax_aug_range=2000)
+        ours = np.asarray(fe.normalize(fe(jnp.asarray(wav))))
+
+        fmax = 32000 // 2 - 2000 // 2  # reference fmax=None default
+        ref = self._torch_passt_forward(
+            wav, 128, 32000, 800, 320, 1024, 0.0, float(fmax)
+        ).numpy()
+        assert ours.shape == ref.shape == (2, 128, 200)
+        np.testing.assert_allclose(ours, ref, atol=3e-4)
+
+    def test_passt_frontend_augmented_banks(self):
+        """The in-jit traced-fmin/fmax bank equals the torch bank the
+        reference would build host-side for the same drawn values."""
+        from transformer4sed_tpu.frontend.mel import kaldi_mel_banks
+
+        for fmin, fmax in [(3.0, 14700.0), (9.0, 15990.0), (0.0, 15001.0)]:
+            ours = np.asarray(
+                jax.jit(lambda a, b: kaldi_mel_banks(128, 1024, 32000, a, b))(
+                    jnp.float32(fmin), jnp.float32(fmax)
+                )
+            )
+            ref = torch.nn.functional.pad(
+                self._torch_kaldi_banks(128, 1024, 32000, fmin, fmax), (0, 1)
+            ).numpy()
+            # f32 vs f64 mel-boundary round-off only (max ~3e-5)
+            np.testing.assert_allclose(ours, ref, atol=1e-4)
+
+    def test_generic_mel_frontend_pipeline(self):
+        """MelFrontend == torchaudio MelSpectrogram(power=1, hamming,
+        htk, norm=None) -> AmplitudeToDB(amin=1e-5).clamp(-50, 80),
+        rebuilt from the formulas."""
+        from transformer4sed_tpu.frontend.mel import MelFrontend
+
+        sr, n_fft, hop, n_mels = 16000, 2048, 256, 64
+        rng = np.random.default_rng(5)
+        wav = rng.standard_normal((2, 16000)).astype(np.float32) * 0.1
+        fe = MelFrontend(sr=sr, n_fft=n_fft, hop_length=hop, n_mels=n_mels,
+                         fmin=0.0, fmax=8000.0)
+        ours = np.asarray(fe(jnp.asarray(wav)))
+
+        x = torch.tensor(wav)
+        spec = torch.stft(
+            x, n_fft, hop_length=hop, win_length=n_fft, center=True,
+            normalized=False, window=torch.hamming_window(n_fft, periodic=False),
+            return_complex=True,
+        ).abs()
+        # htk melscale_fbanks, norm=None, [n_freqs, n_mels]
+        freqs = torch.linspace(0.0, sr / 2, n_fft // 2 + 1)
+        hmel = lambda f: 2595.0 * torch.log10(1.0 + f / 700.0)
+        m_pts = torch.linspace(hmel(torch.tensor(0.0)), hmel(torch.tensor(8000.0)), n_mels + 2)
+        f_pts = 700.0 * (10.0 ** (m_pts / 2595.0) - 1.0)
+        f_diff = f_pts[1:] - f_pts[:-1]
+        slopes = f_pts[None, :] - freqs[:, None]
+        fb = torch.clamp(
+            torch.minimum(-slopes[:, :-2] / f_diff[:-1], slopes[:, 2:] / f_diff[1:]),
+            min=0.0,
+        )
+        mel = torch.einsum("fm,bft->bmt", fb, spec)
+        db = 20.0 * torch.log10(torch.clamp(mel, min=1e-5))
+        ref = db.clamp(min=-50.0, max=80.0).numpy()
+        assert ours.shape == ref.shape
+        np.testing.assert_allclose(ours, ref, atol=3e-4)
