@@ -73,6 +73,31 @@ class TestCNN:
         out, _ = net.apply(variables, x, train=True, mutable=["batch_stats"])
         assert out.shape == (1, 8, 32, 1)
 
+    def test_resnet_strided_blocks(self):
+        """stride != 1 must run: the residual is avg-pooled by the
+        block's total reduction (the reference's unstrided downsample
+        crashes here — documented deviation)."""
+        net = ResNet(nb_filters=(8, 16, 16, 16), stride=(2, 1, 2, 1, 1),
+                     pooling=((1, 1),) * 4)
+        x = jnp.ones((2, 1, 64, 32))
+        variables = net.init(KEY, x)
+        out = net.apply(variables, x, train=False)
+        # two stride-2 blocks, each striding both convs: 64/16, 32/16
+        assert out.shape == (2, 16, 4, 2)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_resnet_deep_drop_block_widths(self):
+        """A 5-pair stack with the default 4-entry drop_block_width must
+        not IndexError (reference resnet.py:205 would)."""
+        net = ResNet(nb_filters=(8,) * 10, stride=(1,) * 11,
+                     pooling=((1, 1),) * 10, drop_block=0.1)
+        x = jnp.ones((2, 1, 16, 8))
+        variables = net.init(KEY, x)
+        out, _ = net.apply(variables, x, train=True,
+                           rngs={"dropout": jax.random.key(2)},
+                           mutable=["batch_stats"])
+        assert out.shape == (2, 8, 16, 8)
+
     def test_resnet_cnn1d_head(self):
         net = ResNet(
             nb_filters=(8, 8),

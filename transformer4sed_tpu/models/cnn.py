@@ -234,8 +234,17 @@ class _BasicBlock(nn.Module):
     GELU activations; both convs use the pair's FIRST stride (the second
     is accepted and ignored upstream — reference quirk preserved);
     channel-changing residuals go through timm's ``downsample_avg``
-    (1x1 conv + BatchNorm at stride 1). Basic applies a final GELU after
-    the residual add; v2 is pre-activation with no final act."""
+    (1x1 conv + BatchNorm). Basic applies a final GELU after the
+    residual add; v2 is pre-activation with no final act.
+
+    Documented deviation: for ``stride != 1`` the reference residual
+    path is never strided (``downsample_avg(nIn, nOut, 1)`` at
+    ``resnet.py:187``, and no downsample at all when channels match), so
+    the ``x += residual`` add crashes in torch for ANY strided config —
+    it is untestable dead code there (no shipped config uses ResNet).
+    Here the residual is avg-pooled by the block's total spatial
+    reduction (stride^2 per dim, matching the two strided convs), the
+    evident ``downsample_avg`` intent."""
 
     mid_channel: int
     out_channel: int
@@ -278,6 +287,11 @@ class _BasicBlock(nn.Module):
                         use_bias=False, dtype=self.dtype, name="conv2")(h)
             h = nn.BatchNorm(use_running_average=not train, name="bn2")(h)
             h = drop(h)
+        total = self.stride * self.stride  # both convs apply the stride
+        if total != 1:
+            # ceil-mode pool so shapes match the padding=1 strided convs
+            residual = nn.avg_pool(residual, (total, total), (total, total),
+                                   padding="SAME")
         if in_ch != self.out_channel:
             residual = nn.Conv(self.out_channel, (1, 1), use_bias=False,
                                dtype=self.dtype, name="downsample_conv")(residual)
@@ -308,6 +322,22 @@ class ResNet(nn.Module):
     cnn_1d_dict: Optional[Dict[str, Any]] = None
     dtype: jnp.dtype = jnp.float32
 
+    def _drop_width(self, i: int) -> int:
+        """DropBlock width for the pair starting at filter index ``i``.
+
+        The reference indexes the raw even block index into
+        ``drop_block_width`` (``resnet.py:205``) — an IndexError for any
+        list shorter than the filter count. Preserve that layout when the
+        list is long enough, fall back to one-width-per-pair, then to the
+        last entry, so deep stacks don't crash on the default 4-tuple.
+        """
+        w = self.drop_block_width
+        if i < len(w):
+            return w[i]
+        if i // 2 < len(w):
+            return w[i // 2]
+        return w[-1]
+
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         assert len(self.nb_filters) % 2 == 0, "nb_filters pairs (mid, out)"
@@ -324,7 +354,7 @@ class ResNet(nn.Module):
                 stride=self.stride[i],
                 v2=v2,
                 drop_rate=self.drop_block,
-                drop_width=self.drop_block_width[i],
+                drop_width=self._drop_width(i),
                 dtype=self.dtype,
                 name=f"res_block{i}",
             )(h, train=train)
