@@ -40,12 +40,10 @@ def main() -> None:
 
     import jax
 
-    if not args.no_device_put and jax.device_count() < args.devices:
-        from jax.extend import backend as jex_backend
+    if not args.no_device_put:
+        from transformer4sed_tpu.parallel import ensure_virtual_devices
 
-        jex_backend.clear_backends()
-        jax.config.update("jax_platforms", "cpu")
-        jax.config.update("jax_num_cpu_devices", args.devices)
+        ensure_virtual_devices(args.devices)
 
     import numpy as np
     from scipy.io import wavfile

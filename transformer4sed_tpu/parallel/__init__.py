@@ -1,7 +1,9 @@
 from transformer4sed_tpu.parallel.mesh import (
     make_mesh,
     batch_sharding,
+    ensure_virtual_devices,
     replicated_sharding,
+    require_devices,
     shard_train_step,
     put_batch,
     device_prefetch,
@@ -16,6 +18,8 @@ from transformer4sed_tpu.parallel.partition import (
 __all__ = [
     "make_mesh",
     "batch_sharding",
+    "ensure_virtual_devices",
+    "require_devices",
     "replicated_sharding",
     "shard_train_step",
     "put_batch",

@@ -28,6 +28,50 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def require_devices(n_devices: int, devices: Sequence) -> Sequence:
+    """Check the backend has >= ``n_devices`` and return the first n.
+
+    Raises a clear error on shortfall — silent truncation would make
+    every downstream divisibility failure cryptic (the round-1 driver
+    dryrun failed with exactly that symptom).
+    """
+    if len(devices) < n_devices:
+        platform = devices[0].platform if devices else "none"
+        raise ValueError(
+            f"requested {n_devices} devices, backend has {len(devices)} "
+            f"(platform={platform}); force a virtual CPU backend with "
+            f"jax.config.update('jax_platforms','cpu') + "
+            f"jax.config.update('jax_num_cpu_devices', {n_devices}) "
+            f"before any device touch, or use ensure_virtual_devices()"
+        )
+    return devices[:n_devices]
+
+
+def ensure_virtual_devices(n_devices: int) -> None:
+    """Guarantee >= ``n_devices`` jax devices, preferring real hardware.
+
+    Images that pre-import jax (sitecustomize) may have already
+    initialized a single-chip backend; when that backend is short of
+    devices this tears it down and rebuilds as an n-device virtual CPU
+    backend — the same trick as ``tests/conftest.py``, but robust to
+    the backend being initialized first (round-1 failure mode:
+    MULTICHIP_r01.json). Only safe while no arrays from the old backend
+    are live.
+    """
+    if jax.device_count() >= n_devices:
+        return
+    from jax.extend import backend as jex_backend
+
+    jex_backend.clear_backends()
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", n_devices)
+    got = jax.device_count()
+    if got < n_devices:
+        raise RuntimeError(
+            f"could not provision {n_devices} virtual CPU devices (got {got})"
+        )
+
+
 def make_mesh(
     n_devices: Optional[int] = None,
     axis_names: Sequence[str] = ("data",),
@@ -35,23 +79,11 @@ def make_mesh(
 ) -> Mesh:
     """1-D data mesh by default; pass axis_names=('data', 'model') for 2-D.
 
-    Raises a clear error when the backend has fewer devices than
-    requested — silent truncation would make every downstream
-    divisibility failure cryptic (the round-1 driver dryrun failed with
-    exactly that symptom).
+    Fails loudly on device shortfall (see :func:`require_devices`).
     """
     devices = list(devices if devices is not None else jax.devices())
     if n_devices is not None:
-        if len(devices) < n_devices:
-            platform = devices[0].platform if devices else "none"
-            raise ValueError(
-                f"requested {n_devices} devices, backend has {len(devices)} "
-                f"(platform={platform}); force a virtual CPU backend with "
-                f"jax.config.update('jax_platforms','cpu') + "
-                f"jax.config.update('jax_num_cpu_devices', {n_devices}) "
-                f"before any device touch"
-            )
-        devices = devices[:n_devices]
+        devices = require_devices(n_devices, devices)
     shape = (len(devices),) + (1,) * (len(axis_names) - 1)
     return Mesh(np.array(devices).reshape(shape), axis_names)
 

@@ -95,17 +95,12 @@ def shard_params(params, mesh: Mesh, rules: Sequence[Tuple[str, P]] = TP_RULES):
 def make_2d_mesh(n_devices: Optional[int] = None, model_parallel: int = 2) -> Mesh:
     """('data', 'model') mesh: model axis innermost so TP collectives ride
     the fastest ICI links (scaling-book layout)."""
+    from transformer4sed_tpu.parallel.mesh import require_devices
+
     all_devices = jax.devices()
-    if n_devices is not None and len(all_devices) < n_devices:
-        raise ValueError(
-            f"requested {n_devices} devices, backend has {len(all_devices)} "
-            f"(platform={all_devices[0].platform if all_devices else 'none'}); "
-            f"force a virtual CPU backend with "
-            f"jax.config.update('jax_platforms','cpu') + "
-            f"jax.config.update('jax_num_cpu_devices', {n_devices}) "
-            f"before any device touch"
-        )
-    devices = all_devices if n_devices is None else all_devices[:n_devices]
+    devices = (
+        all_devices if n_devices is None else require_devices(n_devices, all_devices)
+    )
     n = len(devices)
     if n % model_parallel != 0:
         raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
@@ -123,7 +118,10 @@ def tp_flash_attention(q, k, v, mesh: Mesh, sm_scale: Optional[float] = None,
     heads, so no collective is needed at all. q/k/v: [B, H, T, d] with H
     divisible by the axis size.
     """
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:  # pragma: no cover
+        from jax.experimental.shard_map import shard_map
 
     from transformer4sed_tpu.kernels import flash_attention
 

@@ -30,29 +30,12 @@ from transformer4sed_tpu.data import (
     WeaklyLabeledDataset,
 )
 from transformer4sed_tpu.train.optim import GroupSpec, ParamGroupConfig, build_optimizer
-from transformer4sed_tpu.utils.config import get_save_directories, load_yaml_with_include
-from transformer4sed_tpu.utils.logging import Logger
-
-
-# repo root (holds the vendored meta/ label tables two levels above this file)
-_REPO_ROOT = os.path.dirname(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+from transformer4sed_tpu.utils.config import (
+    get_save_directories,
+    load_yaml_with_include,
+    resolve_meta_path,
 )
-
-
-def resolve_meta_path(path: Optional[str]) -> Optional[str]:
-    """Resolve a config path against the repo root when cwd-relative fails.
-
-    The default configs point at the vendored label tables
-    (``meta/audioset_strong/labeldict_audioset_strong.json`` etc. —
-    mirroring the reference's ``meta/`` layout) with repo-relative
-    paths; this makes them work regardless of the caller's cwd.
-    """
-    if path and not os.path.isabs(path) and not os.path.exists(path):
-        cand = os.path.join(_REPO_ROOT, path)
-        if os.path.exists(cand):
-            return cand
-    return path
+from transformer4sed_tpu.utils.logging import Logger
 
 
 def build_argparser() -> argparse.ArgumentParser:

@@ -303,11 +303,19 @@ class MATSEDTrainer:
         test_gt = (
             self.ground_truth if same_as_val else common.load_ground_truth(test_tsv)
         )
-        test_dur = (
-            self.durations
-            if same_as_val
-            else common.load_durations(ds.get("test_dur") or ds["val_dur"])
-        )
+        if same_as_val:
+            test_dur = self.durations
+        elif ds.get("test_dur"):
+            test_dur = common.load_durations(ds["test_dur"])
+        else:
+            # a distinct test split MUST bring its own duration table —
+            # silently pairing test scores with val durations would KeyError
+            # deep inside the PSDS ROC on the first unknown clip id
+            raise ValueError(
+                "dataset.test_tsv names a split different from val_tsv but "
+                "dataset.test_dur is not set; provide the duration table for "
+                "the test split"
+            )
         scores_post = {}
         for batch in self.test_loader:
             mel = self.frontend.normalize(self.frontend(jnp.asarray(batch["wav"])))

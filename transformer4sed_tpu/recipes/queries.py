@@ -94,7 +94,10 @@ def load_labels(path: str) -> Tuple[str, ...]:
         with open(path) as f:
             obj = json.load(f)
         if isinstance(obj, dict):
-            return tuple(sorted(obj, key=obj.get))
+            # same ordering semantics as training-side label dicts
+            from transformer4sed_tpu.recipes.audioset_strong import load_label_dict
+
+            return load_label_dict(path)
         return tuple(obj)
     with open(path) as f:
         return tuple(ln.strip() for ln in f if ln.strip())

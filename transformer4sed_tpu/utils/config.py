@@ -15,6 +15,41 @@ from typing import Dict, List, Optional
 
 import yaml
 
+# repo root: holds the vendored meta/ label tables (two levels up from
+# transformer4sed_tpu/utils/)
+_REPO_ROOT = os.path.dirname(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+
+def resolve_meta_path(path: Optional[str]) -> Optional[str]:
+    """Resolve a ``meta/...`` config path against the repo root when a
+    cwd-relative lookup fails.
+
+    The shipped configs point at the vendored label/split tables
+    (``meta/audioset_strong/labeldict_audioset_strong.json``,
+    ``meta/desed/...`` — mirroring the reference's ``meta/`` layout)
+    with repo-relative paths; this makes them work from any cwd.
+    """
+    if path and not os.path.isabs(path) and not os.path.exists(path):
+        cand = os.path.join(_REPO_ROOT, path)
+        if os.path.exists(cand):
+            return cand
+    return path
+
+
+def _resolve_meta_paths(node):
+    """Recursively rewrite every ``meta/...`` string value in a config
+    tree via :func:`resolve_meta_path` — applied once at load so ALL
+    consumers (tsv readers included) see resolved paths."""
+    if isinstance(node, dict):
+        return {k: _resolve_meta_paths(v) for k, v in node.items()}
+    if isinstance(node, list):
+        return [_resolve_meta_paths(v) for v in node]
+    if isinstance(node, str) and node.startswith(("meta/", "meta" + os.sep)):
+        return resolve_meta_path(node)
+    return node
+
 
 def load_yaml_with_include(path: str) -> Dict:
     with open(path) as f:
@@ -28,7 +63,7 @@ def load_yaml_with_include(path: str) -> Dict:
         for key in include["keys"]:
             if key not in config:
                 config[key] = base[key]
-    return config
+    return _resolve_meta_paths(config)
 
 
 def save_config(config: Dict, save_folder: str, name: str = "config.yaml") -> str:
