@@ -76,6 +76,43 @@ class TestClipScores:
         cats = sorted(e for e in merged["c"] if e[2] == "cat")
         assert cats == [[0.0, 3.0, "cat"], [5.0, 6.0, "cat"]]
 
+    def test_merge_maestro_ground_truth(self):
+        """Clip ids <file>-<onset_cs>-<offset_cs>: events shift by
+        onset//100 seconds and per-class overlaps merge across clips
+        (reference decoder.py:106-116)."""
+        from transformer4sed_tpu.eval.scores import merge_maestro_ground_truth
+
+        clip_gt = {
+            "fileA-0-1000": [(0.0, 4.0, "car")],
+            "fileA-500-1500": [(0.0, 2.0, "car"), (1.0, 2.0, "birds_singing")],
+            "fileB-1000-2000": [(0.5, 1.0, "car")],
+        }
+        merged = merge_maestro_ground_truth(clip_gt)
+        # fileA car: (0,4) + (5+0, 5+2) -> adjacent at 4<5 stays split?
+        # no: 5.0 > 4.0 so two events; birds at (6,7)
+        assert sorted(e for e in merged["fileA"] if e[2] == "car") == [
+            [0.0, 4.0, "car"],
+            [5.0, 7.0, "car"],
+        ]
+        assert [e for e in merged["fileA"] if e[2] == "birds_singing"] == [
+            [6.0, 7.0, "birds_singing"]
+        ]
+        assert merged["fileB"] == [[10.5, 11.0, "car"]]
+
+    def test_maestro_classes_asset(self):
+        import json, os
+
+        path = os.path.join(os.path.dirname(__file__), "..", "meta", "maestro", "classes.json")
+        with open(path) as f:
+            tables = json.load(f)
+        assert len(tables["classes_labels_maestro_real"]) == 17
+        assert len(tables["classes_labels_maestro_synth"]) == 6
+        assert len(tables["classes_labels_desed"]) == 10
+        assert set(tables["classes_labels_maestro_real_eval"]) <= set(
+            tables["classes_labels_maestro_real"]
+        )
+        assert tables["maestro_desed_alias"]["dog_bark"] == "Dog"
+
 
 class TestDecode:
     def test_batched_decode(self):

@@ -109,6 +109,26 @@ def segment_scores_overlap_add(
     return out
 
 
+def merge_maestro_ground_truth(
+    clip_ground_truth: Dict[str, List[Tuple[float, float, str]]]
+) -> Dict[str, List[List]]:
+    """Merge MAESTRO clip-level ground truth into file-level events
+    (reference ``merge_maestro_ground_truth``, ``decoder.py:106-116``).
+
+    Clip ids are ``<file_id>-<onset_cs>-<offset_cs>`` (centiseconds);
+    each clip's events are shifted by the clip onset and per-class
+    overlaps merged.
+    """
+    ground_truth: Dict[str, List[Tuple[float, float, str]]] = {}
+    for clip_id, events in clip_ground_truth.items():
+        file_id, clip_onset, _ = clip_id.rsplit("-", maxsplit=2)
+        onset = int(clip_onset) // 100
+        ground_truth.setdefault(file_id, []).extend(
+            (onset + ev_on, onset + ev_off, ev_cls) for ev_on, ev_off, ev_cls in events
+        )
+    return merge_overlapping_events(ground_truth)
+
+
 def merge_overlapping_events(
     ground_truth_events: Dict[str, List[Tuple[float, float, str]]]
 ) -> Dict[str, List[List]]:
