@@ -38,9 +38,28 @@ class TestConfig:
             yaml.safe_dump(child, f)
         cfg = load_yaml_with_include(str(tmp_path / "child.yaml"))
         assert cfg["training"] == {"lr": 1}  # pulled from base
-        assert cfg["feature"] == {"n_mels": 64}  # local wins
+        # reference semantics (src/utils/__init__.py:33-35): listed keys
+        # come from the base, overwriting a same-named local section
+        assert cfg["feature"] == {"n_mels": 128}
+        assert cfg["generals"] == {"x": 1}  # unlisted local key kept
         assert "other" not in cfg
         assert "include" not in cfg
+
+    def test_include_config_root_relative(self, tmp_path):
+        """The reference's shipped configs use ./config/...-rooted include
+        paths (config/mat-sed/base/finetune2.yaml:2); they must resolve
+        from any cwd by anchoring at the including file's config/ root."""
+        d = tmp_path / "config" / "fam"
+        d.mkdir(parents=True)
+        with open(d / "base.yaml", "w") as f:
+            yaml.safe_dump({"feature": {"sr": 32000}}, f)
+        with open(d / "child.yaml", "w") as f:
+            yaml.safe_dump(
+                {"include": {"base_path": "./config/fam/base.yaml", "keys": ["feature"]}},
+                f,
+            )
+        cfg = load_yaml_with_include(str(d / "child.yaml"))
+        assert cfg["feature"] == {"sr": 32000}
 
     def test_save(self, tmp_path):
         p = save_config({"a": 1}, str(tmp_path / "out"))

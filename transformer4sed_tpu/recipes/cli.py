@@ -36,8 +36,10 @@ def build_model(config):
     from transformer4sed_tpu.models.passt_cnn import PaSST_CNN, PasstComplexCNN
     from transformer4sed_tpu.models.passt_sed import PaSST_SED
 
+    from transformer4sed_tpu.recipes.common import model_init_kwargs
+
     name = config.get("model_name", "PaSST_SED")
-    kwargs = dict(config.get(name, {}).get("init_kwargs", {}))
+    kwargs = model_init_kwargs(config, name)
     model_cls = {
         "PaSST_SED": PaSST_SED,
         "PaSST_CNN": PaSST_CNN,
@@ -47,6 +49,24 @@ def build_model(config):
         "CLAP_SED": CLAP_SED,
         "DASM_HTSAT": DASM_HTSAT,
     }[name]
+    # translate reference config layouts to the flat flax constructors:
+    # PaSST_CNN's nested {passt_sed_param, cnn_param} (reference
+    # passt_cnn.py:11 — cnn_name rides inside cnn_param) and
+    # lora_config {r, lora_alpha, requires_grad_pretrain}
+    # (passt_lora.py:106-181; the requires_grad flag is an optimizer
+    # concern -> opt.lora_trainable here)
+    if "passt_sed_param" in kwargs:
+        sed_param = dict(kwargs.pop("passt_sed_param"))
+        cnn_param = kwargs.pop("cnn_param", None)
+        kwargs = {**sed_param, **kwargs}
+        if cnn_param is not None:
+            cnn_param = dict(cnn_param)
+            kwargs["cnn_name"] = cnn_param.pop("cnn_name", "base")
+            kwargs["cnn_param"] = cnn_param
+    lora_config = kwargs.pop("lora_config", None)
+    if lora_config:
+        kwargs.setdefault("lora_rank", lora_config.get("r", 0))
+        kwargs.setdefault("lora_alpha", lora_config.get("lora_alpha", 1.0))
     # tuple-ify yaml lists that flax attributes expect hashable
     for key in ("mlm_dict",):
         if isinstance(kwargs.get(key), dict):
@@ -70,7 +90,9 @@ def load_pretrained(model, frontend, config, args, logger):
     audio_len = config.get("feature", {}).get("audio_max_len", 10.0)
     mel = frontend.normalize(frontend(jnp.zeros((1, int(audio_len * frontend.sr)))))
     rngs = {"params": jax.random.PRNGKey(args.random_seed)}
-    if config.get(config.get("model_name", "PaSST_SED"), {}).get("init_kwargs", {}).get("mlm"):
+    from transformer4sed_tpu.recipes.common import model_init_kwargs
+
+    if model_init_kwargs(config).get("mlm"):
         rngs["mlm"] = jax.random.PRNGKey(1)
     variables = model.init(rngs, mel)
     params = variables["params"]
@@ -87,7 +109,7 @@ def load_pretrained(model, frontend, config, args, logger):
             _mname = config.get("model_name", "PaSST_SED")
             restored, torch_state = convert_torch_checkpoint(
                 load_torch_state_dict(args.pretrained_ckpt), _mname,
-                init_kwargs=config.get(_mname, {}).get("init_kwargs", {}),
+                init_kwargs=model_init_kwargs(config, _mname),
             )
             if torch_state and model_state:
                 model_state = load_partial(model_state, torch_state)

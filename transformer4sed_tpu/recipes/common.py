@@ -38,6 +38,32 @@ from transformer4sed_tpu.utils.config import (
 from transformer4sed_tpu.utils.logging import Logger
 
 
+_FORWARD_KWARG_KEYS = (
+    "init_kwargs",
+    "train_stu_kwargs",
+    "train_tch_kwargs",
+    "train_kwargs",
+    "val_kwargs",
+    "test_kwargs",
+)
+
+
+def model_init_kwargs(config: Dict, name: Optional[str] = None) -> Dict:
+    """Constructor kwargs from the ``<ModelName>`` config section.
+
+    Accepts both reference layouts: the nested one
+    (``PaSST_SED: {init_kwargs: {...}, val_kwargs: {...}}`` —
+    finetune/DASM configs, splatted at e.g. reference ``main.py:95``)
+    and the flat one where the kwargs sit directly under the model name
+    (``config/mat-sed/base/pretrain.yaml:41``, consumed as
+    ``PaSST_SED(**config["PaSST_SED"])`` by the MLM setting).
+    """
+    section = dict(config.get(name or config.get("model_name", "PaSST_SED"), {}))
+    if "init_kwargs" in section:
+        return dict(section["init_kwargs"])
+    return {k: v for k, v in section.items() if k not in _FORWARD_KWARG_KEYS}
+
+
 def build_argparser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(description="transformer4sed_tpu recipe runner")
     parser.add_argument("--config_dir", type=str, required=True, help="YAML config path")

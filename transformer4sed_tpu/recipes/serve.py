@@ -182,7 +182,7 @@ def main(argv=None):
         _mname = config.get("model_name", "PaSST_SED")
         params, model_state = convert_torch_checkpoint(
             load_torch_state_dict(args.ckpt), _mname,
-            init_kwargs=config.get(_mname, {}).get("init_kwargs", {}),
+            init_kwargs=common.model_init_kwargs(config, _mname),
         )
         model_state = model_state or None
     else:

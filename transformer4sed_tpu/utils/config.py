@@ -1,11 +1,17 @@
-"""YAML config system with single-level ``include:`` inheritance.
+"""YAML config system with ``include:`` inheritance.
 
-Same schema as the reference loader (``src/utils/__init__.py:24-37``):
-a config may contain ``include: {base_path: <relative yaml>, keys:
-[...]}``; the listed top-level keys are pulled from the base file
-(current file wins on conflict — the reference only copies keys that
-are absent). The fully resolved config is dumped to the save folder for
-reproducibility (``recipes/desed/setting.py:23-56`` behaviour).
+Same schema AND semantics as the reference loader
+(``src/utils/__init__.py:24-37``): a config may contain ``include:
+{base_path: <yaml>, keys: [...]}``; every listed top-level key is taken
+from the base file, unconditionally overwriting a same-named section in
+the including file (``main_content[key] = base_dict[key]``) — so list a
+key in ``keys`` only when the base's version is wanted. ``base_path``
+may be relative to the including file (this repo's configs) or to the
+repo/config root as the reference's shipped configs are
+(``./config/mat-sed/base/finetune1.yaml`` opened cwd-relative after the
+mains chdir to the repo root); both resolve here, so the reference's
+yamls load verbatim. The fully resolved config is dumped to the save
+folder for reproducibility (``recipes/desed/setting.py:23-56``).
 """
 
 from __future__ import annotations
@@ -51,18 +57,41 @@ def _resolve_meta_paths(node):
     return node
 
 
+def _resolve_include_path(base_path: str, including_file: str) -> str:
+    """Find the include base: absolute, file-relative, cwd-relative, or
+    anchored at the including file's ``config/`` root (the reference's
+    ``./config/...`` layout loaded from any cwd)."""
+    if os.path.isabs(base_path):
+        return base_path
+    candidates = [
+        os.path.join(os.path.dirname(including_file), base_path),
+        base_path,  # cwd-relative (reference mains chdir to repo root)
+    ]
+    norm = base_path.lstrip("./")
+    if norm.startswith("config" + os.sep) or norm.startswith("config/"):
+        # anchor at the path prefix before the including file's /config/
+        abs_file = os.path.abspath(including_file)
+        marker = os.sep + "config" + os.sep
+        if marker in abs_file:
+            root = abs_file.split(marker)[0]
+            candidates.append(os.path.join(root, norm))
+    for cand in candidates:
+        if os.path.exists(cand):
+            return cand
+    return candidates[0]  # let open() raise with the primary candidate
+
+
 def load_yaml_with_include(path: str) -> Dict:
     with open(path) as f:
         config = yaml.safe_load(f)
     include = config.pop("include", None)
     if include:
-        base_path = include["base_path"]
-        if not os.path.isabs(base_path):
-            base_path = os.path.join(os.path.dirname(path), base_path)
+        base_path = _resolve_include_path(include["base_path"], path)
         base = load_yaml_with_include(base_path)  # bases may include too
         for key in include["keys"]:
-            if key not in config:
-                config[key] = base[key]
+            # reference semantics: listed keys come from the base,
+            # overwriting any same-named local section
+            config[key] = base[key]
     return _resolve_meta_paths(config)
 
 
