@@ -49,24 +49,8 @@ def build_model(config):
         "CLAP_SED": CLAP_SED,
         "DASM_HTSAT": DASM_HTSAT,
     }[name]
-    # translate reference config layouts to the flat flax constructors:
-    # PaSST_CNN's nested {passt_sed_param, cnn_param} (reference
-    # passt_cnn.py:11 — cnn_name rides inside cnn_param) and
-    # lora_config {r, lora_alpha, requires_grad_pretrain}
-    # (passt_lora.py:106-181; the requires_grad flag is an optimizer
-    # concern -> opt.lora_trainable here)
-    if "passt_sed_param" in kwargs:
-        sed_param = dict(kwargs.pop("passt_sed_param"))
-        cnn_param = kwargs.pop("cnn_param", None)
-        kwargs = {**sed_param, **kwargs}
-        if cnn_param is not None:
-            cnn_param = dict(cnn_param)
-            kwargs["cnn_name"] = cnn_param.pop("cnn_name", "base")
-            kwargs["cnn_param"] = cnn_param
-    lora_config = kwargs.pop("lora_config", None)
-    if lora_config:
-        kwargs.setdefault("lora_rank", lora_config.get("r", 0))
-        kwargs.setdefault("lora_alpha", lora_config.get("lora_alpha", 1.0))
+    # model_init_kwargs already normalised the reference layouts
+    # (passt_sed_param/cnn_param nesting, lora_config) to flat fields.
     # tuple-ify yaml lists that flax attributes expect hashable
     for key in ("mlm_dict",):
         if isinstance(kwargs.get(key), dict):

@@ -49,19 +49,41 @@ _FORWARD_KWARG_KEYS = (
 
 
 def model_init_kwargs(config: Dict, name: Optional[str] = None) -> Dict:
-    """Constructor kwargs from the ``<ModelName>`` config section.
+    """FLAT constructor kwargs from the ``<ModelName>`` config section.
 
-    Accepts both reference layouts: the nested one
-    (``PaSST_SED: {init_kwargs: {...}, val_kwargs: {...}}`` —
-    finetune/DASM configs, splatted at e.g. reference ``main.py:95``)
-    and the flat one where the kwargs sit directly under the model name
-    (``config/mat-sed/base/pretrain.yaml:41``, consumed as
-    ``PaSST_SED(**config["PaSST_SED"])`` by the MLM setting).
+    Accepts every reference layout and normalises to the flax
+    constructors' flat fields, so ALL consumers (build_model, the torch
+    checkpoint converters, serving) see the same keys:
+
+    * nested ``{init_kwargs: {...}, val_kwargs: {...}}`` (finetune/DASM
+      configs, splatted at e.g. reference ``main.py:95``) and the flat
+      style where kwargs sit directly under the model name
+      (``config/mat-sed/base/pretrain.yaml:41``);
+    * PaSST_CNN's ``{passt_sed_param, cnn_param}`` nesting (reference
+      ``passt_cnn.py:11`` — ``cnn_name`` rides inside ``cnn_param``);
+    * ``lora_config {r, lora_alpha, requires_grad_pretrain}``
+      (``passt_lora.py:106-181``) -> ``lora_rank``/``lora_alpha``; the
+      requires_grad flag is an optimizer concern, read by
+      :func:`optimizer_from_config`.
     """
     section = dict(config.get(name or config.get("model_name", "PaSST_SED"), {}))
     if "init_kwargs" in section:
-        return dict(section["init_kwargs"])
-    return {k: v for k, v in section.items() if k not in _FORWARD_KWARG_KEYS}
+        kwargs = dict(section["init_kwargs"])
+    else:
+        kwargs = {k: v for k, v in section.items() if k not in _FORWARD_KWARG_KEYS}
+    if "passt_sed_param" in kwargs:
+        sed_param = dict(kwargs.pop("passt_sed_param"))
+        cnn_param = kwargs.pop("cnn_param", None)
+        kwargs = {**sed_param, **kwargs}
+        if cnn_param is not None:
+            cnn_param = dict(cnn_param)
+            kwargs["cnn_name"] = cnn_param.pop("cnn_name", "base")
+            kwargs["cnn_param"] = cnn_param
+    lora_config = kwargs.pop("lora_config", None)
+    if lora_config:
+        kwargs.setdefault("lora_rank", lora_config.get("r", 0))
+        kwargs.setdefault("lora_alpha", lora_config.get("lora_alpha", 1.0))
+    return kwargs
 
 
 def build_argparser() -> argparse.ArgumentParser:

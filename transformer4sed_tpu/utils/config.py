@@ -63,18 +63,21 @@ def _resolve_include_path(base_path: str, including_file: str) -> str:
     ``./config/...`` layout loaded from any cwd)."""
     if os.path.isabs(base_path):
         return base_path
-    candidates = [
-        os.path.join(os.path.dirname(including_file), base_path),
-        base_path,  # cwd-relative (reference mains chdir to repo root)
-    ]
-    norm = base_path.lstrip("./")
-    if norm.startswith("config" + os.sep) or norm.startswith("config/"):
-        # anchor at the path prefix before the including file's /config/
+    candidates = [os.path.join(os.path.dirname(including_file), base_path)]
+    norm = base_path
+    while norm.startswith("./"):
+        norm = norm[2:]
+    if norm.startswith("config/") or norm.startswith("config" + os.sep):
+        # anchor at the path prefix before the including file's /config/.
+        # This must outrank the bare cwd-relative candidate: otherwise a
+        # config loaded from another checkout would silently include a
+        # same-named base from the CURRENT repo's config tree.
         abs_file = os.path.abspath(including_file)
         marker = os.sep + "config" + os.sep
         if marker in abs_file:
             root = abs_file.split(marker)[0]
             candidates.append(os.path.join(root, norm))
+    candidates.append(base_path)  # cwd-relative (reference mains chdir to root)
     for cand in candidates:
         if os.path.exists(cand):
             return cand
