@@ -61,12 +61,58 @@ class TestConfig:
         cfg = load_yaml_with_include(str(d / "child.yaml"))
         assert cfg["feature"] == {"sr": 32000}
 
+    def test_include_anchors_at_last_config_dir(self, tmp_path):
+        """A checkout living under a path that itself contains /config/
+        must anchor ./config/... includes at the LAST config/ before the
+        including file, not the first occurrence in the absolute path."""
+        inner = tmp_path / "config" / "t4sed" / "config" / "fam"
+        inner.mkdir(parents=True)
+        # decoy at the OUTER anchor: picking the first /config/ would hit it
+        decoy = tmp_path / "config" / "fam"
+        decoy.mkdir(parents=True)
+        with open(decoy / "base.yaml", "w") as f:
+            yaml.safe_dump({"feature": {"sr": -1}}, f)
+        with open(inner / "base.yaml", "w") as f:
+            yaml.safe_dump({"feature": {"sr": 32000}}, f)
+        with open(inner / "child.yaml", "w") as f:
+            yaml.safe_dump(
+                {"include": {"base_path": "./config/fam/base.yaml", "keys": ["feature"]}},
+                f,
+            )
+        cfg = load_yaml_with_include(str(inner / "child.yaml"))
+        assert cfg["feature"] == {"sr": 32000}
+
     def test_save(self, tmp_path):
         p = save_config({"a": 1}, str(tmp_path / "out"))
         assert os.path.exists(p)
 
 
 class TestCheckpoint:
+    def test_sibling_model_state_teacher_pairing(self, tmp_path):
+        """Teacher checkpoints load the teacher's OWN BatchNorm stats
+        (the trees diverge by design); student checkpoints the student's;
+        stat-less checkpoints return None."""
+        from transformer4sed_tpu.recipes.common import sibling_model_state
+
+        best = tmp_path / "best"
+        save_params(str(best / "best_student"), {"w": jnp.zeros((2,))})
+        save_params(str(best / "best_teacher"), {"w": jnp.ones((2,))})
+        save_params(str(best / "best_model_state"),
+                    {"batch_stats": {"m": jnp.asarray([1.0])}})
+        save_params(str(best / "best_model_state_teacher"),
+                    {"batch_stats": {"m": jnp.asarray([2.0])}})
+        s = sibling_model_state(str(best / "best_student"))
+        t = sibling_model_state(str(best / "best_teacher"))
+        assert float(np.asarray(s["batch_stats"]["m"])[0]) == 1.0
+        assert float(np.asarray(t["batch_stats"]["m"])[0]) == 2.0
+        # teacher falls back to the shared stats when no teacher dir exists
+        import shutil
+
+        shutil.rmtree(best / "best_model_state_teacher")
+        t2 = sibling_model_state(str(best / "best_teacher"))
+        assert float(np.asarray(t2["batch_stats"]["m"])[0]) == 1.0
+        assert sibling_model_state(str(tmp_path / "nowhere" / "ckpt")) is None
+
     def test_params_roundtrip(self, tmp_path):
         params = {"w": jnp.arange(6.0).reshape(2, 3), "b": {"x": jnp.ones((4,))}}
         path = save_params(str(tmp_path / "p"), params)

@@ -243,8 +243,15 @@ def fetch_passt_checkpoint(name: str, cache_dir: "Optional[str]" = None) -> str:
     if os.path.exists(dst):
         return dst
     tmp = f"{dst}.tmp{os.getpid()}"
-    urllib.request.urlretrieve(url, tmp)
-    os.replace(tmp, dst)
+    try:
+        urllib.request.urlretrieve(url, tmp)
+        os.replace(tmp, dst)
+    except BaseException:
+        # failed/interrupted download: never leave a multi-hundred-MB
+        # orphan behind, and never let a partial file become `dst`
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
     return dst
 
 
@@ -252,7 +259,7 @@ def load_pretrained_passt_params(
     name: str = "passt_s_swa_p16_128_ap476",
     cache_dir: "Optional[str]" = None,
     path: "Optional[str]" = None,
-    depth: int = 12,
+    depth: "Optional[int]" = None,
 ):
     """Fetch (or reuse ``path``) + import a variant's weights as flax params.
 

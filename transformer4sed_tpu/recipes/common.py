@@ -48,6 +48,30 @@ _FORWARD_KWARG_KEYS = (
 )
 
 
+def sibling_model_state(ckpt_path: str) -> Optional[Dict]:
+    """BatchNorm running stats saved next to an orbax params checkpoint.
+
+    Training stages write ``best_model_state`` (and, for mean-teacher,
+    ``best_model_state_teacher``) beside ``best_student``/``best_teacher``
+    — required for HTSAT-family checkpoints. Teacher params pair with
+    the teacher's OWN stats: the trees diverge by design (the reference
+    ``update_ema`` iterates parameters only, so buffers evolve from the
+    teacher's train-mode forwards). Returns None when no sibling exists
+    (stat-less models).
+    """
+    from transformer4sed_tpu.utils.checkpoint import restore_params
+
+    base = os.path.dirname(os.path.abspath(ckpt_path))
+    names = ["best_model_state"]
+    if "teacher" in os.path.basename(ckpt_path):
+        names.insert(0, "best_model_state_teacher")
+    for name in names:
+        ms_dir = os.path.join(base, name)
+        if os.path.isdir(ms_dir):
+            return restore_params(ms_dir)
+    return None
+
+
 def model_init_kwargs(config: Dict, name: Optional[str] = None) -> Dict:
     """FLAT constructor kwargs from the ``<ModelName>`` config section.
 

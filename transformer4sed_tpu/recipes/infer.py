@@ -169,17 +169,7 @@ def main(argv=None):
     codec = common.codec_from_config(config)
     model, frontend = build_model(config)
     params = restore_params(args.ckpt)
-    # BatchNorm running stats saved next to the params by the training
-    # stages (teacher checkpoints pair with best_model_state_teacher)
-    import os as _os
-
-    _base = _os.path.dirname(_os.path.abspath(args.ckpt))
-    _name = ("best_model_state_teacher"
-             if "teacher" in _os.path.basename(args.ckpt) else "best_model_state")
-    _ms_dir = _os.path.join(_base, _name)
-    if not _os.path.isdir(_ms_dir):
-        _ms_dir = _os.path.join(_base, "best_model_state")
-    model_state = restore_params(_ms_dir) if _os.path.isdir(_ms_dir) else None
+    model_state = common.sibling_model_state(args.ckpt)
     wav = load_audio(args.wav, codec.sr)
     query = None if args.query is None else jnp.asarray(np.load(args.query))
     model_name = config.get("model_name", "PaSST_SED")

@@ -9,6 +9,7 @@ checkpoints full train state.
 
 from __future__ import annotations
 
+import os
 import time
 from collections import OrderedDict
 from typing import Any, Dict, Optional
@@ -182,7 +183,10 @@ class MATSEDTrainer:
 
     def _collect_scores(self, params, kwargs_key: str, model_state=None, raw: bool = False):
         """Score the validation loader; ``raw=True`` returns unfiltered
-        score curves (for cSEBB tuning) instead of median-filtered ones."""
+        score curves (for cSEBB tuning) instead of median-filtered ones —
+        and skips the event decode / weak-pred accumulation its callers
+        would discard (the host-side decode sweep costs more than the
+        forward at DESED validation size)."""
         scores_post = {}
         event_rows = []
         weak_preds_all, weak_labels_all = [], []
@@ -202,6 +206,8 @@ class MATSEDTrainer:
                 need_weak_mask=self.config["training"].get("weak_mask", False),
             )
             scores_post.update(raw_scores if raw else post)
+            if raw:
+                continue
             preds = decode_pred_batch(
                 out.strong, out.weak, batch["filename"], self.codec, [0.5], self.median_filter
             )
@@ -299,7 +305,9 @@ class MATSEDTrainer:
         # val tables when no separate test split is configured — the
         # reference's usual DESED setup)
         test_tsv = ds.get("test_tsv") or ds["val_tsv"]
-        same_as_val = test_tsv == ds["val_tsv"]
+        # path identity, not string equality: an absolute or ./-spelled
+        # test_tsv naming the same file as val_tsv is still the val split
+        same_as_val = os.path.realpath(test_tsv) == os.path.realpath(ds["val_tsv"])
         test_gt = (
             self.ground_truth if same_as_val else common.load_ground_truth(test_tsv)
         )
@@ -376,7 +384,6 @@ class MATSEDTrainer:
         results = {"psds1": psds1, "psds2": psds2}
         if save_dir:
             import json
-            import os
 
             os.makedirs(save_dir, exist_ok=True)
             ordered = dict(sorted(single1.items(), key=lambda kv: kv[1]))

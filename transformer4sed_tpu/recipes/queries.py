@@ -236,8 +236,7 @@ def _cmd_extract_audio(args) -> int:
     codec = common.codec_from_config(config)
     model, frontend = build_model(config)
     params = restore_params(args.ckpt)
-    ms_dir = os.path.join(os.path.dirname(os.path.abspath(args.ckpt)), "best_model_state")
-    model_state = restore_params(ms_dir) if os.path.isdir(ms_dir) else None
+    model_state = common.sibling_model_state(args.ckpt)
 
     @jax.jit
     def _embed(params, model_state, wav):

@@ -187,16 +187,7 @@ def main(argv=None):
         model_state = model_state or None
     else:
         params = restore_params(args.ckpt)
-        # BatchNorm running stats saved by the training stages next to the
-        # params — required for HTSAT-family checkpoints; teacher checkpoints
-        # pair with the teacher's own stats (the trees diverge by design)
-        base = os.path.dirname(os.path.abspath(args.ckpt))
-        name = ("best_model_state_teacher"
-                if "teacher" in os.path.basename(args.ckpt) else "best_model_state")
-        ms_dir = os.path.join(base, name)
-        if not os.path.isdir(ms_dir):
-            ms_dir = os.path.join(base, "best_model_state")
-        model_state = restore_params(ms_dir) if os.path.isdir(ms_dir) else None
+        model_state = common.sibling_model_state(args.ckpt)
     model_name = config.get("model_name", "PaSST_SED")
     model_kwargs = dict(config.get(model_name, {}).get("test_kwargs", {}))
     if query is not None:

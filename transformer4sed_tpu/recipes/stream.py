@@ -233,13 +233,7 @@ def main(argv=None):
     codec = common.codec_from_config(config)
     model, frontend = build_model(config)
     params = restore_params(args.ckpt)
-    base = os.path.dirname(os.path.abspath(args.ckpt))
-    name = ("best_model_state_teacher"
-            if "teacher" in os.path.basename(args.ckpt) else "best_model_state")
-    ms_dir = os.path.join(base, name)
-    if not os.path.isdir(ms_dir):
-        ms_dir = os.path.join(base, "best_model_state")
-    model_state = restore_params(ms_dir) if os.path.isdir(ms_dir) else None
+    model_state = common.sibling_model_state(args.ckpt)
     model_name = config.get("model_name", "PaSST_SED")
 
     scorer = StreamingScorer(

@@ -75,7 +75,10 @@ def _resolve_include_path(base_path: str, including_file: str) -> str:
         abs_file = os.path.abspath(including_file)
         marker = os.sep + "config" + os.sep
         if marker in abs_file:
-            root = abs_file.split(marker)[0]
+            # the LAST /config/ before the file is the tree root — a repo
+            # checked out under a path that itself contains /config/ must
+            # not anchor at that outer occurrence
+            root = abs_file.rsplit(marker, 1)[0]
             candidates.append(os.path.join(root, norm))
     candidates.append(base_path)  # cwd-relative (reference mains chdir to root)
     for cand in candidates:

@@ -938,30 +938,27 @@ def convert_resnet(sd: Mapping[str, np.ndarray], prefix: str = "cnn") -> Tuple[D
     params: Dict = {}
     batch_stats: Dict = {}
 
-    def conv(tp, p):
+    def conv(tp):
         return {"kernel": np.transpose(sd[tp + ".weight"], (2, 3, 1, 0)),
                 **({"bias": sd[tp + ".bias"]} if tp + ".bias" in sd else {})}
 
-    def bn(dst, tp):
+    def bn(tp):
         params_sub = {"scale": sd[tp + ".weight"], "bias": sd[tp + ".bias"]}
         stats_sub = {"mean": sd[tp + ".running_mean"], "var": sd[tp + ".running_var"]}
         return params_sub, stats_sub
 
     if f"{prefix}.pre_cov.weight" in sd:
-        params["pre_cov"] = conv(f"{prefix}.pre_cov", f"{prefix}.pre_cov")
+        params["pre_cov"] = conv(f"{prefix}.pre_cov")
     i = 0
     while f"{prefix}.res_block {i}.conv1.weight" in sd:
         tp = f"{prefix}.res_block {i}"
-        blk: Dict = {"conv1": conv(tp + ".conv1", tp + ".conv1"),
-                     "conv2": conv(tp + ".conv2", tp + ".conv2")}
+        blk: Dict = {"conv1": conv(tp + ".conv1"), "conv2": conv(tp + ".conv2")}
         blk_stats: Dict = {}
         for n in ("bn1", "bn2"):
-            blk[n], blk_stats[n] = bn(n, f"{tp}.{n}")
+            blk[n], blk_stats[n] = bn(f"{tp}.{n}")
         if f"{tp}.downsample.1.weight" in sd:
-            blk["downsample_conv"] = conv(tp + ".downsample.1", tp + ".downsample.1")
-            blk["downsample_bn"], blk_stats["downsample_bn"] = bn(
-                "downsample_bn", f"{tp}.downsample.2"
-            )
+            blk["downsample_conv"] = conv(tp + ".downsample.1")
+            blk["downsample_bn"], blk_stats["downsample_bn"] = bn(f"{tp}.downsample.2")
         params[f"res_block{i}"] = blk
         batch_stats[f"res_block{i}"] = blk_stats
         i += 2
@@ -973,7 +970,7 @@ def convert_resnet(sd: Mapping[str, np.ndarray], prefix: str = "cnn") -> Tuple[D
             "bias": sd[f"{prefix}.cnn_1d_{j}.conv_1d.bias"],
         }
         params[f"cnn_1d_bn{j}"], batch_stats[f"cnn_1d_bn{j}"] = bn(
-            f"cnn_1d_bn{j}", f"{prefix}.cnn_1d_{j}.norm_layer"
+            f"{prefix}.cnn_1d_{j}.norm_layer"
         )
         j += 1
     if not params:
