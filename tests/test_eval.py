@@ -241,3 +241,16 @@ class TestF1:
         }
         val = intersection_macro_f1(rows, GT, CLASSES)
         assert val == pytest.approx(1.0)
+
+    def test_intersection_macro_f1_drops_absent_classes(self):
+        """Classes with no ground-truth events are excluded from the macro
+        mean (psds_eval nan-mean semantics), not counted as F1=0."""
+        rows = {
+            0.5: [
+                ("clip1.wav", "cat", 1.0, 3.0),
+                ("clip1.wav", "dog", 5.0, 7.0),
+                ("clip2.wav", "dog", 0.0, 2.0),
+            ]
+        }
+        val = intersection_macro_f1(rows, GT, tuple(CLASSES) + ("ghost",))
+        assert val == pytest.approx(1.0)

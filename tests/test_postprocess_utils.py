@@ -63,6 +63,17 @@ class TestEnsemble:
         assert set(tables) == {"clip.tsv"}
         assert len(tables["clip.tsv"]) == 2
 
+    def test_load_rejects_mismatched_file_sets(self, tmp_path):
+        """A typo'd model folder (different/empty TSV set) fails loudly
+        (reference ensemble.py:14-19), never a silent partial ensemble."""
+        os.makedirs(tmp_path / "m1")
+        os.makedirs(tmp_path / "m2_typo")
+        pd.DataFrame(
+            {"onset": [0.0], "offset": [1.0], "a": [0.5]}
+        ).to_csv(tmp_path / "m1" / "clip.tsv", sep="\t", index=False)
+        with pytest.raises(ValueError, match="different TSV set"):
+            load_score_tables([str(tmp_path / "m1"), str(tmp_path / "m2_typo")])
+
 
 class TestStatistics:
     def test_count_parameters(self):

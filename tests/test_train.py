@@ -84,6 +84,68 @@ class TestParamLabels:
         assert flat["backbone/blocks_1/attn/qkv/kernel"] == "encoder_high"
         assert flat["backbone/norm/scale"] == "encoder_high"
 
+    def test_hierarchical_backbone_global_block_depth(self):
+        """HTSAT-style layers_{i}/blocks_{j} naming must count whole-network
+        depth for freeze_layer/step_lr, not the within-layer index."""
+        import flax
+
+        fake = {
+            "backbone": {
+                f"layers_{i}": {
+                    f"blocks_{j}": {"attn": {"kernel": jnp.ones((2, 2))}}
+                    for j in range(2)
+                }
+                for i in range(3)
+            },
+            "classifier": {"kernel": jnp.ones((2, 2))},
+        }
+        # 6 global blocks; freeze the first 4 -> layers_2 (global 4, 5) live
+        cfg = ParamGroupConfig(
+            encoder=GroupSpec(lr=1e-4, freeze_layer=4), backbone_depth=6
+        )
+        flat = flax.traverse_util.flatten_dict(label_params(fake, cfg), sep="/")
+        assert flat["backbone/layers_0/blocks_1/attn/kernel"] == "frozen"
+        assert flat["backbone/layers_1/blocks_1/attn/kernel"] == "frozen"
+        assert flat["backbone/layers_2/blocks_0/attn/kernel"] == "encoder_low"
+        assert flat["backbone/layers_2/blocks_1/attn/kernel"] == "encoder_low"
+        # step_lr counts from the top of the GLOBAL stack
+        cfg2 = ParamGroupConfig(
+            encoder=GroupSpec(lr=1e-4, step_lr=2), backbone_depth=6
+        )
+        flat2 = flax.traverse_util.flatten_dict(label_params(fake, cfg2), sep="/")
+        assert flat2["backbone/layers_2/blocks_0/attn/kernel"] == "encoder_high"
+        assert flat2["backbone/layers_1/blocks_1/attn/kernel"] == "encoder_low"
+
+    def test_clip_norm_ignores_frozen_gradients(self):
+        """Frozen-group gradients must not inflate the global norm: the
+        live groups' updates are identical whether the frozen gradient is
+        tiny or enormous (the reference's clip sees grad=None there)."""
+        params = {
+            "backbone": {"blocks_0": {"kernel": jnp.ones((2, 2))}},
+            "classifier": {"kernel": jnp.ones((2, 2))},
+        }
+        cfg = ParamGroupConfig(
+            encoder=GroupSpec(lr=0.0),  # backbone frozen
+            head=GroupSpec(lr=1e-3),
+            backbone_depth=1,
+            clip_grad=1.0,
+        )
+        tx, _ = build_optimizer(params, cfg)
+        state = tx.init(params)
+        g_head = jnp.full((2, 2), 0.1)
+        small = {"backbone": {"blocks_0": {"kernel": jnp.zeros((2, 2))}},
+                 "classifier": {"kernel": g_head}}
+        huge = {"backbone": {"blocks_0": {"kernel": jnp.full((2, 2), 1e6)}},
+                "classifier": {"kernel": g_head}}
+        up_small, _ = tx.update(small, state, params)
+        up_huge, _ = tx.update(huge, state, params)
+        np.testing.assert_allclose(
+            np.asarray(up_small["classifier"]["kernel"]),
+            np.asarray(up_huge["classifier"]["kernel"]),
+            rtol=1e-6,
+        )
+        assert float(jnp.abs(up_huge["backbone"]["blocks_0"]["kernel"]).max()) == 0.0
+
     def test_audioset_cnn_and_at_decoder_groups(self):
         """The AudioSet recipes' policy (set_lr.py / lr_set.py): separate
         LR groups for the CNN branch and the DASM AT decoder; alias
@@ -239,6 +301,37 @@ class TestMeanTeacherStep:
         )
         max_diff = max(jax.tree_util.tree_leaves(diff))
         assert max_diff > 0
+
+    def test_empty_weak_span_builds_and_runs(self):
+        """weak_num=0 with mixup enabled must not crash at trace time
+        (mixup on an empty subset is a no-op, as in the reference's
+        mel[mask] indexing)."""
+        model = tiny_model()
+        frontend = tiny_frontend()
+        cfg = MeanTeacherConfig(
+            strong_num=2, weak_num=0, unlabel_num=2, net_pooling=1,
+            self_loss_warmup_steps=10, mixup_prob=1.0,
+        )
+        t_mel = 120
+        n_samples = (t_mel - 1) * 320 + 1
+        wav = np.random.RandomState(0).randn(4, n_samples).astype(np.float32)
+        t_out = (((t_mel - 16) // 10 + 1) + 1) * 10
+        labels = (np.random.RandomState(1).rand(4, 3, t_out) > 0.8).astype(np.float32)
+        batch = {"wav": jnp.asarray(wav), "labels": jnp.asarray(labels)}
+        variables = model.init({"params": KEY}, frontend.normalize(frontend(batch["wav"][:1])))
+
+        def model_apply(params, mel_in, train=False, rngs=None, **kw):
+            return model.apply({"params": params}, mel_in, train=train, rngs=rngs, **kw)
+
+        pg = ParamGroupConfig(
+            encoder=GroupSpec(lr=1e-4), decoder=GroupSpec(lr=1e-3),
+            head=GroupSpec(lr=1e-3), backbone_depth=2,
+        )
+        tx, _ = build_optimizer(variables["params"], pg)
+        state = create_mean_teacher_state(variables["params"], tx)
+        step = jax.jit(make_mean_teacher_step(model_apply, frontend, tx, cfg))
+        state, metrics = step(state, batch, jax.random.PRNGKey(0))
+        assert np.isfinite(float(metrics["loss_total"]))
 
     def test_batchnorm_model_state_threaded(self):
         """PaSST_CNN with the reference's default 'batch'-norm CNN branch

@@ -73,7 +73,15 @@ def batched_decode_preds(
         r, f = raw[j], filtered[j]
         if pad_idx is not None:
             true_len = int(r.shape[0] * float(pad_idx[j]))
-            r, f = r[:true_len], f[:true_len]
+            r = r[:true_len]
+            # truncate-then-filter like the reference (decoder.py:68-95):
+            # filtering the padded length would mix padded frames into the
+            # windows near the boundary instead of reflecting at true_len
+            f = (
+                np.asarray(apply_class_filter(r[None], widths, kind=filter_type))[0]
+                if filter
+                else r
+            )
         ts = codec.frame_to_time(np.arange(len(r) + 1))
         scores_raw[audio_id] = ClipScores(r, ts, codec.labels)
         scores_post[audio_id] = ClipScores(f, ts, codec.labels) if filter else scores_raw[audio_id]

@@ -111,14 +111,31 @@ def load_score_tables(folders: Sequence[str]) -> Dict[str, List[np.ndarray]]:
     """Load per-model TSV score folders into {filename: [tables...]}."""
     import pandas as pd
 
+    per_folder = {
+        folder: sorted(glob(os.path.join(folder, "*.tsv"))) for folder in folders
+    }
+    name_sets = {f: {os.path.basename(p) for p in paths} for f, paths in per_folder.items()}
+    ref_names = name_sets[folders[0]]
+    for folder, names in name_sets.items():
+        # mismatched file sets fail loudly (reference ensemble.py:14-19
+        # raises on any subfolder with a different set); silently
+        # intersecting would ensemble a partial — or empty — set
+        if names != ref_names:
+            diff = sorted(names ^ ref_names)[:5]
+            raise ValueError(
+                f"score folder {folder!r} holds a different TSV set than "
+                f"{folders[0]!r} (e.g. {diff}); every model folder must "
+                "contain the same clip files"
+            )
+    if not ref_names:
+        raise ValueError(f"no .tsv score tables found under {folders[0]!r}")
     predictions: Dict[str, List[np.ndarray]] = {}
     for folder in folders:
-        for path in sorted(glob(os.path.join(folder, "*.tsv"))):
-            name = os.path.basename(path)
-            predictions.setdefault(name, []).append(
+        for path in per_folder[folder]:
+            predictions.setdefault(os.path.basename(path), []).append(
                 pd.read_csv(path, sep="\t").to_numpy(dtype=np.float64)
             )
-    return {k: v for k, v in predictions.items() if len(v) == len(folders)}
+    return predictions
 
 
 def ensemble(root: str, output_dir: str, model_list: Sequence[str], weights: Sequence[float],

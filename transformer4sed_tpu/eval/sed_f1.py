@@ -145,8 +145,13 @@ def intersection_macro_f1(
         tp, fp, _ = evaluate_operating_point(
             det_arr, gt_by_clip_class, classes, dtc_threshold, gtc_threshold, cttc_threshold=1.1
         )
+        # classes with no ground-truth events are EXCLUDED from the macro
+        # mean (psds_eval's compute_macro_f_score leaves their F as NaN and
+        # nan-means — counting them as 0 would deflate the metric)
         per_class = []
         for c in classes:
+            if n_events[c] == 0:
+                continue
             fn = n_events[c] - tp[c]
             per_class.append(_f1(tp[c], fp[c], fn))
         f1s.append(float(np.mean(per_class)) if per_class else 0.0)

@@ -143,14 +143,19 @@ def make_mean_teacher_step(
             kshift, mel, labels, net_pooling=cfg.net_pooling, max_shift_frame=cfg.max_shift_frame
         )
 
-        # mixup within the strong and weak subsets, one shared coefficient,
-        # applied with prob mixup_prob (reference preprocess, train.py:77-80)
-        kc, kps, kpw = jax.random.split(kmix, 3)
-        c = jax.random.beta(kc, cfg.mixup_alpha, cfg.mixup_beta)
+        # mixup within the strong and weak subsets, an INDEPENDENT
+        # Beta(alpha, beta) coefficient per subset (the reference draws
+        # np.random.beta inside the per-mask loop, train.py:78-80),
+        # applied with prob mixup_prob
+        kps, kpw = jax.random.split(kmix)
         do_mix = jax.random.uniform(kmixp) < cfg.mixup_prob
 
         def mix_span(m, lab, key, lo, hi):
-            perm = lo + jax.random.permutation(key, hi - lo)
+            if hi - lo <= 0:  # empty subset: reference mixup on mel[mask] is a no-op
+                return m, lab
+            kc, kperm = jax.random.split(key)
+            c = jax.random.beta(kc, cfg.mixup_alpha, cfg.mixup_beta)
+            perm = lo + jax.random.permutation(kperm, hi - lo)
             full = jnp.arange(m.shape[0])
             perm_full = jnp.where((full >= lo) & (full < hi), perm[jnp.clip(full - lo, 0, hi - lo - 1)], full)
             mixed_m = c * m + (1 - c) * m[perm_full]
@@ -186,14 +191,15 @@ def make_mean_teacher_step(
             else:
                 stu_mel, tch_mel = views
 
-        # weak labels: tag-sum for weak rows, pooled strong grid for strong rows
-        weak_from_strong = pool_strong_labels(labels[:s])
+        # weak labels: tag-sum for the weak rows. The reference also builds
+        # pooled weak labels for the strong rows (train.py:86-88) but no
+        # loss ever consumes them — that dead branch is not reproduced.
         weak_from_tags = jnp.sum(labels[s : s + w], axis=-1)
-        return stu_mel, tch_mel, labels, weak_from_strong, weak_from_tags
+        return stu_mel, tch_mel, labels, weak_from_tags
 
     def loss_fn(params, teacher_params, model_state, teacher_model_state, batch, key, step):
         kpre, kstu, ktch = jax.random.split(key, 3)
-        stu_mel, tch_mel, labels, weak_strong, weak_tags = preprocess(batch, kpre)
+        stu_mel, tch_mel, labels, weak_tags = preprocess(batch, kpre)
 
         stu_rngs = {k: jax.random.fold_in(kstu, i) for i, k in enumerate(("patchout", "dropout", "mlm"))}
         tch_rngs = {k: jax.random.fold_in(ktch, i) for i, k in enumerate(("patchout", "dropout", "mlm"))}
@@ -215,10 +221,13 @@ def make_mean_teacher_step(
             new_ms, new_tms = model_state, teacher_model_state
         tch = jax.tree_util.tree_map(jax.lax.stop_gradient, tch)
 
-        # supervised
-        loss_class_strong = L.bce(stu.strong[:s], labels[:s])
-        loss_class_weak = L.bce(stu.weak[s : s + w], weak_tags)
-        loss_class_at = L.bce(stu.at_out[s : s + w], weak_tags)
+        # supervised — statically empty spans contribute zero loss (a mean
+        # over zero elements is NaN; span widths are static config, so the
+        # guard resolves at trace time)
+        zero = jnp.zeros(())
+        loss_class_strong = L.bce(stu.strong[:s], labels[:s]) if s > 0 else zero
+        loss_class_weak = L.bce(stu.weak[s : s + w], weak_tags) if w > 0 else zero
+        loss_class_at = L.bce(stu.at_out[s : s + w], weak_tags) if w > 0 else zero
         # consistency (teacher targets already stop-gradiented)
         loss_cons_strong = L.mse(stu.strong, tch.strong)
         loss_cons_weak = L.mse(stu.weak, tch.at_out)

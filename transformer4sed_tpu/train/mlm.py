@@ -96,8 +96,11 @@ def make_mlm_step(
         else:
             out = model_apply(params, mel, train=True, rngs=rngs, **cfg.model_kwargs)
             new_ms = model_state
-        target = jax.lax.stop_gradient(out.frame_before_mask)
-        loss = mlm_loss(out.mlm_pred, target, out.mask_id_seq.astype(jnp.float32))
+        # NO stop_gradient on the target: the reference backpropagates
+        # through frame_before_mask too (mlm_passt/train.py:38 computes
+        # MSELoss(frame_before_mask[mask], pred[mask]) with no detach),
+        # which trains the f_pool/projector modules from both branches
+        loss = mlm_loss(out.mlm_pred, out.frame_before_mask, out.mask_id_seq.astype(jnp.float32))
         return loss, ({"loss_mlm": loss}, new_ms)
 
     def train_step(state: MLMState, batch, key):

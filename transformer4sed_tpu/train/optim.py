@@ -75,16 +75,44 @@ def _path_str(path) -> str:
     return "/".join(str(k.key) if hasattr(k, "key") else str(k) for k in path)
 
 
+def _backbone_block_key(name: str):
+    """(layer, block) sort key for a backbone param path, or None.
+
+    Flat ViT backbones name blocks ``blocks_{i}``; hierarchical ones
+    (HTSAT Swin) nest them as ``layers_{i}/blocks_{j}`` — the within-layer
+    ``j`` alone would mislabel freeze_layer/step_lr policies."""
+    m = re.search(r"(?:layers_(\d+)/)?blocks_(\d+)", name)
+    if m is None:
+        return None
+    return (int(m.group(1)) if m.group(1) is not None else -1, int(m.group(2)))
+
+
 def label_params(params, cfg: ParamGroupConfig):
     """Assign each leaf a group label following the reference policy."""
+    # global depth-order index over the backbone's blocks (flat or
+    # hierarchical), so freeze_layer / step_lr count whole-network depth
+    flat_names = [
+        _path_str(k)
+        for k in flax.traverse_util.flatten_dict(params, sep=None)
+    ]
+    block_keys = sorted(
+        {
+            k
+            for n in flat_names
+            if n.startswith("backbone/") or "/backbone/" in n
+            for k in [_backbone_block_key(n)]
+            if k is not None
+        }
+    )
+    global_block_idx = {k: i for i, k in enumerate(block_keys)}
 
     def label_of(path, _):
         name = _path_str(path)
         if cfg.lora_trainable and ("lora_A" in name or "lora_B" in name):
             return "decoder"
         if name.startswith("backbone/") or "/backbone/" in name:
-            m = re.search(r"blocks_(\d+)", name)
-            block_idx = int(m.group(1)) if m else None
+            bk = _backbone_block_key(name)
+            block_idx = global_block_idx[bk] if bk is not None else None
             is_final_norm = re.search(r"backbone/norm/", name + "/") is not None
             # freeze policy: blocks below freeze_layer frozen; final norm always live.
             # (lr <= 0 freezes the whole backbone: the reference leaves the final
@@ -99,9 +127,10 @@ def label_params(params, cfg: ParamGroupConfig):
                 if not trainable:
                     return "frozen"
             if cfg.encoder.step_lr:
+                depth = len(global_block_idx) or cfg.backbone_depth
                 high = (
                     block_idx is not None
-                    and cfg.backbone_depth - block_idx <= cfg.encoder.step_lr
+                    and depth - block_idx <= cfg.encoder.step_lr
                 ) or is_final_norm
                 return "encoder_high" if high else "encoder_low"
             return "encoder_low"
@@ -156,7 +185,17 @@ def build_optimizer(
         transforms["query"] = _adamw(cfg.query.lr, cfg.query.weight_decay, schedule)
     tx = optax.multi_transform(transforms, labels)
     if cfg.clip_grad:
-        tx = optax.chain(optax.clip_by_global_norm(cfg.clip_grad), tx)
+        # zero frozen-group gradients BEFORE measuring the global norm:
+        # otherwise a frozen backbone's (discarded) gradients inflate the
+        # norm and over-clip the live groups' updates. The reference's
+        # clip_grad_norm sees grad=None for frozen params, so its norm is
+        # live-params-only (and is a no-op anyway — PARITY.md deviations).
+        zero_frozen = optax.multi_transform(
+            {k: optax.set_to_zero() if k == "frozen" else optax.identity()
+             for k in transforms},
+            labels,
+        )
+        tx = optax.chain(zero_frozen, optax.clip_by_global_norm(cfg.clip_grad), tx)
     return tx, labels
 
 
