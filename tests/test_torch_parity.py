@@ -2154,3 +2154,604 @@ class TestFrontendFullPipelineParity:
         ref = db.clamp(min=-50.0, max=80.0).numpy()
         assert ours.shape == ref.shape
         np.testing.assert_allclose(ours, ref, atol=3e-4)
+
+
+class TestMeanTeacherTrainStepTorchParity:
+    """End-to-end TRAINING parity: the reference mean-teacher loop
+    (finetune/train.py:129-213) rebuilt literally in torch — loss
+    assembly over the [strong | weak | unlabeled] masks, w_cons ramp
+    read from scheduler.step_num (completed steps + 1, scheduler.py:49),
+    AdamW, and update_ema with the post-step step_num
+    (scheduler.py:125-130) — stepped four times on a tiny PaSST_SED
+    against ``make_mean_teacher_step`` with identical initial weights
+    (shared via convert_torch_checkpoint) and augmentation disabled.
+    Per-step total losses and the final student AND teacher forwards
+    must agree, pinning the whole grad -> AdamW -> EMA chain, not just
+    the forward math."""
+
+    S, W, U = 2, 2, 2
+    N_STEPS = 4
+    WARMUP = 3  # crosses the ramp -> plateau boundary inside the run
+    LR, WD = 1e-3, 1e-2
+    W_WEAK, W_WEAK_CONS, W_AT, W_CONS_MAX = 0.5, 1.0, 0.2, 2.0
+    TEMP_W = 1.0
+
+    def _build_torch_weights(self, seed):
+        """One full tiny-MAT-SED weight set: (ordered param list for the
+        optimizer/EMA, parts dict for the forward)."""
+        torch.manual_seed(seed)
+        d, heads = D, HEADS
+        model = TorchMiniPaSST()
+        xl = {
+            "norm1.weight": (torch.rand(d) + 0.5).requires_grad_(),
+            "norm1.bias": (torch.randn(d) * 0.05).requires_grad_(),
+            "attn.in_proj.weight": (torch.randn(3 * d, d) * 0.1).requires_grad_(),
+            "attn.in_proj.bias": (torch.randn(3 * d) * 0.02).requires_grad_(),
+            "attn.out_proj.weight": (torch.randn(d, d) * 0.1).requires_grad_(),
+            "attn.out_proj.bias": (torch.randn(d) * 0.02).requires_grad_(),
+            "attn.linear_pos.weight": (torch.randn(d, d) * 0.1).requires_grad_(),
+            "attn.pos_bias_u": (torch.randn(heads, d // heads) * 0.1).requires_grad_(),
+            "attn.pos_bias_v": (torch.randn(heads, d // heads) * 0.1).requires_grad_(),
+            "norm2.weight": (torch.rand(d) + 0.5).requires_grad_(),
+            "norm2.bias": (torch.randn(d) * 0.05).requires_grad_(),
+            "mlp.fc1.weight": (torch.randn(d, d) * 0.1).requires_grad_(),
+            "mlp.fc1.bias": (torch.randn(d) * 0.02).requires_grad_(),
+            "mlp.fc2.weight": (torch.randn(d, d) * 0.1).requires_grad_(),
+            "mlp.fc2.bias": (torch.randn(d) * 0.02).requires_grad_(),
+        }
+        C = 3
+        parts = {
+            "model": model,
+            "xl": xl,
+            "out_norm_w": (torch.rand(d) + 0.5).requires_grad_(),
+            "out_norm_b": (torch.randn(d) * 0.05).requires_grad_(),
+            "cls_w": (torch.randn(C, d) * 0.1).requires_grad_(),
+            "cls_b": (torch.randn(C) * 0.02).requires_grad_(),
+            "at_pool": tnn.MultiheadAttention(d, heads, batch_first=True),
+            "at_token": (torch.randn(1, 1, d) * 0.02).requires_grad_(),
+            "at_w": (torch.randn(C, d) * 0.1).requires_grad_(),
+            "at_b": (torch.randn(C) * 0.02).requires_grad_(),
+        }
+        plist = (
+            list(model.parameters())
+            + [xl[k] for k in sorted(xl)]
+            + [parts[k] for k in ("out_norm_w", "out_norm_b", "cls_w", "cls_b", "at_token", "at_w", "at_b")]
+            + list(parts["at_pool"].parameters())
+        )
+        return plist, parts
+
+    def _torch_forward(self, parts, mel):
+        """Differentiable tiny PaSST_SED forward (mirrors
+        TestPaSSTSEDFullModelParity) -> (strong [B,C,T], weak, at_out)."""
+        import math
+
+        import torch.nn.functional as F
+
+        d, heads = D, HEADS
+        B = mel.shape[0]
+        frame, taps = parts["model"](mel.unsqueeze(1))
+        h = taps[DEPTH][:, 2:, :]
+        h = F.layer_norm(h, (d,), parts["out_norm_w"], parts["out_norm_b"], eps=1e-5)
+        f_dim, t_dim = 2, 19
+        h = h.reshape(B, f_dim, t_dim, d).mean(dim=1)
+        h = torch.cat((h, h[:, -1, :].unsqueeze(1)), dim=1)
+        h = F.interpolate(h.transpose(1, 2), scale_factor=10, mode="linear").transpose(1, 2)
+        xlp = TestXLDecoderTorchParity()
+        pos = xlp._torch_pos_emb(h.shape[1], d)
+        h = xlp._torch_block(h * math.sqrt(d), parts["xl"], pos, heads)
+        logits = h @ parts["cls_w"].t() + parts["cls_b"]
+        sed = torch.sigmoid(logits / self.TEMP_W)
+        weak = torch.clamp((sed * sed).sum(1) / sed.sum(1), 1e-7, 1.0)
+        at_emb = frame[:, 2:, :]
+        pooled, _ = parts["at_pool"](parts["at_token"].repeat(B, 1, 1), at_emb, at_emb)
+        at_out = torch.sigmoid(pooled.squeeze(1) @ parts["at_w"].t() + parts["at_b"])
+        return sed.transpose(1, 2), weak, at_out
+
+    def _export_sd(self, parts):
+        # np.copy everywhere: .detach().numpy() VIEWS the parameter
+        # storage, and the in-place AdamW steps below would silently
+        # mutate the exported dict before conversion
+        sd = {f"backbone.{k}": np.copy(v) for k, v in parts["model"].reference_state_dict().items()}
+        sd.update({f"decoder.encoder_blocks.0.{k}": np.copy(v.detach().numpy()) for k, v in parts["xl"].items()})
+        sd["out_norm.weight"] = np.copy(parts["out_norm_w"].detach().numpy())
+        sd["out_norm.bias"] = np.copy(parts["out_norm_b"].detach().numpy())
+        sd["classifier.weight"] = np.copy(parts["cls_w"].detach().numpy())
+        sd["classifier.bias"] = np.copy(parts["cls_b"].detach().numpy())
+        sd["at_adpater.0.f_att_token"] = np.copy(parts["at_token"].detach().numpy())
+        for k, v in parts["at_pool"].state_dict().items():
+            sd[f"at_adpater.0.frequency_att.{k}"] = np.copy(v.numpy())
+        sd["at_adpater.1.weight"] = np.copy(parts["at_w"].detach().numpy())
+        sd["at_adpater.1.bias"] = np.copy(parts["at_b"].detach().numpy())
+        return sd
+
+    def _ref_w_cons(self, completed_steps):
+        """get_self_weight + w_cons (train.py:96-115,181-182): step_num is
+        read BEFORE scheduler.step(), i.e. completed + 1."""
+        step_num = completed_steps + 1
+        if step_num < self.WARMUP:
+            warm = step_num / self.WARMUP
+            warm = 1.0 / (1.0 + np.exp(-10.0 * (warm - 0.5)))
+        else:
+            warm = 1.0
+        return max(self.W_CONS_MAX * warm, 0.0)
+
+    def test_four_steps_match(self):
+        import copy
+
+        import optax
+        import torch.nn.functional as F
+
+        from transformer4sed_tpu.models.passt_sed import PaSST_SED
+        from transformer4sed_tpu.train.mean_teacher import (
+            MeanTeacherConfig,
+            create_mean_teacher_state,
+            make_mean_teacher_step,
+        )
+        from transformer4sed_tpu.utils.torch_import import convert_torch_checkpoint
+
+        s, w, u = self.S, self.W, self.U
+        B, C, T = s + w + u, 3, 200
+        stu_list, stu_parts = self._build_torch_weights(seed=3)
+        sd = self._export_sd(stu_parts)
+
+        rng = np.random.RandomState(0)
+        mel_np = (rng.randn(B, *IMG) * 0.5).astype(np.float32)
+        labels_np = np.zeros((B, C, T), np.float32)
+        labels_np[:s] = (rng.rand(s, C, T) > 0.85).astype(np.float32)
+        labels_np[s : s + w, :, 0] = (rng.rand(w, C) > 0.5).astype(np.float32)
+
+        # ---------------- torch: the reference loop, literally ----------------
+        mel = torch.tensor(mel_np)
+        labels = torch.tensor(labels_np)
+        tch_parts = copy.deepcopy(stu_parts)
+        tch_list = (
+            list(tch_parts["model"].parameters())
+            + [tch_parts["xl"][k] for k in sorted(tch_parts["xl"])]
+            + [tch_parts[k] for k in ("out_norm_w", "out_norm_b", "cls_w", "cls_b", "at_token", "at_w", "at_b")]
+            + list(tch_parts["at_pool"].parameters())
+        )
+        opt = torch.optim.AdamW(stu_list, lr=self.LR, betas=(0.9, 0.999), eps=1e-8,
+                                weight_decay=self.WD)
+        labels_weak = labels[s : s + w].sum(-1)
+        torch_losses = []
+        for i in range(self.N_STEPS):
+            opt.zero_grad()
+            t_strong, t_weak, t_at = self._torch_forward(stu_parts, mel)
+            with torch.no_grad():
+                e_strong, e_weak, e_at = self._torch_forward(tch_parts, mel)
+            loss_class_at = F.binary_cross_entropy(t_at[s : s + w], labels_weak)
+            loss_cons_at = F.mse_loss(t_at, e_at)
+            loss_class_strong = F.binary_cross_entropy(t_strong[:s], labels[:s])
+            loss_class_weak = F.binary_cross_entropy(t_weak[s : s + w], labels_weak)
+            loss_cons_strong = F.mse_loss(t_strong, e_strong)
+            loss_cons_weak = F.mse_loss(t_weak, e_at)
+            w_cons = self._ref_w_cons(i)
+            total = (
+                loss_class_strong
+                + self.W_WEAK * loss_class_weak
+                + w_cons * (loss_cons_strong + self.W_WEAK_CONS * loss_cons_weak
+                            + self.W_AT * loss_cons_at)
+                + self.W_AT * loss_class_at
+            )
+            total.backward()
+            opt.step()
+            # scheduler.step() has now run -> step_num = i + 2 (scheduler.py:76)
+            alpha = min(1.0 - 1.0 / (i + 2), 0.999)
+            with torch.no_grad():
+                for ep, p in zip(tch_list, stu_list):
+                    ep.mul_(alpha).add_(p, alpha=1.0 - alpha)
+            torch_losses.append(float(total.detach()))
+
+        # ---------------- jax: make_mean_teacher_step ----------------
+        init_kwargs = dict(
+            class_num=C, embed_dim=D, decoder_dim=D, backbone_depth=DEPTH,
+            backbone_num_heads=HEADS, decoder_num_heads=HEADS,
+            at_adapter_heads=HEADS, passt_feature_layer=DEPTH,
+            decoder="transformerXL", decoder_layer_num=1,
+            decoder_pos_emd_len=T, at_adapter=True, backbone_img_size=IMG,
+        )
+        params, _ = convert_torch_checkpoint(sd, "PaSST_SED", init_kwargs=init_kwargs)
+        model = PaSST_SED(**init_kwargs)
+
+        class _IdentityFrontend:
+            def __call__(self, wav, key=None, training=False):
+                return wav
+
+            def normalize(self, mel):
+                return mel
+
+        def model_apply(p, mel_in, train=False, rngs=None, **kw):
+            # deterministic forwards: the stochastic pieces (patchout,
+            # dropout, pos-embed crop) are covered by their own tests
+            return model.apply({"params": p}, mel_in, **kw)
+
+        cfg = MeanTeacherConfig(
+            strong_num=s, weak_num=w, unlabel_num=u, net_pooling=1,
+            w_weak=self.W_WEAK, w_weak_cons=self.W_WEAK_CONS, w_at=self.W_AT,
+            w_cons_max=self.W_CONS_MAX, w_cons_min=0.0,
+            self_loss_warmup_steps=self.WARMUP, cons_scheduler="Sigmoid",
+            mixup_prob=0.0, max_shift_frame=0, n_transform=0,
+            stu_kwargs=dict(temp_w=self.TEMP_W), tch_kwargs=dict(temp_w=self.TEMP_W),
+        )
+        tx = optax.adamw(self.LR, b1=0.9, b2=0.999, eps=1e-8, weight_decay=self.WD)
+        step_fn = jax.jit(make_mean_teacher_step(model_apply, _IdentityFrontend(), tx, cfg))
+        state = create_mean_teacher_state(params, tx)
+        batch = {"wav": jnp.asarray(mel_np), "labels": jnp.asarray(labels_np)}
+        jax_losses = []
+        for i in range(self.N_STEPS):
+            state, metrics = step_fn(state, batch, jax.random.PRNGKey(i))
+            jax_losses.append(float(metrics["loss_total"]))
+
+        np.testing.assert_allclose(jax_losses, torch_losses, atol=2e-5, rtol=2e-5)
+
+        # final forwards: student (trained params) and teacher (EMA chain)
+        out = model.apply({"params": state.params}, jnp.asarray(mel_np), temp_w=self.TEMP_W)
+        with torch.no_grad():
+            t_strong, t_weak, t_at = self._torch_forward(stu_parts, mel)
+        np.testing.assert_allclose(np.asarray(out.strong), t_strong.numpy(), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(out.weak), t_weak.numpy(), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(out.at_out), t_at.numpy(), atol=2e-4)
+
+        tout = model.apply({"params": state.teacher_params}, jnp.asarray(mel_np),
+                           temp_w=self.TEMP_W)
+        with torch.no_grad():
+            e_strong, e_weak, e_at = self._torch_forward(tch_parts, mel)
+        np.testing.assert_allclose(np.asarray(tout.strong), e_strong.numpy(), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(tout.weak), e_weak.numpy(), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(tout.at_out), e_at.numpy(), atol=2e-4)
+
+
+class TestMLMTrainStepTorchParity:
+    """MLM pretraining-step parity: the reference loop
+    (mlm_passt/train.py:16-49 — MSE between the pre-mask frames and the
+    reconstruction at masked ids, AdamW) rebuilt in torch and stepped
+    three times against ``make_mlm_step`` with shared weights. Masking
+    is made deterministic (mask_rate=1, style=(1,0,0): every frame
+    becomes the mask token), so the trajectories must agree exactly.
+    Notably this pins the no-stop-gradient semantics on
+    frame_before_mask: the reference backpropagates through the target
+    branch too (train.py:38), so backbone/f_pool receive grads even
+    though the all-masked decoder input carries none."""
+
+    N_STEPS = 3
+    LR, WD = 1e-3, 1e-2
+
+    def test_three_steps_match(self):
+        import copy
+        import math
+
+        import optax
+        import torch.nn.functional as F
+
+        from transformer4sed_tpu.models.passt_sed import PaSST_SED
+        from transformer4sed_tpu.train.mlm import MLMConfig, create_mlm_state, make_mlm_step
+        from transformer4sed_tpu.utils.torch_import import convert_torch_checkpoint
+
+        d, heads, T = D, HEADS, 200
+        B = 3
+        mt = TestMeanTeacherTrainStepTorchParity()
+        _, base = mt._build_torch_weights(seed=7)
+        model, xl = base["model"], base["xl"]
+        parts = {
+            "model": model,
+            "xl": xl,
+            "out_norm_w": base["out_norm_w"],
+            "out_norm_b": base["out_norm_b"],
+            "mask_token": (torch.randn(1, 1, d) * 0.02).requires_grad_(),
+            "fc1_w": (torch.randn(d, d) * 0.1).requires_grad_(),
+            "fc1_b": (torch.randn(d) * 0.02).requires_grad_(),
+            "fc2_w": (torch.randn(d, d) * 0.1).requires_grad_(),
+            "fc2_b": (torch.randn(d) * 0.02).requires_grad_(),
+        }
+
+        def plist(p):
+            return (
+                list(p["model"].parameters())
+                + [p["xl"][k] for k in sorted(p["xl"])]
+                + [p[k] for k in ("out_norm_w", "out_norm_b", "mask_token",
+                                  "fc1_w", "fc1_b", "fc2_w", "fc2_b")]
+            )
+
+        sd = {f"backbone.{k}": np.copy(v) for k, v in model.reference_state_dict().items()}
+        sd.update({f"decoder.encoder_blocks.0.{k}": np.copy(v.detach().numpy())
+                   for k, v in xl.items()})
+        sd["out_norm.weight"] = np.copy(parts["out_norm_w"].detach().numpy())
+        sd["out_norm.bias"] = np.copy(parts["out_norm_b"].detach().numpy())
+        sd["mask_token"] = np.copy(parts["mask_token"].detach().numpy())
+        sd["mlm_mlp.0.weight"] = np.copy(parts["fc1_w"].detach().numpy())
+        sd["mlm_mlp.0.bias"] = np.copy(parts["fc1_b"].detach().numpy())
+        sd["mlm_mlp.2.weight"] = np.copy(parts["fc2_w"].detach().numpy())
+        sd["mlm_mlp.2.bias"] = np.copy(parts["fc2_b"].detach().numpy())
+
+        rng = np.random.RandomState(5)
+        mel_np = (rng.randn(B, *IMG) * 0.5).astype(np.float32)
+        mel = torch.tensor(mel_np)
+
+        def t_forward(p):
+            frame, taps = p["model"](mel.unsqueeze(1))
+            h = taps[DEPTH][:, 2:, :]
+            h = F.layer_norm(h, (d,), p["out_norm_w"], p["out_norm_b"], eps=1e-5)
+            h = h.reshape(B, 2, 19, d).mean(dim=1)
+            h = torch.cat((h, h[:, -1, :].unsqueeze(1)), dim=1)
+            h = F.interpolate(h.transpose(1, 2), scale_factor=10, mode="linear").transpose(1, 2)
+            frame_before_mask = h
+            masked = p["mask_token"].expand(B, T, d)
+            xlp = TestXLDecoderTorchParity()
+            pos = xlp._torch_pos_emb(T, d)
+            dec = xlp._torch_block(masked * math.sqrt(d), p["xl"], pos, heads)
+            pred = F.gelu(dec @ p["fc1_w"].t() + p["fc1_b"]) @ p["fc2_w"].t() + p["fc2_b"]
+            return frame_before_mask, pred
+
+        opt = torch.optim.AdamW(plist(parts), lr=self.LR, betas=(0.9, 0.999), eps=1e-8,
+                                weight_decay=self.WD)
+        torch_losses = []
+        for _ in range(self.N_STEPS):
+            opt.zero_grad()
+            target, pred = t_forward(parts)
+            # mask_ids is all-True -> MSELoss over every element
+            loss = F.mse_loss(target, pred)
+            loss.backward()
+            opt.step()
+            torch_losses.append(float(loss.detach()))
+
+        init_kwargs = dict(
+            class_num=3, embed_dim=d, decoder_dim=d, backbone_depth=DEPTH,
+            backbone_num_heads=heads, decoder_num_heads=heads,
+            passt_feature_layer=DEPTH, decoder="transformerXL",
+            decoder_layer_num=1, decoder_pos_emd_len=T, at_adapter=False,
+            backbone_img_size=IMG, mlm=True,
+            mlm_dict=dict(mask_rate=1.0, mask_style=(1.0, 0.0, 0.0), strategy="random"),
+        )
+        params, _ = convert_torch_checkpoint(sd, "PaSST_SED", init_kwargs=init_kwargs)
+        flax_model = PaSST_SED(**init_kwargs)
+
+        class _IdentityFrontend:
+            def __call__(self, wav, key=None, training=False):
+                return wav
+
+            def normalize(self, m):
+                return m
+
+        def model_apply(p, mel_in, train=False, rngs=None, **kw):
+            return flax_model.apply({"params": p}, mel_in, rngs=rngs, **kw)
+
+        cfg = MLMConfig(max_shift_frame=0, transform_choice=(0, 0, 0, 0))
+        tx = optax.adamw(self.LR, b1=0.9, b2=0.999, eps=1e-8, weight_decay=self.WD)
+        step_fn = jax.jit(make_mlm_step(model_apply, _IdentityFrontend(), tx, cfg))
+        state = create_mlm_state(params, tx)
+        batch = {"wav": jnp.asarray(mel_np)}
+        jax_losses = []
+        for i in range(self.N_STEPS):
+            state, metrics = step_fn(state, batch, jax.random.PRNGKey(i))
+            jax_losses.append(float(metrics["loss_mlm"]))
+
+        np.testing.assert_allclose(jax_losses, torch_losses, atol=2e-5, rtol=2e-5)
+
+
+class TestRefBatchNormTorchParity:
+    """RefBatchNorm vs torch.nn.BatchNorm2d: train-mode outputs, the
+    running-statistics trajectory over several steps (torch momentum
+    convention + Bessel-corrected running var — semantics flax's
+    nn.BatchNorm does NOT have), and the eval-mode forward that
+    consumes the accumulated stats."""
+
+    @pytest.mark.parametrize("momentum", [0.99, 0.1])
+    def test_stats_trajectory_and_eval(self, momentum):
+        from transformer4sed_tpu.models.norm import RefBatchNorm
+
+        C, steps = 5, 4
+        tbn = tnn.BatchNorm2d(C, eps=1e-3, momentum=momentum)
+        with torch.no_grad():
+            tbn.weight.copy_(torch.rand(C) + 0.5)
+            tbn.bias.copy_(torch.randn(C) * 0.1)
+        train_bn = RefBatchNorm(use_running_average=False, momentum=momentum, epsilon=1e-3)
+        eval_bn = RefBatchNorm(use_running_average=True, momentum=momentum, epsilon=1e-3)
+
+        rng = np.random.RandomState(0)
+        variables = {
+            "params": {
+                "scale": jnp.asarray(tbn.weight.detach().numpy()),
+                "bias": jnp.asarray(tbn.bias.detach().numpy()),
+            },
+            "batch_stats": {"mean": jnp.zeros(C), "var": jnp.ones(C)},
+        }
+        tbn.train()
+        for i in range(steps):
+            x = (rng.randn(2, C, 4, 6) * (1.0 + i) + i).astype(np.float32)
+            t_out = tbn(torch.tensor(x))
+            # flax layout: channels last
+            xj = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+            j_out, mutated = train_bn.apply(variables, xj, mutable=["batch_stats"])
+            variables = {"params": variables["params"], "batch_stats": mutated["batch_stats"]}
+            np.testing.assert_allclose(
+                np.transpose(np.asarray(j_out), (0, 3, 1, 2)),
+                t_out.detach().numpy(), atol=1e-5,
+            )
+        np.testing.assert_allclose(
+            np.asarray(variables["batch_stats"]["mean"]),
+            tbn.running_mean.numpy(), atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(variables["batch_stats"]["var"]),
+            tbn.running_var.numpy(), rtol=1e-6,
+        )
+
+        tbn.eval()
+        x = rng.randn(2, C, 4, 6).astype(np.float32)
+        t_out = tbn(torch.tensor(x))
+        j_out = eval_bn.apply(variables, jnp.asarray(np.transpose(x, (0, 2, 3, 1))))
+        np.testing.assert_allclose(
+            np.transpose(np.asarray(j_out), (0, 3, 1, 2)),
+            t_out.detach().numpy(), atol=1e-5,
+        )
+
+
+class TestSupervisedTrainStepTorchParity:
+    """AudioSet-strong supervised step parity with a BatchNorm model:
+    the reference loop (base/passt_cnn/train.py — ASL on strong frames,
+    AdamW, train-mode BN updating running stats each forward) rebuilt in
+    torch on a GLU+BN conv stack, vs ``make_supervised_step`` threading
+    ``batch_stats`` through ``model_state``. Pins RefBatchNorm *inside a
+    jitted step*: per-step losses, the final running statistics, and the
+    eval-mode forward that consumes them must all match torch."""
+
+    N_STEPS = 3
+    LR = 1e-2
+    RP, RN, MARGIN = 0.5, 2.0, 0.05
+    # plain SGD, not AdamW: Adam normalizes the update by |grad|, so
+    # noise-level fp32 gradient differences become O(lr) parameter
+    # differences on flat directions and the BN running stats drift past
+    # tight tolerances. The AdamW chain is pinned by the mean-teacher
+    # and MLM step-parity tests; THIS test pins BN-in-step semantics.
+
+    def test_three_steps_match(self):
+        import flax.linen as fnn
+        import optax
+        import torch.nn.functional as F
+
+        from transformer4sed_tpu.models.cnn import CNN
+        from transformer4sed_tpu.models.sed_model import SEDOutput
+        from transformer4sed_tpu.recipes.audioset_strong import (
+            SupervisedConfig,
+            make_supervised_step,
+        )
+        from transformer4sed_tpu.train.mlm import MLMState
+        from transformer4sed_tpu.utils.torch_import import convert_cnn
+
+        torch.manual_seed(11)
+        filters, C, Fdim, T = [8, 12], 3, 16, 16
+        B = 4
+
+        layers, sd = [], {}
+        cin = 1
+        for i, cout in enumerate(filters):
+            conv = tnn.Conv2d(cin, cout, 3, 1, 1)
+            # reference CNN stack BN: eps=0.001, torch momentum=0.99 (base.py:75)
+            bn = tnn.BatchNorm2d(cout, eps=0.001, momentum=0.99)
+            glu = tnn.Linear(cout, cout)
+            layers.append((conv, bn, glu))
+            sd[f"cnn.conv{i}.weight"] = np.copy(conv.weight.detach().numpy())
+            sd[f"cnn.conv{i}.bias"] = np.copy(conv.bias.detach().numpy())
+            sd[f"cnn.batchnorm{i}.weight"] = np.copy(bn.weight.detach().numpy())
+            sd[f"cnn.batchnorm{i}.bias"] = np.copy(bn.bias.detach().numpy())
+            sd[f"cnn.batchnorm{i}.running_mean"] = np.copy(bn.running_mean.numpy())
+            sd[f"cnn.batchnorm{i}.running_var"] = np.copy(bn.running_var.numpy())
+            sd[f"cnn.glu{i}.linear.weight"] = np.copy(glu.weight.detach().numpy())
+            sd[f"cnn.glu{i}.linear.bias"] = np.copy(glu.bias.detach().numpy())
+            cin = cout
+        head_w = (torch.randn(C, filters[-1]) * 0.1).requires_grad_()
+        head_b = (torch.randn(C) * 0.02).requires_grad_()
+        # snapshot BEFORE the in-place AdamW steps below
+        head_w0 = np.copy(head_w.detach().numpy())
+        head_b0 = np.copy(head_b.detach().numpy())
+
+        rng = np.random.RandomState(2)
+        mel_np = (rng.randn(B, Fdim, T) * 0.5).astype(np.float32)
+        labels_np = (rng.rand(B, C, T) > 0.8).astype(np.float32)
+
+        # ---------------- torch: reference loop ----------------
+        def t_forward(train):
+            h = torch.tensor(mel_np).permute(0, 2, 1).unsqueeze(1)  # [B,1,T,F]
+            for conv, bn, glu in layers:
+                bn.train(train)
+                h = bn(conv(h))
+                lin = glu(h.permute(0, 2, 3, 1)).permute(0, 3, 1, 2)
+                h = lin * torch.sigmoid(h)
+                h = F.avg_pool2d(h, (1, 2))
+            feat = h.mean(-1).transpose(1, 2)  # [B, T, C_feat]
+            strong = torch.sigmoid(feat @ head_w.t() + head_b).transpose(1, 2)
+            return strong  # [B, C, T]
+
+        def t_asl(pred, target):
+            pred_m = torch.clamp_min(pred - self.MARGIN, 0.0)
+            losses = -(((1 - pred) ** self.RP) * target
+                       * torch.clamp_min(torch.log(pred), -100)
+                       + (pred_m ** self.RN) * (1 - target)
+                       * torch.clamp_min(torch.log(1 - pred_m), -100))
+            return losses.mean()
+
+        plist = [p for conv, bn, glu in layers for p in
+                 list(conv.parameters()) + list(bn.parameters()) + list(glu.parameters())]
+        plist += [head_w, head_b]
+        opt = torch.optim.SGD(plist, lr=self.LR)
+        target = torch.tensor(labels_np)
+        torch_losses = []
+        for _ in range(self.N_STEPS):
+            opt.zero_grad()
+            loss = t_asl(t_forward(train=True), target)
+            loss.backward()
+            opt.step()
+            torch_losses.append(float(loss.detach()))
+        with torch.no_grad():
+            t_eval = t_forward(train=False)
+
+        # ---------------- jax: make_supervised_step ----------------
+        cnn_params, cnn_stats = convert_cnn(sd)
+
+        class TinySup(fnn.Module):
+            @fnn.compact
+            def __call__(self, x, train=False):  # x [B, 1, T, F]
+                h = CNN(n_in_channel=1, nb_filters=filters, kernel_size=[3, 3],
+                        padding=[1, 1], stride=[1, 1], pooling=[(1, 2), (1, 2)],
+                        activation="glu", normalization="batch", name="cnn")(x, train=train)
+                feat = jnp.mean(h, axis=-1).transpose(0, 2, 1)  # [B, T, C_feat]
+                logits = fnn.Dense(C, name="head")(feat)
+                return jax.nn.sigmoid(logits).transpose(0, 2, 1)
+
+        module = TinySup()
+        params = {
+            "cnn": cnn_params,
+            "head": {"kernel": jnp.asarray(head_w0.T), "bias": jnp.asarray(head_b0)},
+        }
+        batch_stats = {"cnn": cnn_stats}
+
+        def model_apply(p, mel, train=False, rngs=None, model_state=None, **kw):
+            x = mel.transpose(0, 2, 1)[:, None]  # [B,F,T] -> [B,1,T,F]
+            if train:
+                strong, mut = module.apply(
+                    {"params": p, "batch_stats": model_state}, x, train=True,
+                    mutable=["batch_stats"],
+                )
+                return SEDOutput(strong=strong), mut["batch_stats"]
+            return SEDOutput(strong=module.apply(
+                {"params": p, "batch_stats": model_state}, x, train=False)), model_state
+
+        class _IdentityFrontend:
+            def __call__(self, wav, key=None, training=False):
+                return wav
+
+            def normalize(self, m):
+                return m
+
+        cfg = SupervisedConfig(
+            loss_name="AslLoss",
+            loss_kwargs=dict(rp=self.RP, rn=self.RN, margin=self.MARGIN),
+            max_shift_frame=0, mixup_prob=0.0, transform_choice=(0, 0, 0, 0),
+        )
+        tx = optax.sgd(self.LR)
+        step_fn = jax.jit(make_supervised_step(model_apply, _IdentityFrontend(), tx, cfg))
+        state = MLMState(params=params, opt_state=tx.init(params),
+                         step=jnp.zeros((), jnp.int32), model_state=batch_stats)
+        batch = {"wav": jnp.asarray(mel_np), "labels": jnp.asarray(labels_np)}
+        jax_losses = []
+        for i in range(self.N_STEPS):
+            state, metrics = step_fn(state, batch, jax.random.PRNGKey(i))
+            jax_losses.append(float(metrics["loss_class_strong"]))
+
+        np.testing.assert_allclose(jax_losses, torch_losses, atol=2e-5, rtol=2e-5)
+
+        # running statistics trajectories agree exactly
+        for i, (conv, bn, glu) in enumerate(layers):
+            np.testing.assert_allclose(
+                np.asarray(state.model_state["cnn"][f"norm{i}"]["mean"]),
+                bn.running_mean.numpy(), atol=1e-5,
+            )
+            np.testing.assert_allclose(
+                np.asarray(state.model_state["cnn"][f"norm{i}"]["var"]),
+                bn.running_var.numpy(), rtol=1e-5,
+            )
+
+        # eval-mode forward consuming the trained stats
+        out, _ = model_apply(state.params, jnp.asarray(mel_np), train=False,
+                             model_state=state.model_state)
+        np.testing.assert_allclose(np.asarray(out.strong), t_eval.numpy(), atol=5e-5)

@@ -29,10 +29,14 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from transformer4sed_tpu.models.norm import RefBatchNorm
+
 
 def _norm(kind: str, name: str, train: bool):
     if kind == "batch":
-        return nn.BatchNorm(
+        # reference: nn.BatchNorm2d(eps=0.001, momentum=0.99) (base.py:75,
+        # FDY_cnn.py:153) — torch momentum = weight on the NEW batch stat
+        return RefBatchNorm(
             use_running_average=not train, momentum=0.99, epsilon=0.001, name=name
         )
     return nn.GroupNorm(num_groups=1, name=name)
@@ -154,7 +158,7 @@ class DynamicConv2d(nn.Module):
                 dtype=self.dtype,
                 name="att_conv1",
             )(a)
-            a = nn.BatchNorm(use_running_average=not train, name="att_bn")(a)
+            a = RefBatchNorm(use_running_average=not train, name="att_bn")(a)
             a = jax.nn.relu(a)
             att = nn.Conv(nk, kernel_size=(1,), dtype=self.dtype, name="att_conv2")(a)
             att = jax.nn.softmax(att / self.temperature, axis=-1)  # [B, T|F, nk]
@@ -267,12 +271,12 @@ class _BasicBlock(nn.Module):
 
         residual = x
         if self.v2:  # pre-activation
-            h = nn.BatchNorm(use_running_average=not train, name="bn1")(x)
+            h = RefBatchNorm(use_running_average=not train, name="bn1")(x)
             h = drop(h)
             h = jax.nn.gelu(h, approximate=False)
             h = nn.Conv(self.mid_channel, (3, 3), (self.stride, self.stride), padding=1,
                         use_bias=False, dtype=self.dtype, name="conv1")(h)
-            h = nn.BatchNorm(use_running_average=not train, name="bn2")(h)
+            h = RefBatchNorm(use_running_average=not train, name="bn2")(h)
             h = drop(h)
             h = jax.nn.gelu(h, approximate=False)
             h = nn.Conv(self.out_channel, (3, 3), (self.stride, self.stride), padding=1,
@@ -280,12 +284,12 @@ class _BasicBlock(nn.Module):
         else:
             h = nn.Conv(self.mid_channel, (3, 3), (self.stride, self.stride), padding=1,
                         use_bias=False, dtype=self.dtype, name="conv1")(x)
-            h = nn.BatchNorm(use_running_average=not train, name="bn1")(h)
+            h = RefBatchNorm(use_running_average=not train, name="bn1")(h)
             h = drop(h)
             h = jax.nn.gelu(h, approximate=False)
             h = nn.Conv(self.out_channel, (3, 3), (self.stride, self.stride), padding=1,
                         use_bias=False, dtype=self.dtype, name="conv2")(h)
-            h = nn.BatchNorm(use_running_average=not train, name="bn2")(h)
+            h = RefBatchNorm(use_running_average=not train, name="bn2")(h)
             h = drop(h)
         total = self.stride * self.stride  # both convs apply the stride
         if total != 1:
@@ -295,8 +299,8 @@ class _BasicBlock(nn.Module):
         if in_ch != self.out_channel:
             residual = nn.Conv(self.out_channel, (1, 1), use_bias=False,
                                dtype=self.dtype, name="downsample_conv")(residual)
-            residual = nn.BatchNorm(use_running_average=not train,
-                                    name="downsample_bn")(residual)
+            residual = RefBatchNorm(use_running_average=not train,
+                                     name="downsample_bn")(residual)
         out = h + residual
         return out if self.v2 else jax.nn.gelu(out, approximate=False)
 
@@ -369,7 +373,7 @@ class ResNet(nn.Module):
                 # reference CNN1d: unpadded conv -> BatchNorm -> GELU
                 s = nn.Conv(flt, (ker,), padding="VALID", dtype=self.dtype,
                             name=f"cnn_1d_{j}")(s)
-                s = nn.BatchNorm(use_running_average=not train, name=f"cnn_1d_bn{j}")(s)
+                s = RefBatchNorm(use_running_average=not train, name=f"cnn_1d_bn{j}")(s)
                 s = jax.nn.gelu(s, approximate=False)
             h = s[:, :, None, :]
         return jnp.transpose(h, (0, 3, 1, 2))

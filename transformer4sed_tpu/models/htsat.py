@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from transformer4sed_tpu.frontend.mel import stft_magnitude, hann_window
+from transformer4sed_tpu.models.norm import RefBatchNorm
 from transformer4sed_tpu.models.vit import Mlp, trunc_normal_init
 
 
@@ -292,7 +293,7 @@ class HTSAT(nn.Module):
         fine_grained_embedding, embedding."""
         # per-mel-bin batchnorm (reference bn0 = BatchNorm2d over mel bins)
         h = mel[:, 0]  # [B, T, F]: stats per mel bin (feature axis)
-        h = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn0")(h)
+        h = RefBatchNorm(use_running_average=not train, momentum=0.1, epsilon=1e-5, name="bn0")(h)
         mel = h[:, None]
 
         x = self.reshape_wav2img(mel)  # [B, 1, S, S]

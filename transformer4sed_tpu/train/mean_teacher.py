@@ -233,7 +233,10 @@ def make_mean_teacher_step(
         loss_cons_weak = L.mse(stu.weak, tch.at_out)
         loss_cons_at = L.mse(stu.at_out, tch.at_out)
 
-        w_cons = consistency_weight(step, cfg)
+        # reference get_self_weight reads scheduler.step_num BEFORE the
+        # scheduler steps, i.e. completed steps + 1 (train.py:103,178 with
+        # scheduler.py:49 step_num=1) — hence step + 1 here
+        w_cons = consistency_weight(step + 1, cfg)
         self_loss = (
             loss_cons_strong + cfg.w_weak_cons * loss_cons_weak + cfg.w_at * loss_cons_at
         ) * w_cons
