@@ -2755,3 +2755,31 @@ class TestSupervisedTrainStepTorchParity:
         out, _ = model_apply(state.params, jnp.asarray(mel_np), train=False,
                              model_state=state.model_state)
         np.testing.assert_allclose(np.asarray(out.strong), t_eval.numpy(), atol=5e-5)
+
+
+class TestDASMCELossTorchParity:
+    """DASM closed-set AT loss parity: the reference trains 'logit'
+    out_type with torch CrossEntropyLoss on SOFT multi-class targets,
+    channel-first via transpose(1, 2)
+    (detect_any_sound/passt/train.py:40,92-96 with
+    multi_label_to_multi_class building [0..p..0, 1-p] rows from pooled
+    weak probabilities). Pins `_ce_multiclass` + the target transform to
+    that exact call, including the reduction over (B, Q)."""
+
+    def test_matches_reference_cross_entropy(self):
+        from transformer4sed_tpu.recipes.dasm_recipe import _ce_multiclass
+
+        torch.manual_seed(0)
+        B, Q = 3, 5  # Q queries == C classes in the closed set
+        logits = torch.randn(B, Q, Q + 1) * 1.5
+        weak = torch.rand(B, Q)  # soft pooled probabilities
+
+        mc = torch.zeros(B, Q, Q + 1)
+        mc[:, :, :-1] = torch.eye(Q) * weak.unsqueeze(-1)
+        mc[:, :, -1] = 1 - weak
+        ref = torch.nn.CrossEntropyLoss()(
+            input=logits.transpose(1, 2), target=mc.transpose(1, 2)
+        )
+
+        ours = _ce_multiclass(jnp.asarray(logits.numpy()), jnp.asarray(weak.numpy()))
+        np.testing.assert_allclose(float(ours), float(ref), atol=1e-6)
