@@ -119,6 +119,23 @@ def main():
     dt = time.perf_counter() - t0
 
     clips_per_sec = batch * iters / dt
+
+    # frontend-only throughput (BASELINE.md north-star: mel-frames/sec) —
+    # the fused wav -> Kaldi-mel MXU-DFT kernel in isolation
+    @jax.jit
+    def frontend_only(wav):
+        mel = frontend.normalize(frontend(wav))
+        return mel, mel.sum()
+
+    mel, fe_fence = frontend_only(wav)
+    float(fe_fence)
+    n_frames = int(mel.shape[-1])
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        mel, fe_fence = frontend_only(wav)
+    float(fe_fence)
+    fe_dt = time.perf_counter() - t0
+    mel_frames_per_sec = batch * iters * n_frames / fe_dt
     baseline_clips_per_sec = 40.0
     fpc = flops_per_clip()
     peak = _peak_flops(jax.devices()[0])
@@ -133,6 +150,7 @@ def main():
                 "baseline_kind": "estimated",
                 "flops_per_clip": fpc,
                 "mfu": round(mfu, 4) if mfu is not None else None,
+                "mel_frames_per_sec": round(mel_frames_per_sec, 1),
                 "device_kind": jax.devices()[0].device_kind,
             }
         )

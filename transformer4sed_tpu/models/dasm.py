@@ -80,7 +80,8 @@ class CrossAttentionFirstDecoderLayer(nn.Module):
         mha = lambda name: nn.MultiHeadDotProductAttention(
             num_heads=self.num_heads, qkv_features=d, out_features=d, dtype=self.dtype, name=name
         )
-        h = mha("multihead_attn")(tgt, memory, memory)
+        # inputs_v defaults to inputs_k (flax warns on square inputs_v arrays)
+        h = mha("multihead_attn")(tgt, inputs_k=memory)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         x = nn.LayerNorm(name="norm1")(tgt + h)
 
@@ -91,7 +92,7 @@ class CrossAttentionFirstDecoderLayer(nn.Module):
             while m.ndim < 4:
                 m = m[None]
             attn_mask = m
-        h = mha("self_attn")(x, x, x, mask=attn_mask)
+        h = mha("self_attn")(x, inputs_k=x, mask=attn_mask)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         x = nn.LayerNorm(name="norm2")(x + h)
 

@@ -41,7 +41,7 @@ class AttentionPooling(nn.Module):
             out_features=d,
             dtype=self.dtype,
             name="frequency_att",
-        )(query, x, x)
+        )(query, inputs_k=x)
         return out[:, 0, :]
 
 
