@@ -2783,3 +2783,131 @@ class TestDASMCELossTorchParity:
 
         ours = _ce_multiclass(jnp.asarray(logits.numpy()), jnp.asarray(weak.numpy()))
         np.testing.assert_allclose(float(ours), float(ref), atol=1e-6)
+
+
+class TestHTSATFrontendTorchParity:
+    """HTSAT wav->log-mel frontend parity vs the torchlibrosa semantics
+    the reference freezes (htsat.py:698-723: hann periodic window,
+    center=True reflect padding, power=2 spectrogram, librosa SLANEY mel
+    banks fmin=50/fmax=14000, power_to_db with ref=1, amin=1e-10,
+    top_db=None). The torch side rebuilds the whole pipeline
+    independently here (torchlibrosa itself is not in the image),
+    including the slaney mel scale and filter normalization."""
+
+    def test_wav_to_logmel_matches(self):
+        from transformer4sed_tpu.models.htsat import HTSATFrontend
+
+        sr, n_fft, hop, n_mels, fmin, fmax = 32000, 1024, 320, 64, 50.0, 14000.0
+        rng = np.random.RandomState(3)
+        wav = (rng.standard_normal((2, 32000)) * 0.1).astype(np.float32)
+
+        # --- torch: STFT power spectrogram, torchlibrosa config ---
+        x = torch.tensor(wav)
+        spec = torch.stft(
+            x, n_fft, hop_length=hop, win_length=n_fft,
+            window=torch.hann_window(n_fft, periodic=True),
+            center=True, pad_mode="reflect", normalized=False,
+            return_complex=True,
+        ).abs() ** 2  # [B, bins, T]
+
+        # --- librosa slaney mel banks, rebuilt from the formulas ---
+        def hz_to_mel(f):
+            f = np.asarray(f, dtype=np.float64)
+            f_sp = 200.0 / 3
+            mels = f / f_sp
+            min_log_hz = 1000.0
+            min_log_mel = min_log_hz / f_sp
+            logstep = np.log(6.4) / 27.0
+            return np.where(f >= min_log_hz, min_log_mel + np.log(f / min_log_hz) / logstep, mels)
+
+        def mel_to_hz(m):
+            m = np.asarray(m, dtype=np.float64)
+            f_sp = 200.0 / 3
+            freqs = f_sp * m
+            min_log_hz = 1000.0
+            min_log_mel = min_log_hz / f_sp
+            logstep = np.log(6.4) / 27.0
+            return np.where(m >= min_log_mel, min_log_hz * np.exp(logstep * (m - min_log_mel)), freqs)
+
+        mel_f = mel_to_hz(np.linspace(hz_to_mel(fmin), hz_to_mel(fmax), n_mels + 2))
+        fft_f = np.linspace(0, sr / 2, 1 + n_fft // 2)
+        fdiff = np.diff(mel_f)
+        ramps = mel_f[:, None] - fft_f[None, :]
+        lower = -ramps[:-2] / fdiff[:-1, None]
+        upper = ramps[2:] / fdiff[1:, None]
+        weights = np.maximum(0, np.minimum(lower, upper))
+        weights *= (2.0 / (mel_f[2 : n_mels + 2] - mel_f[:n_mels]))[:, None]  # slaney norm
+        basis = torch.tensor(weights.astype(np.float32))  # [n_mels, bins]
+
+        mel = torch.einsum("mf,bft->btm", basis, spec)
+        ref_logmel = 10.0 * torch.log10(torch.clamp(mel, min=1e-10))  # ref=1, top_db=None
+
+        # --- ours ---
+        fe = HTSATFrontend(sr=sr, n_fft=n_fft, hop_length=hop, n_mels=n_mels,
+                           fmin=fmin, fmax=fmax)
+        ours = np.asarray(fe(jnp.asarray(wav)))[:, 0]  # [B, T, n_mels]
+        assert ours.shape == tuple(ref_logmel.shape)
+        np.testing.assert_allclose(ours, ref_logmel.numpy(), atol=5e-4)
+
+
+class TestASTFrontendTorchParity:
+    """AST Kaldi-fbank frontend parity: torchaudio.compliance.kaldi.fbank
+    with the reference's exact args (ast_feature_extraction.py:38-49 —
+    htk_compat, hanning window, dither=0, 25ms/10ms, 128 bins) rebuilt
+    here from the Kaldi algorithm (torchaudio itself is not in the
+    image): snip-edges framing, per-frame DC removal, preemphasis with
+    the first-sample rule, SYMMETRIC hanning, rfft to the padded
+    power-of-two size, un-normalized triangular mel banks on the
+    1127*ln(1+f/700) scale excluding the nyquist bin, log with the
+    float-eps floor — then the AST pad-to-1024 + AudioSet
+    normalization."""
+
+    def test_wav_to_fbank_matches(self):
+        from transformer4sed_tpu.models.ast import ASTFrontend
+
+        sr, n_mels, frame_len, hop, n_fft, target = 16000, 128, 400, 160, 512, 1024
+        rng = np.random.RandomState(4)
+        wav = (rng.standard_normal((2, 16000)) * 0.1).astype(np.float32)
+
+        x = torch.tensor(wav)
+        x = x - x.mean(-1, keepdim=True)  # reference wrapper's global DC removal
+        frames = x.unfold(-1, frame_len, hop)  # snip_edges [B, T, 400]
+        frames = frames - frames.mean(-1, keepdim=True)  # remove_dc_offset
+        pre = 0.97
+        first = frames[..., :1] * (1.0 - pre)
+        rest = frames[..., 1:] - pre * frames[..., :-1]
+        frames = torch.cat([first, rest], dim=-1)
+        frames = frames * torch.hann_window(frame_len, periodic=False)
+        spec = torch.fft.rfft(frames, n=n_fft).abs() ** 2  # [B, T, 257]
+
+        # kaldi get_mel_banks: htk mel scale, (num_bins+1) segments between
+        # low=20 Hz and high=nyquist, triangles over the 256 non-nyquist
+        # fft bins, no area normalization; nyquist column is zero
+        def mel(f):
+            return 1127.0 * np.log(1.0 + np.asarray(f, np.float64) / 700.0)
+
+        low, high = 20.0, sr / 2
+        mel_low, mel_high = mel(low), mel(high)
+        mel_delta = (mel_high - mel_low) / (n_mels + 1)
+        fft_freqs = (sr / n_fft) * np.arange(n_fft // 2)  # exclude nyquist
+        m = mel(fft_freqs)
+        banks = np.zeros((n_mels, n_fft // 2 + 1), np.float64)
+        for j in range(n_mels):
+            left = mel_low + j * mel_delta
+            center = left + mel_delta
+            right = center + mel_delta
+            up = (m - left) / (center - left)
+            down = (right - m) / (right - center)
+            banks[j, : n_fft // 2] = np.clip(np.minimum(up, down), 0.0, None)
+        basis = torch.tensor(banks.astype(np.float32))
+
+        melspec = torch.einsum("mf,btf->btm", basis, spec)
+        fbank = torch.log(torch.clamp(melspec, min=1.1921e-07))
+        fbank = torch.nn.functional.pad(fbank, (0, 0, 0, target - fbank.shape[1]))
+        fbank = (fbank - (-4.2677393)) / (4.5689974 * 2)
+        ref = fbank.transpose(1, 2).numpy()  # [B, F, T]
+
+        fe = ASTFrontend()
+        ours = np.asarray(fe(jnp.asarray(wav)))
+        assert ours.shape == ref.shape
+        np.testing.assert_allclose(ours, ref, atol=5e-4)
