@@ -64,7 +64,22 @@ class ASTFrontend:
         frames = jnp.concatenate([first, rest], axis=-1)
         frames = frames * jnp.asarray(hann_window(frame_len, periodic=False))
 
-        spec = jnp.abs(jnp.fft.rfft(frames, n=n_fft, axis=-1)) ** 2  # [B, T, bins]
+        # DFT as one MXU matmul instead of jnp.fft.rfft: TPU's FFT lowering
+        # is ~4x slower than the matmul at these shapes (same trade as
+        # frontend/mel.py:stft_magnitude). The rfft zero-pads 400 -> 512,
+        # so only the first frame_len basis columns are needed.
+        bins = n_fft // 2 + 1
+        k = np.arange(bins)[:, None] * np.arange(frame_len)[None, :]
+        ang = 2.0 * np.pi * k / n_fft
+        re = jnp.einsum(
+            "btn,cn->btc", frames, jnp.asarray(np.cos(ang), jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        im = jnp.einsum(
+            "btn,cn->btc", frames, jnp.asarray(-np.sin(ang), jnp.float32),
+            preferred_element_type=jnp.float32,
+        )
+        spec = re**2 + im**2  # [B, T, bins]
         basis = kaldi_mel_banks(self.num_mel_bins, n_fft, self.sr, 20.0, self.sr / 2)
         mel = jnp.einsum("mf,btf->btm", basis, spec, preferred_element_type=jnp.float32)
         fbank = jnp.log(jnp.maximum(mel, 1.1921e-07))  # kaldi epsilon (float eps)
