@@ -121,7 +121,8 @@ def main():
     clips_per_sec = batch * iters / dt
 
     # frontend-only throughput (BASELINE.md north-star: mel-frames/sec) —
-    # the fused wav -> Kaldi-mel MXU-DFT kernel in isolation
+    # the PaSST wav -> log-mel MXU-DFT pipeline in isolation (the AST
+    # Kaldi-fbank frontend is a separate kernel, models/ast.py)
     @jax.jit
     def frontend_only(wav):
         mel = frontend.normalize(frontend(wav))

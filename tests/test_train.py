@@ -85,11 +85,41 @@ class TestParamLabels:
         assert flat["backbone/norm/scale"] == "encoder_high"
 
     def test_hierarchical_backbone_global_block_depth(self):
-        """HTSAT-style layers_{i}/blocks_{j} naming must count whole-network
-        depth for freeze_layer/step_lr, not the within-layer index."""
+        """HTSAT Swin blocks are ONE flat module name layers_{i}_blocks_{j}
+        (htsat.py:328); the global depth index for freeze_layer/step_lr
+        must parse that real naming, not just a nested layers/blocks tree
+        (a regex requiring a slash silently dropped the layer index and
+        collapsed the 12 Swin blocks onto the within-layer j)."""
         import flax
 
+        # the real (2, 2, 6, 2)-ish shape: ragged blocks-per-layer
+        depths = [2, 2, 3]
         fake = {
+            "backbone": {
+                f"layers_{i}_blocks_{j}": {"attn": {"kernel": jnp.ones((2, 2))}}
+                for i, d in enumerate(depths)
+                for j in range(d)
+            },
+            "classifier": {"kernel": jnp.ones((2, 2))},
+        }
+        # 7 global blocks; freeze the first 4 -> layers_2 (global 4, 5, 6) live
+        cfg = ParamGroupConfig(
+            encoder=GroupSpec(lr=1e-4, freeze_layer=4), backbone_depth=7
+        )
+        flat = flax.traverse_util.flatten_dict(label_params(fake, cfg), sep="/")
+        assert flat["backbone/layers_0_blocks_1/attn/kernel"] == "frozen"
+        assert flat["backbone/layers_1_blocks_1/attn/kernel"] == "frozen"
+        assert flat["backbone/layers_2_blocks_0/attn/kernel"] == "encoder_low"
+        assert flat["backbone/layers_2_blocks_2/attn/kernel"] == "encoder_low"
+        # step_lr counts from the top of the GLOBAL stack
+        cfg2 = ParamGroupConfig(
+            encoder=GroupSpec(lr=1e-4, step_lr=3), backbone_depth=7
+        )
+        flat2 = flax.traverse_util.flatten_dict(label_params(fake, cfg2), sep="/")
+        assert flat2["backbone/layers_2_blocks_0/attn/kernel"] == "encoder_high"
+        assert flat2["backbone/layers_1_blocks_1/attn/kernel"] == "encoder_low"
+        # the nested layers/blocks layout keeps working too
+        nested = {
             "backbone": {
                 f"layers_{i}": {
                     f"blocks_{j}": {"attn": {"kernel": jnp.ones((2, 2))}}
@@ -97,24 +127,13 @@ class TestParamLabels:
                 }
                 for i in range(3)
             },
-            "classifier": {"kernel": jnp.ones((2, 2))},
         }
-        # 6 global blocks; freeze the first 4 -> layers_2 (global 4, 5) live
-        cfg = ParamGroupConfig(
+        cfg3 = ParamGroupConfig(
             encoder=GroupSpec(lr=1e-4, freeze_layer=4), backbone_depth=6
         )
-        flat = flax.traverse_util.flatten_dict(label_params(fake, cfg), sep="/")
-        assert flat["backbone/layers_0/blocks_1/attn/kernel"] == "frozen"
-        assert flat["backbone/layers_1/blocks_1/attn/kernel"] == "frozen"
-        assert flat["backbone/layers_2/blocks_0/attn/kernel"] == "encoder_low"
-        assert flat["backbone/layers_2/blocks_1/attn/kernel"] == "encoder_low"
-        # step_lr counts from the top of the GLOBAL stack
-        cfg2 = ParamGroupConfig(
-            encoder=GroupSpec(lr=1e-4, step_lr=2), backbone_depth=6
-        )
-        flat2 = flax.traverse_util.flatten_dict(label_params(fake, cfg2), sep="/")
-        assert flat2["backbone/layers_2/blocks_0/attn/kernel"] == "encoder_high"
-        assert flat2["backbone/layers_1/blocks_1/attn/kernel"] == "encoder_low"
+        flat3 = flax.traverse_util.flatten_dict(label_params(nested, cfg3), sep="/")
+        assert flat3["backbone/layers_1/blocks_1/attn/kernel"] == "frozen"
+        assert flat3["backbone/layers_2/blocks_0/attn/kernel"] == "encoder_low"
 
     def test_clip_norm_ignores_frozen_gradients(self):
         """Frozen-group gradients must not inflate the global norm: the

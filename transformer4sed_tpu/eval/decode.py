@@ -29,17 +29,23 @@ def _postprocess_on_device(
     filter_type: str,
     weak_preds: Optional[jnp.ndarray],
     need_weak_mask: bool,
+    do_filter: bool,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     scores = jnp.transpose(strong_preds, (0, 2, 1))  # [B, T, C]
     if need_weak_mask and weak_preds is not None:
         scores = scores * weak_preds[:, None, :]  # soft mask (decoder.py:80)
-    filtered = apply_class_filter(scores, widths, kind=filter_type)
+    # do_filter=False when the caller refilters at per-clip true lengths
+    # (padded batches) — the batch-wide result would be discarded
+    filtered = apply_class_filter(scores, widths, kind=filter_type) if do_filter else scores
     return scores, filtered
 
 
 _postprocess_jit = jax.jit(
-    _postprocess_on_device, static_argnames=("widths", "filter_type", "need_weak_mask")
+    _postprocess_on_device,
+    static_argnames=("widths", "filter_type", "need_weak_mask", "do_filter"),
 )
+
+_filter_jit = jax.jit(apply_class_filter, static_argnames=("widths", "kind"))
 
 
 def batched_decode_preds(
@@ -62,9 +68,27 @@ def batched_decode_preds(
         filter_type,
         None if weak_preds is None else jnp.asarray(weak_preds),
         bool(need_weak_mask and weak_preds is not None),
+        do_filter=bool(filter) and pad_idx is None,
     )
     raw = np.asarray(raw_dev)
     filtered = np.asarray(filt_dev)
+
+    # truncate-then-filter like the reference (decoder.py:68-95): filtering
+    # the padded length would mix padded frames into the windows near the
+    # boundary instead of reflecting at true_len. Clips sharing a true
+    # length are filtered together — one device dispatch per distinct
+    # length (usually one), not per clip.
+    per_clip_f: Dict[int, np.ndarray] = {}
+    if pad_idx is not None:
+        true_lens = [int(raw.shape[1] * float(pad_idx[j])) for j in range(raw.shape[0])]
+        if filter:
+            for length in sorted(set(true_lens)):
+                js = [j for j, l in enumerate(true_lens) if l == length]
+                group = np.asarray(
+                    _filter_jit(jnp.asarray(raw[js][:, :length]), widths, kind=filter_type)
+                )
+                for gi, j in enumerate(js):
+                    per_clip_f[j] = group[gi]
 
     scores_raw: Dict[str, ClipScores] = {}
     scores_post: Dict[str, ClipScores] = {}
@@ -72,16 +96,8 @@ def batched_decode_preds(
         audio_id = Path(name).stem
         r, f = raw[j], filtered[j]
         if pad_idx is not None:
-            true_len = int(r.shape[0] * float(pad_idx[j]))
-            r = r[:true_len]
-            # truncate-then-filter like the reference (decoder.py:68-95):
-            # filtering the padded length would mix padded frames into the
-            # windows near the boundary instead of reflecting at true_len
-            f = (
-                np.asarray(apply_class_filter(r[None], widths, kind=filter_type))[0]
-                if filter
-                else r
-            )
+            r = r[: true_lens[j]]
+            f = per_clip_f[j] if filter else r
         ts = codec.frame_to_time(np.arange(len(r) + 1))
         scores_raw[audio_id] = ClipScores(r, ts, codec.labels)
         scores_post[audio_id] = ClipScores(f, ts, codec.labels) if filter else scores_raw[audio_id]

@@ -111,6 +111,8 @@ def load_score_tables(folders: Sequence[str]) -> Dict[str, List[np.ndarray]]:
     """Load per-model TSV score folders into {filename: [tables...]}."""
     import pandas as pd
 
+    if not folders:
+        raise ValueError("load_score_tables: no score folders given")
     per_folder = {
         folder: sorted(glob(os.path.join(folder, "*.tsv"))) for folder in folders
     }

@@ -71,15 +71,15 @@ class ASTFrontend:
         bins = n_fft // 2 + 1
         k = np.arange(bins)[:, None] * np.arange(frame_len)[None, :]
         ang = 2.0 * np.pi * k / n_fft
-        re = jnp.einsum(
-            "btn,cn->btc", frames, jnp.asarray(np.cos(ang), jnp.float32),
-            preferred_element_type=jnp.float32,
+        # one stacked [cos; -sin] matmul (same shape trick as
+        # frontend/mel.py:stft_magnitude), not two half-width ones
+        basis = jnp.asarray(
+            np.concatenate([np.cos(ang), -np.sin(ang)], axis=0), jnp.float32
         )
-        im = jnp.einsum(
-            "btn,cn->btc", frames, jnp.asarray(-np.sin(ang), jnp.float32),
-            preferred_element_type=jnp.float32,
-        )
-        spec = re**2 + im**2  # [B, T, bins]
+        out = jnp.einsum(
+            "btn,cn->btc", frames, basis, preferred_element_type=jnp.float32
+        )  # [B, T, 2*bins]
+        spec = out[..., :bins] ** 2 + out[..., bins:] ** 2  # [B, T, bins]
         basis = kaldi_mel_banks(self.num_mel_bins, n_fft, self.sr, 20.0, self.sr / 2)
         mel = jnp.einsum("mf,btf->btm", basis, spec, preferred_element_type=jnp.float32)
         fbank = jnp.log(jnp.maximum(mel, 1.1921e-07))  # kaldi epsilon (float eps)

@@ -78,10 +78,12 @@ def _path_str(path) -> str:
 def _backbone_block_key(name: str):
     """(layer, block) sort key for a backbone param path, or None.
 
-    Flat ViT backbones name blocks ``blocks_{i}``; hierarchical ones
-    (HTSAT Swin) nest them as ``layers_{i}/blocks_{j}`` — the within-layer
-    ``j`` alone would mislabel freeze_layer/step_lr policies."""
-    m = re.search(r"(?:layers_(\d+)/)?blocks_(\d+)", name)
+    Flat ViT backbones name blocks ``blocks_{i}``; the hierarchical
+    HTSAT Swin names them as ONE flat module ``layers_{i}_blocks_{j}``
+    (htsat.py:328) — and a nested ``layers_{i}/blocks_{j}`` tree must
+    work too — the within-layer ``j`` alone would mislabel
+    freeze_layer/step_lr policies."""
+    m = re.search(r"(?:layers_(\d+)[/_])?blocks_(\d+)", name)
     if m is None:
         return None
     return (int(m.group(1)) if m.group(1) is not None else -1, int(m.group(2)))
