@@ -319,3 +319,67 @@ class TestXLOddLengths:
             np.testing.assert_allclose(
                 np.asarray(ours), np.asarray(want), atol=5e-6, err_msg=f"T={t} {name}"
             )
+
+
+class TestSwinWindowAttentionKernel:
+    """Fused window-attention kernel (kernels/window_attention.py) vs the
+    plain XLA reference, interpret mode on CPU."""
+
+    def _data(self, bnw, n, h, d, n_windows, shifted, seed=0):
+        from transformer4sed_tpu.models.htsat import _shift_attn_mask
+
+        rng = np.random.RandomState(seed)
+        q = jnp.asarray(rng.randn(bnw, n, h, d).astype(np.float32))
+        k = jnp.asarray(rng.randn(bnw, n, h, d).astype(np.float32))
+        v = jnp.asarray(rng.randn(bnw, n, h, d).astype(np.float32))
+        bias = jnp.asarray(rng.randn(h, n, n).astype(np.float32) * 0.3)
+        shift = None
+        if shifted:
+            w = int(np.sqrt(n))
+            grid = int(np.sqrt(n_windows)) * w
+            shift = jnp.asarray(_shift_attn_mask(grid, grid, w, w // 2))
+        return q, k, v, bias, shift
+
+    @pytest.mark.parametrize(
+        "bnw,n,h,d,n_windows,shifted",
+        [
+            (32, 64, 4, 24, 16, False),   # pack=8, n_pat=2
+            (32, 64, 4, 24, 16, True),    # shifted windows
+            (8, 64, 8, 24, 4, False),     # P >= nW (cross-image packing)
+            (8, 64, 8, 24, 4, True),
+            (6, 16, 2, 8, 1, False),      # tiny test-model shapes
+            (5, 64, 2, 24, 1, False),     # P=1 fallback (bnw prime)
+            (16, 64, 16, 24, 4, True),    # VMEM budget caps the pack (h=16)
+        ],
+    )
+    def test_matches_xla_reference(self, bnw, n, h, d, n_windows, shifted):
+        from transformer4sed_tpu.kernels.window_attention import (
+            _window_forward,
+            _xla_window_attention,
+        )
+
+        q, k, v, bias, shift = self._data(bnw, n, h, d, n_windows, shifted)
+        scale = d ** -0.5
+        ref = _xla_window_attention(q, k, v, bias, shift, n_windows, scale)
+        ours = _window_forward(q, k, v, bias, shift, n_windows, scale, interpret=True)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5)
+
+    def test_gradients_match_xla(self):
+        from transformer4sed_tpu.kernels.window_attention import (
+            _xla_window_attention,
+            swin_window_attention,
+        )
+
+        q, k, v, bias, shift = self._data(16, 64, 4, 24, 16, True, seed=1)
+        scale = 24 ** -0.5
+
+        def loss_kernel(q, k, v, bias):
+            return jnp.sum(swin_window_attention(q, k, v, bias, shift, 16, scale) ** 2)
+
+        def loss_xla(q, k, v, bias):
+            return jnp.sum(_xla_window_attention(q, k, v, bias, shift, 16, scale) ** 2)
+
+        g1 = jax.grad(loss_kernel, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        g2 = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)

@@ -134,10 +134,16 @@ class WindowAttention(nn.Module):
     num_heads: int
     window_size: int
     qkv_bias: bool = True
+    use_flash: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        mask: Optional[jnp.ndarray] = None,
+        n_windows: int = 1,
+    ) -> jnp.ndarray:
         bnw, n, c = x.shape
         w = self.window_size
         h = self.num_heads
@@ -148,8 +154,6 @@ class WindowAttention(nn.Module):
         qkv = qkv.reshape(bnw, n, 3, h, hd)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
 
-        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
-
         bias_table = self.param(
             "relative_position_bias_table",
             trunc_normal_init(),
@@ -157,6 +161,18 @@ class WindowAttention(nn.Module):
         )
         idx = jnp.asarray(_relative_position_index(w).reshape(-1))
         bias = bias_table[idx].reshape(n, n, h).transpose(2, 0, 1)  # [H, w², w²]
+
+        if self.use_flash:
+            # fused Pallas kernel on TPU (windows packed onto MXU tiles,
+            # scores never reach HBM); identical-math XLA path elsewhere
+            from transformer4sed_tpu.kernels.window_attention import swin_window_attention
+
+            n_w = n_windows if mask is None else int(mask.shape[0])
+            out = swin_window_attention(q, k, v, bias, mask, n_w, scale)
+            out = out.reshape(bnw, n, c)
+            return nn.Dense(c, dtype=self.dtype, name="proj")(out)
+
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
         attn = attn + bias[None]
 
         if mask is not None:  # [nW, n, n] additive
@@ -197,6 +213,7 @@ class SwinBlock(nn.Module):
     shift_size: int
     mlp_ratio: float = 4.0
     qkv_bias: bool = True
+    use_flash: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -217,8 +234,8 @@ class SwinBlock(nn.Module):
         mask = jnp.asarray(_shift_attn_mask(hgt, wdt, win, shift)) if shift else None
         attn_out = WindowAttention(
             num_heads=self.num_heads, window_size=win, qkv_bias=self.qkv_bias,
-            dtype=self.dtype, name="attn",
-        )(windows, mask=mask)
+            use_flash=self.use_flash, dtype=self.dtype, name="attn",
+        )(windows, mask=mask, n_windows=(hgt // win) * (wdt // win))
         h = window_reverse(attn_out, win, hgt, wdt)
         if shift:
             h = jnp.roll(h, (shift, shift), axis=(1, 2))
@@ -260,6 +277,7 @@ class HTSAT(nn.Module):
     window_size: int = 8
     mlp_ratio: float = 4.0
     qkv_bias: bool = True
+    use_flash: bool = True
     mel_bins: int = 64
     dtype: jnp.dtype = jnp.float32
 
@@ -324,6 +342,7 @@ class HTSAT(nn.Module):
                     shift_size=0 if blk % 2 == 0 else self.window_size // 2,
                     mlp_ratio=self.mlp_ratio,
                     qkv_bias=self.qkv_bias,
+                    use_flash=self.use_flash,
                     dtype=self.dtype,
                     name=f"layers_{i_layer}_blocks_{blk}",
                 )(h, deterministic=not train)
