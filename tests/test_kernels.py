@@ -383,3 +383,37 @@ class TestSwinWindowAttentionKernel:
         g2 = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(q, k, v, bias)
         for a, b in zip(g1, g2):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+        # the shift-mask cotangent must be the real gradient, not zeros
+        # (softmax(s + mask) does depend on the mask)
+        gs1 = jax.grad(
+            lambda s: jnp.sum(swin_window_attention(q, k, v, bias, s, 16, scale) ** 2)
+        )(shift)
+        gs2 = jax.grad(
+            lambda s: jnp.sum(_xla_window_attention(q, k, v, bias, s, 16, scale) ** 2)
+        )(shift)
+        assert float(jnp.abs(gs2).max()) > 0
+        np.testing.assert_allclose(np.asarray(gs1), np.asarray(gs2), atol=2e-5)
+
+    def test_bnw_not_multiple_of_windows_raises(self):
+        from transformer4sed_tpu.kernels.window_attention import _window_forward
+
+        q, k, v, bias, shift = self._data(24, 64, 4, 24, 16, True)
+        with pytest.raises(ValueError, match="multiple of n_windows"):
+            _window_forward(q[:24], k[:24], v[:24], bias, shift, 16, 0.2, interpret=True)
+
+    def test_maskless_pack_ignores_window_count(self):
+        """With no shift mask every window is interchangeable: an awkward
+        nW must not shrink the pack (and the zeros shift tile is indexed
+        at 0, never out of bounds)."""
+        from transformer4sed_tpu.kernels.window_attention import (
+            _choose_pack,
+            _window_forward,
+            _xla_window_attention,
+        )
+
+        assert _choose_pack(18, 64, 2, 1) == 6  # nW=9 irrelevant without a mask
+        q, k, v, bias, _ = self._data(18, 64, 2, 24, 9, False)
+        ref = _xla_window_attention(q, k, v, bias, None, 9, 0.2)
+        ours = _window_forward(q, k, v, bias, None, 9, 0.2, interpret=True)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5)

@@ -49,15 +49,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from transformer4sed_tpu.kernels.flash_attention import _on_tpu
+
 _NEG_INF = -1e9
 _VMEM_MASK_BUDGET = 8 * 1024 * 1024  # bias + shift tiles, bytes
-
-
-def _on_tpu() -> bool:
-    if jax.default_backend() != "tpu":
-        return False
-    dd = jax.config.jax_default_device
-    return dd is None or getattr(dd, "platform", "tpu") == "tpu"
 
 
 def _choose_pack(bnw: int, n: int, h: int, n_windows: int) -> int:
@@ -136,10 +131,22 @@ def _expand_shift(
 
 def _window_forward(q, k, v, bias, shift_mask, n_windows, sm_scale, interpret=False):
     bnw, n, h, d = q.shape
+    if shift_mask is None:
+        # no per-window mask -> every window is interchangeable: lift the
+        # periodicity constraint on the pack AND keep the zeros shift
+        # tile's block index at 0 (n_pat = 1); otherwise the index map
+        # would run past the [1, M, M] tile
+        n_windows = 1
+    elif bnw % n_windows:
+        raise ValueError(
+            f"bnw={bnw} must be a multiple of n_windows={n_windows} "
+            "(q rows are B*nW windows in image order)"
+        )
     pack = _choose_pack(bnw, n, h, n_windows)
     m = pack * n
     g = bnw // pack
     n_pat = max(n_windows // pack, 1)
+    assert g % n_pat == 0, (g, n_pat)
 
     # [bnw, n, h, d] -> [G, M, h*d] is a pure view (contiguous dims)
     def view(x):
@@ -208,14 +215,21 @@ def _wa_fwd(q, k, v, bias, shift_mask, n_windows, sm_scale):
 
 def _wa_bwd(n_windows, sm_scale, residuals, gout):
     q, k, v, bias, shift_mask = residuals
-    # recompute with XLA ops (differentiable); shift_mask is a constant
-    def f(q_, k_, v_, bias_):
-        return _xla_window_attention(q_, k_, v_, bias_, shift_mask, n_windows, sm_scale)
+    # recompute with XLA ops (differentiable, including the shift mask:
+    # a zero cotangent there would silently diverge from the XLA path
+    # if anyone ever optimizes the mask)
+    if shift_mask is None:
+        def f(q_, k_, v_, bias_):
+            return _xla_window_attention(q_, k_, v_, bias_, None, n_windows, sm_scale)
 
-    _, vjp = jax.vjp(f, q, k, v, bias)
-    dq, dk, dv, dbias = vjp(gout)
-    dshift = None if shift_mask is None else jnp.zeros_like(shift_mask)
-    return dq, dk, dv, dbias, dshift
+        _, vjp = jax.vjp(f, q, k, v, bias)
+        return (*vjp(gout), None)
+
+    def f(q_, k_, v_, bias_, shift_):
+        return _xla_window_attention(q_, k_, v_, bias_, shift_, n_windows, sm_scale)
+
+    _, vjp = jax.vjp(f, q, k, v, bias, shift_mask)
+    return vjp(gout)
 
 
 swin_window_attention.defvjp(_wa_fwd, _wa_bwd)
