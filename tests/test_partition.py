@@ -264,3 +264,99 @@ class TestDeviceShortfall:
 
         with pytest.raises(ValueError, match=r"platform=cpu"):
             make_mesh(9)
+
+
+class TestSupervisedStepBatchNormSPMD:
+    """Supervised step with a BatchNorm model under data-parallel SPMD:
+    GSPMD must compute GLOBAL batch statistics (the arrays are logically
+    global; the mean/var reductions gain collectives), so the dp=8 loss
+    and the updated running stats must equal the 1-device run — the SPMD
+    replacement for torch SyncBatchNorm semantics the reference never
+    had (its DataParallel computed per-GPU stats)."""
+
+    def test_loss_and_stats_agree_1dev_dp(self):
+        import flax.linen as fnn
+        import optax
+
+        from transformer4sed_tpu.models.cnn import CNN
+        from transformer4sed_tpu.models.sed_model import SEDOutput
+        from transformer4sed_tpu.parallel import make_mesh, put_batch, shard_train_step
+        from transformer4sed_tpu.recipes.audioset_strong import (
+            SupervisedConfig,
+            make_supervised_step,
+        )
+        from transformer4sed_tpu.train.mlm import MLMState
+
+        C, Fdim, T, B = 3, 16, 16, 8
+        filters = [8, 8]
+
+        class TinySup(fnn.Module):
+            @fnn.compact
+            def __call__(self, x, train=False):
+                h = CNN(n_in_channel=1, nb_filters=filters, kernel_size=[3, 3],
+                        padding=[1, 1], stride=[1, 1], pooling=[(1, 2), (1, 2)],
+                        activation="glu", normalization="batch", name="cnn")(x, train=train)
+                feat = jnp.mean(h, axis=-1).transpose(0, 2, 1)
+                logits = fnn.Dense(C, name="head")(feat)
+                return jax.nn.sigmoid(logits).transpose(0, 2, 1)
+
+        module = TinySup()
+        rng = np.random.RandomState(0)
+        mel_np = (rng.randn(B, Fdim, T) * 0.5).astype(np.float32)
+        labels_np = (rng.rand(B, C, T) > 0.8).astype(np.float32)
+        with jax.default_device(jax.devices("cpu")[0]):
+            variables = module.init(
+                {"params": KEY}, jnp.asarray(mel_np).transpose(0, 2, 1)[:, None], train=False
+            )
+        params = jax.tree_util.tree_map(np.asarray, variables["params"])
+        stats0 = jax.tree_util.tree_map(np.asarray, variables["batch_stats"])
+
+        def model_apply(p, mel, train=False, rngs=None, model_state=None, **kw):
+            x = mel.transpose(0, 2, 1)[:, None]
+            if train:
+                strong, mut = module.apply(
+                    {"params": p, "batch_stats": model_state}, x, train=True,
+                    mutable=["batch_stats"],
+                )
+                return SEDOutput(strong=strong), mut["batch_stats"]
+            return SEDOutput(strong=module.apply(
+                {"params": p, "batch_stats": model_state}, x, train=False)), model_state
+
+        class _IdentityFrontend:
+            def __call__(self, wav, key=None, training=False):
+                return wav
+
+            def normalize(self, m):
+                return m
+
+        cfg = SupervisedConfig(
+            loss_name="BCELoss", max_shift_frame=0, mixup_prob=0.0,
+            transform_choice=(0, 0, 0, 0),
+        )
+        tx = optax.adamw(1e-3)
+        raw_step = make_supervised_step(model_apply, _IdentityFrontend(), tx, cfg)
+        batch = {"wav": jnp.asarray(mel_np), "labels": jnp.asarray(labels_np)}
+
+        def run(mesh):
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            p = jax.device_put(params, NamedSharding(mesh, P()))
+            s = jax.device_put(stats0, NamedSharding(mesh, P()))
+            state = MLMState(params=p, opt_state=tx.init(p),
+                             step=jnp.zeros((), jnp.int32), model_state=s)
+            step = shard_train_step(raw_step, mesh)
+            state, metrics = step(state, put_batch(batch, mesh), KEY)
+            return float(metrics["loss_class_strong"]), jax.tree_util.tree_map(
+                np.asarray, state.model_state
+            )
+
+        loss1, stats1 = run(make_mesh(1))
+        loss8, stats8 = run(make_mesh(8))
+        np.testing.assert_allclose(loss8, loss1, rtol=2e-5)
+        import flax
+
+        f1 = flax.traverse_util.flatten_dict(stats1, sep="/")
+        f8 = flax.traverse_util.flatten_dict(stats8, sep="/")
+        assert f1.keys() == f8.keys()
+        for k in f1:
+            np.testing.assert_allclose(f8[k], f1[k], rtol=1e-4, err_msg=k)
