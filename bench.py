@@ -71,7 +71,7 @@ def main():
     from transformer4sed_tpu.frontend import PasstFrontend
     from transformer4sed_tpu.models.passt_sed import PaSST_SED
 
-    batch = 128  # measured: 218.1 clips/s vs 213.9 at B=64 (+2%), flat beyond
+    batch = 128  # measured: +2% over B=64, flat beyond
     n_samples = 320000  # 10 s @ 32 kHz
 
     model = PaSST_SED(

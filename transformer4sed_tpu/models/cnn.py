@@ -29,6 +29,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from transformer4sed_tpu.models.vit import fast_gelu
+
 from transformer4sed_tpu.models.norm import RefBatchNorm
 
 
@@ -273,12 +275,12 @@ class _BasicBlock(nn.Module):
         if self.v2:  # pre-activation
             h = RefBatchNorm(use_running_average=not train, name="bn1")(x)
             h = drop(h)
-            h = jax.nn.gelu(h, approximate=False)
+            h = fast_gelu(h)
             h = nn.Conv(self.mid_channel, (3, 3), (self.stride, self.stride), padding=1,
                         use_bias=False, dtype=self.dtype, name="conv1")(h)
             h = RefBatchNorm(use_running_average=not train, name="bn2")(h)
             h = drop(h)
-            h = jax.nn.gelu(h, approximate=False)
+            h = fast_gelu(h)
             h = nn.Conv(self.out_channel, (3, 3), (self.stride, self.stride), padding=1,
                         use_bias=False, dtype=self.dtype, name="conv2")(h)
         else:
@@ -286,7 +288,7 @@ class _BasicBlock(nn.Module):
                         use_bias=False, dtype=self.dtype, name="conv1")(x)
             h = RefBatchNorm(use_running_average=not train, name="bn1")(h)
             h = drop(h)
-            h = jax.nn.gelu(h, approximate=False)
+            h = fast_gelu(h)
             h = nn.Conv(self.out_channel, (3, 3), (self.stride, self.stride), padding=1,
                         use_bias=False, dtype=self.dtype, name="conv2")(h)
             h = RefBatchNorm(use_running_average=not train, name="bn2")(h)
@@ -302,7 +304,7 @@ class _BasicBlock(nn.Module):
             residual = RefBatchNorm(use_running_average=not train,
                                      name="downsample_bn")(residual)
         out = h + residual
-        return out if self.v2 else jax.nn.gelu(out, approximate=False)
+        return out if self.v2 else fast_gelu(out)
 
 
 class ResNet(nn.Module):
@@ -374,7 +376,7 @@ class ResNet(nn.Module):
                 s = nn.Conv(flt, (ker,), padding="VALID", dtype=self.dtype,
                             name=f"cnn_1d_{j}")(s)
                 s = RefBatchNorm(use_running_average=not train, name=f"cnn_1d_bn{j}")(s)
-                s = jax.nn.gelu(s, approximate=False)
+                s = fast_gelu(s)
             h = s[:, :, None, :]
         return jnp.transpose(h, (0, 3, 1, 2))
 

@@ -40,7 +40,7 @@ from transformer4sed_tpu.models.passt import PaSST
 from transformer4sed_tpu.models.pooling import AttentionPooling
 from transformer4sed_tpu.models.sed_model import SEDOutput
 from transformer4sed_tpu.models.slide import slide_window_encode
-from transformer4sed_tpu.models.vit import trunc_normal_init
+from transformer4sed_tpu.models.vit import fast_gelu, trunc_normal_init
 from transformer4sed_tpu.models.xl import (
     BiGRUDecoder,
     ConformerDecoder,
@@ -62,7 +62,7 @@ class MLP(nn.Module):
             out = self.output_dim if i == self.num_layers - 1 else self.hidden_dim
             x = nn.Dense(out, name=f"layers_{i}")(x)
             if i < self.num_layers - 1:
-                x = nn.gelu(x, approximate=False)
+                x = fast_gelu(x)
         return x
 
 
@@ -97,7 +97,7 @@ class CrossAttentionFirstDecoderLayer(nn.Module):
         x = nn.LayerNorm(name="norm2")(x + h)
 
         h = nn.Dense(self.dim_ffn, name="linear1")(x)
-        h = nn.gelu(h, approximate=False)
+        h = fast_gelu(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = nn.Dense(d, name="linear2")(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
@@ -309,7 +309,7 @@ class DASM(nn.Module):
             return query
         # the reference projector is Sequential(Linear, GELU)
         # (detect_any_sound.py:137,144-148) — the GELU is part of it
-        proj_act = lambda proj, q: nn.gelu(proj(q), approximate=False)  # noqa: E731
+        proj_act = lambda proj, q: fast_gelu(proj(q))  # noqa: E731
         if isinstance(query, (list, tuple)):
             projected = [proj_act(proj, q) for proj, q in zip(self.query_projectors, query)]
             stacked = jnp.stack(projected, axis=1)  # [Q, n_modal, D]
@@ -393,7 +393,7 @@ class DASM(nn.Module):
         x = self.sed_decoder(x, deterministic=not train) if self.sed_decoder is not None else x
 
         if self.mlm_dict is not None:
-            mlm_pred = self.mlm_fc2(nn.gelu(self.mlm_fc1(x), approximate=False))
+            mlm_pred = self.mlm_fc2(fast_gelu(self.mlm_fc1(x)))
             return SEDOutput(
                 mlm_pred=mlm_pred,
                 frame_before_mask=frame_before_mask,

@@ -27,7 +27,7 @@ from transformer4sed_tpu.models.htsat import HTSAT, create_htsat_model
 from transformer4sed_tpu.models.interpolate import interpolate_time, resize_time
 from transformer4sed_tpu.models.mlm import MLMMasker
 from transformer4sed_tpu.models.sed_model import SEDOutput
-from transformer4sed_tpu.models.vit import trunc_normal_init
+from transformer4sed_tpu.models.vit import fast_gelu, trunc_normal_init
 from transformer4sed_tpu.models.xl import BiGRUDecoder, ConformerDecoder, TransformerXLDecoder
 
 
@@ -129,7 +129,7 @@ class HTSAT_CNN(nn.Module):
         x = self.sed_decoder(x, deterministic=not train) if self.sed_decoder is not None else x
 
         if self.mlm_dict is not None:
-            mlm_pred = self.mlm_fc2(nn.gelu(self.mlm_fc1(x), approximate=False))
+            mlm_pred = self.mlm_fc2(fast_gelu(self.mlm_fc1(x)))
             return SEDOutput(
                 mlm_pred=mlm_pred, frame_before_mask=frame_before_mask, mask_id_seq=mask_id_seq
             )
@@ -364,7 +364,7 @@ class DASM_HTSAT(nn.Module):
         x = self.sed_decoder(x, deterministic=not train) if self.sed_decoder is not None else x
 
         if self.mlm_dict is not None:
-            mlm_pred = self.mlm_fc2(nn.gelu(self.mlm_fc1(x), approximate=False))
+            mlm_pred = self.mlm_fc2(fast_gelu(self.mlm_fc1(x)))
             return SEDOutput(
                 mlm_pred=mlm_pred,
                 frame_before_mask=frame_before_mask,

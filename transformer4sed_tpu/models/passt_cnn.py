@@ -16,6 +16,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from transformer4sed_tpu.models.vit import fast_gelu
+
 from transformer4sed_tpu.core.pooling_math import linear_softmax_pool
 from transformer4sed_tpu.models.cnn import CNN, FDY_CNN, ResNet
 from transformer4sed_tpu.models.interpolate import interpolate_time, resize_time
@@ -95,7 +97,7 @@ class PaSST_CNN(PaSST_SED):
             at_out = jax.nn.sigmoid(self.at_head(self.at_pool(at_tokens, deterministic=not train)))
 
         if self.mlm:
-            mlm_pred = self.mlm_fc2(nn.gelu(self.mlm_fc1(x), approximate=False))
+            mlm_pred = self.mlm_fc2(fast_gelu(self.mlm_fc1(x)))
             return SEDOutput(
                 mlm_pred=mlm_pred,
                 frame_before_mask=frame_before_mask,

@@ -39,7 +39,7 @@ from transformer4sed_tpu.models.passt import PaSST
 from transformer4sed_tpu.models.pooling import AttentionPooling, FrequencyWiseTransformerPooling
 from transformer4sed_tpu.models.sed_model import SEDOutput
 from transformer4sed_tpu.models.slide import slide_window_encode
-from transformer4sed_tpu.models.vit import trunc_normal_init
+from transformer4sed_tpu.models.vit import fast_gelu, trunc_normal_init
 from transformer4sed_tpu.models.xl import (
     BiGRUDecoder,
     ConformerDecoder,
@@ -226,7 +226,7 @@ class PaSST_SED(nn.Module):
             at_out = jax.nn.sigmoid(at_logit)
 
         if self.mlm:
-            mlm_pred = self.mlm_fc2(nn.gelu(self.mlm_fc1(x), approximate=False))
+            mlm_pred = self.mlm_fc2(fast_gelu(self.mlm_fc1(x)))
             return SEDOutput(
                 mlm_pred=mlm_pred,
                 frame_before_mask=frame_before_mask,

@@ -15,7 +15,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from transformer4sed_tpu.models.vit import Block, trunc_normal_init
+from transformer4sed_tpu.models.vit import fast_gelu, Block, trunc_normal_init
 
 
 class MeanPool(nn.Module):
@@ -87,7 +87,7 @@ class ActivateAttention(nn.Module):
         q = split(nn.Dense(d, use_bias=self.qv_bias, dtype=self.dtype, name="f_q")(query))
         k = split(nn.Dense(d, use_bias=True, dtype=self.dtype, name="f_k")(key))
         v = split(nn.Dense(d, use_bias=self.qv_bias, dtype=self.dtype, name="f_v")(value))
-        k = nn.gelu(k, approximate=False)
+        k = fast_gelu(k)
         attn = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
         attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
