@@ -417,3 +417,58 @@ class TestSwinWindowAttentionKernel:
         ref = _xla_window_attention(q, k, v, bias, None, 9, 0.2)
         ours = _window_forward(q, k, v, bias, None, 9, 0.2, interpret=True)
         np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5)
+
+
+class TestFlashNHDKernel:
+    """Heads-in-lanes flash attention (no HBM transposes): interpret-mode
+    parity vs the split-head XLA reference, ragged T, and gradients
+    through the transpose+saved-LSE backward route."""
+
+    @pytest.mark.parametrize("t", [64, 190, 300])
+    def test_matches_split_head_attention(self, t):
+        from transformer4sed_tpu.kernels.flash_attention import (
+            _flash_nhd_forward,
+            _split_heads,
+            _merge_heads,
+            _xla_attention,
+        )
+
+        b, h, d = 2, 4, 16
+        c = h * d
+        rng = np.random.RandomState(0)
+        q = jnp.asarray(rng.randn(b, t, c).astype(np.float32))
+        k = jnp.asarray(rng.randn(b, t, c).astype(np.float32))
+        v = jnp.asarray(rng.randn(b, t, c).astype(np.float32))
+        scale = d ** -0.5
+        ref = _merge_heads(_xla_attention(
+            _split_heads(q, h), _split_heads(k, h), _split_heads(v, h), scale))
+        ours = _flash_nhd_forward(q, k, v, h, scale, block_q=128, interpret=True)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=2e-5)
+
+    def test_gradients_match_xla(self):
+        from transformer4sed_tpu.kernels.flash_attention import (
+            flash_attention_nhd,
+            _split_heads,
+            _merge_heads,
+            _xla_attention,
+        )
+
+        b, t, h, d = 2, 50, 4, 16
+        c = h * d
+        rng = np.random.RandomState(1)
+        q = jnp.asarray(rng.randn(b, t, c).astype(np.float32))
+        k = jnp.asarray(rng.randn(b, t, c).astype(np.float32))
+        v = jnp.asarray(rng.randn(b, t, c).astype(np.float32))
+
+        def loss_kernel(q, k, v):
+            return jnp.sum(flash_attention_nhd(q, k, v, h) ** 2)
+
+        def loss_xla(q, k, v):
+            scale = d ** -0.5
+            return jnp.sum(_merge_heads(_xla_attention(
+                _split_heads(q, h), _split_heads(k, h), _split_heads(v, h), scale)) ** 2)
+
+        g1 = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=3e-5)

@@ -456,3 +456,146 @@ def _flash_backward(q, k, v, o, lse, g, sm_scale, block_q=256, interpret=False):
 
     unpad = lambda x: x.reshape(b, h, t_pad, d)[:, :, :t]
     return unpad(dq), unpad(dk), unpad(dv)
+
+
+# -- heads-in-lanes flash attention (no HBM transposes) ---------------------------
+#
+# The [B, N, H, d] -> [B, H, N, d] transposes (x3 inputs + output) around
+# flash_attention measured 4.2 ms per PaSST layer at B=64 — more than a
+# third of the attention cost, ~50 ms across the 12-layer backbone. This
+# variant keeps the model's natural layout: q/k/v arrive as [B, N, H*d]
+# (a free view of the qkv Dense output) and the kernel slices each
+# head's lanes statically inside VMEM, exactly like
+# kernels/window_attention.py. Full-row K/V per batch element; ragged T
+# masked in-kernel. 12x fewer grid steps than the per-(b,h) kernel.
+#
+# The custom VJP routes TRAINING through the existing transpose +
+# saved-O/LSE Pallas backward (no regression, no gain there); only
+# no-grad forwards (inference/serving, the teacher pass) take this path.
+
+
+def _flash_nhd_kernel(q_ref, k_ref, v_ref, o_ref, *, d, seq_len, sm_scale):
+    """One (batch, head-pair, q-block) step.
+
+    Blocks are 128-lane slices of the [B, T_pad, H*d] arrays — Mosaic
+    requires lane blocks of >=128, so each step covers TWO d=64 heads
+    and slices them statically. Small tiles keep the VMEM stack bounded
+    (a 12-head unrolled loop with full-row K/V measured a 21 MB scoped
+    allocation and failed to compile)."""
+    bq = q_ref.shape[0]
+    t_pad = k_ref.shape[0]
+    lanes = q_ref.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (bq, t_pad), 1)
+    for j in range(lanes // d):
+        qh = q_ref[:, j * d : (j + 1) * d]
+        kh = k_ref[:, j * d : (j + 1) * d]
+        vh = v_ref[:, j * d : (j + 1) * d]
+        s = jnp.dot(qh, kh.T, preferred_element_type=jnp.float32) * sm_scale
+        s = jnp.where(col < seq_len, s, _NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        acc = jnp.dot(p.astype(vh.dtype), vh, preferred_element_type=jnp.float32)
+        o_ref[:, j * d : (j + 1) * d] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def _flash_nhd_forward(q, k, v, heads, sm_scale, block_q=256, interpret=False):
+    """q/k/v: [B, N, H*d] -> [B, N, H*d]; heads per 128-lane block."""
+    b, t, c = q.shape
+    d = c // heads
+    # >=128 lanes per block (Mosaic), or the whole lane dim when smaller
+    lane_block = min(max(128 // d, 1) * d, c)
+    t_pad = _round_up(t, block_q)
+
+    def pad(x):
+        return jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)))
+
+    grid = (b, c // lane_block, t_pad // block_q)
+    out = pl.pallas_call(
+        functools.partial(_flash_nhd_kernel, d=d, seq_len=t, sm_scale=sm_scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (None, block_q, lane_block), lambda bi, hi, qi: (bi, qi, hi),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (None, t_pad, lane_block), lambda bi, hi, qi: (bi, 0, hi),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (None, t_pad, lane_block), lambda bi, hi, qi: (bi, 0, hi),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (None, block_q, lane_block), lambda bi, hi, qi: (bi, qi, hi),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, t_pad, c), q.dtype),
+        interpret=interpret,
+    )(pad(q), pad(k), pad(v))
+    return out[:, :t]
+
+
+def _split_heads(x, heads):
+    b, t, c = x.shape
+    return x.reshape(b, t, heads, c // heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x):
+    b, h, t, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, t, h * d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def flash_attention_nhd(q, k, v, num_heads: int, sm_scale: Optional[float] = None):
+    """Softmax attention in the model's [B, N, H*d] layout, no mask.
+
+    No-grad forwards run the heads-in-lanes kernel (no HBM transposes);
+    differentiated calls fall back to the [B, H, N, d] kernel pair so
+    the saved-O/LSE Pallas backward is reused unchanged.
+    """
+    scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(q.shape[-1] // num_heads)
+    c = q.shape[-1]
+    d = c // num_heads
+    lane_block = min(max(128 // d, 1) * d, c)
+    if _on_tpu() and c % lane_block == 0 and (lane_block % 128 == 0 or lane_block == c):
+        return _flash_nhd_forward(q, k, v, num_heads, scale)
+    if _on_tpu():
+        return _merge_heads(
+            _flash_forward(_split_heads(q, num_heads), _split_heads(k, num_heads),
+                           _split_heads(v, num_heads), scale)
+        )
+    return _merge_heads(
+        _xla_attention(_split_heads(q, num_heads), _split_heads(k, num_heads),
+                       _split_heads(v, num_heads), scale)
+    )
+
+
+def _nhd_fwd(q, k, v, num_heads, sm_scale):
+    scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(q.shape[-1] // num_heads)
+    qh, kh, vh = (_split_heads(x, num_heads) for x in (q, k, v))
+    if _on_tpu():
+        out, lse = _flash_forward_lse(qh, kh, vh, scale)
+        return _merge_heads(out), (qh, kh, vh, out, lse)
+    return _merge_heads(_xla_attention(qh, kh, vh, scale)), (qh, kh, vh, None, None)
+
+
+def _nhd_bwd(num_heads, sm_scale, residuals, g):
+    qh, kh, vh, o, lse = residuals
+    scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(qh.shape[-1])
+    gh = _split_heads(g, num_heads)
+    if o is not None and _on_tpu():
+        dq, dk, dv = _flash_backward(qh, kh, vh, o, lse, gh, scale)
+    else:
+        def f(q_, k_, v_):
+            return _xla_attention(q_, k_, v_, scale)
+
+        out_dtype = jax.eval_shape(f, qh, kh, vh).dtype
+        _, vjp = jax.vjp(f, qh, kh, vh)
+        dq, dk, dv = vjp(gh.astype(out_dtype))
+    return _merge_heads(dq), _merge_heads(dk), _merge_heads(dv)
+
+
+flash_attention_nhd.defvjp(_nhd_fwd, _nhd_bwd)

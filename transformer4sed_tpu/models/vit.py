@@ -86,22 +86,23 @@ class Attention(nn.Module):
         scale = head_dim ** -0.5
 
         if self.lora_rank > 0:
-            qkv = LoRADense(
+            raw = LoRADense(
                 3 * c, rank=self.lora_rank, alpha=self.lora_alpha,
                 use_bias=self.qkv_bias, dtype=self.dtype, name="qkv",
             )(x)
         else:
-            qkv = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(b, n, 3, self.num_heads, head_dim)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, H, hd]
+            raw = nn.Dense(3 * c, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
 
         if self.use_flash and mask is None and self.attn_drop == 0.0:
-            from transformer4sed_tpu.kernels.flash_attention import flash_attention
+            # heads-in-lanes kernel: q/k/v are plain lane slices of the
+            # Dense output, no [B,N,H,d]->[B,H,N,d] transposes (those
+            # measured 4.2 ms/layer at B=64 — more than a third of the
+            # attention cost)
+            from transformer4sed_tpu.kernels.flash_attention import flash_attention_nhd
 
-            out = flash_attention(
-                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3)
-            ).transpose(0, 2, 1, 3)
-            out = out.reshape(b, n, c)
+            out = flash_attention_nhd(
+                raw[..., :c], raw[..., c : 2 * c], raw[..., 2 * c :], self.num_heads
+            )
             if self.lora_rank > 0:
                 out = LoRADense(
                     c, rank=self.lora_rank, alpha=self.lora_alpha, dtype=self.dtype, name="proj"
@@ -109,6 +110,9 @@ class Attention(nn.Module):
             else:
                 out = nn.Dense(c, dtype=self.dtype, name="proj")(out)
             return nn.Dropout(self.proj_drop)(out, deterministic=deterministic)
+
+        qkv = raw.reshape(b, n, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # [B, N, H, hd]
 
         attn = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
         if mask is not None:
