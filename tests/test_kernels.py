@@ -472,3 +472,67 @@ class TestFlashNHDKernel:
         g2 = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
         for a, b_ in zip(g1, g2):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=3e-5)
+
+
+class TestXLNHDKernel:
+    """Heads-in-lanes XL attention: interpret-mode parity vs the
+    transposed-layout path (incl. band widths and the in-kernel pos-bias
+    adds), and gradients through the fallback vjp route."""
+
+    def _data(self, b, t, h, d, seed=0):
+        rng = np.random.RandomState(seed)
+        c = h * d
+        q = jnp.asarray(rng.randn(b, t, c).astype(np.float32))
+        k = jnp.asarray(rng.randn(b, t, c).astype(np.float32))
+        v = jnp.asarray(rng.randn(b, t, c).astype(np.float32))
+        bu = jnp.asarray(rng.randn(h, d).astype(np.float32) * 0.1)
+        bv = jnp.asarray(rng.randn(h, d).astype(np.float32) * 0.1)
+        p = jnp.asarray(rng.randn(h, 2 * t - 1, d).astype(np.float32) * 0.1)
+        return q, k, v, bu, bv, p
+
+    @pytest.mark.parametrize("band", [None, (6, 10, 6, 10)])
+    def test_matches_transposed_path(self, band):
+        from transformer4sed_tpu.kernels.xl_attention import (
+            _xl_merge,
+            _xl_nhd_forward,
+            _xl_split,
+            _xla_xl_attention,
+        )
+
+        b, t, h, d = 2, 200, 4, 32
+        q, k, v, bu, bv, p = self._data(b, t, h, d)
+        scale = d ** -0.5
+        qh = _xl_split(q, h)
+        qu = qh + bu[None, :, None]
+        qv = qh + bv[None, :, None]
+        ref = _xl_merge(_xla_xl_attention(qu, qv, _xl_split(k, h), _xl_split(v, h),
+                                          p, scale, band))
+        ours = _xl_nhd_forward(q, k, v, bu, bv, p, h, scale,
+                               block_q=128, band_widths=band, interpret=True)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=3e-5)
+
+    def test_gradients_match_xla(self):
+        from transformer4sed_tpu.kernels.xl_attention import (
+            _xl_merge,
+            _xl_split,
+            _xla_xl_attention,
+            flash_xl_attention_nhd,
+        )
+
+        b, t, h, d = 2, 60, 4, 16
+        q, k, v, bu, bv, p = self._data(b, t, h, d, seed=1)
+        scale = d ** -0.5
+
+        def loss_kernel(q, k, v, bu, bv, p):
+            return jnp.sum(flash_xl_attention_nhd(q, k, v, bu, bv, p, h, scale) ** 2)
+
+        def loss_xla(q, k, v, bu, bv, p):
+            qh = _xl_split(q, h)
+            out = _xla_xl_attention(qh + bu[None, :, None], qh + bv[None, :, None],
+                                    _xl_split(k, h), _xl_split(v, h), p, scale, None)
+            return jnp.sum(_xl_merge(out) ** 2)
+
+        g1 = jax.grad(loss_kernel, argnums=(0, 1, 2, 3, 4, 5))(q, k, v, bu, bv, p)
+        g2 = jax.grad(loss_xla, argnums=(0, 1, 2, 3, 4, 5))(q, k, v, bu, bv, p)
+        for a, b_ in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-5)

@@ -644,3 +644,169 @@ def _bwd(sm_scale, band_widths, residuals, g):
 
 
 flash_xl_attention.defvjp(_fwd, _bwd)
+
+# -- heads-in-lanes XL attention (no HBM transposes on inference) -----------------
+#
+# Mirrors kernels/flash_attention.py:flash_attention_nhd: the
+# [B,N,H,d]->[B,H,N,d] transposes around flash_xl_attention (4 inputs +
+# output, plus the two full-tensor (q + pos_bias) materialisations)
+# measured 3.6 ms per XL layer at B=64/T=1000 — ~11 ms across the 3-layer
+# decoder. This variant takes q/k/v in the model's [B, T, H*d] layout
+# (lane slices of the projections), adds pos_bias_u/v per head INSIDE
+# the kernel, and runs a (batch, head-pair, q-block) grid with 128-lane
+# blocks. Differentiated calls route through the transposed kernel pair
+# so the fully-Pallas saved-O/LSE backward is reused unchanged.
+
+
+def _xl_row_nhd_kernel(
+    q_ref, k_ref, v_ref, *rest,
+    seq_len: int, sm_scale: float, pad_lo: int, group: int,
+    band_widths: Optional[tuple], d: int,
+):
+    # rest = hpb per-head position refs (separate operands with static
+    # head index maps — a `.at[j]` sub-ref of one [hpb, P, d] block
+    # produced misaligned Mosaic memref slices), then bu, bv, o_ref
+    block_q = q_ref.shape[0]
+    hpb = q_ref.shape[1] // d
+    p_refs = rest[:hpb]
+    bu_ref, bv_ref, o_ref = rest[hpb], rest[hpb + 1], rest[hpb + 2]
+    i0 = pl.program_id(2) * block_q
+    for j in range(hpb):
+        sl = slice(j * d, (j + 1) * d)
+        q = q_ref[:, sl]
+        # bias add in f32, cast back to the matmul dtype (the transposed
+        # path adds in f32 before its cast; one extra q rounding here is
+        # below bf16 resolution)
+        qu = (q.astype(jnp.float32) + bu_ref[j].astype(jnp.float32)).astype(q.dtype)
+        qv = (q.astype(jnp.float32) + bv_ref[j].astype(jnp.float32)).astype(q.dtype)
+        s = _row_scores(
+            qu, qv, k_ref[:, sl], p_refs[j],
+            seq_len=seq_len, sm_scale=sm_scale, pad_lo=pad_lo, group=group,
+            band_widths=band_widths, i0=i0,
+            h_index=pl.program_id(1) * hpb + j,
+        )
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        l = jnp.sum(e, axis=-1, keepdims=True)
+        v = v_ref[:, sl]
+        acc = jnp.dot(e.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        o_ref[:, sl] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def _xl_nhd_forward(
+    q, k, v, bias_u, bias_v, p, num_heads, sm_scale,
+    block_q=512, group=128, band_widths=None, interpret=False,
+):
+    """q/k/v: [B, T, H*d]; bias_u/v: [H, d]; p: [H, 2T-1, d]."""
+    b, t, c = q.shape
+    d = c // num_heads
+    hpb = min(max(128 // d, 1), num_heads)
+    t_pad, pad_lo, pad_hi = _geometry(t, block_q, 256)
+
+    def pad_t(x):
+        return jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)))
+
+    p_padded = jnp.pad(p, ((0, 0), (pad_lo, pad_hi), (0, 0)))
+    p_len = p_padded.shape[1]
+    lane = hpb * d
+    grid = (b, num_heads // hpb, t_pad // block_q)
+
+    qspec = pl.BlockSpec(
+        (None, block_q, lane), lambda bi, hi, qi: (bi, qi, hi), memory_space=pltpu.VMEM
+    )
+    kvspec = pl.BlockSpec(
+        (None, t_pad, lane), lambda bi, hi, qi: (bi, 0, hi), memory_space=pltpu.VMEM
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _xl_row_nhd_kernel, seq_len=t, sm_scale=sm_scale, pad_lo=pad_lo,
+            group=group, band_widths=band_widths, d=d,
+        ),
+        grid=grid,
+        in_specs=[
+            qspec,
+            kvspec,
+            kvspec,
+            *[
+                pl.BlockSpec(
+                    (None, p_len, d),
+                    functools.partial(lambda bi, hi, qi, j: (hi * hpb + j, 0, 0), j=j),
+                    memory_space=pltpu.VMEM,
+                )
+                for j in range(hpb)
+            ],
+            pl.BlockSpec((hpb, 1, d), lambda bi, hi, qi: (hi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hpb, 1, d), lambda bi, hi, qi: (hi, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=qspec,
+        out_shape=jax.ShapeDtypeStruct((b, t_pad, c), q.dtype),
+        interpret=interpret,
+    )(pad_t(q), pad_t(k), pad_t(v), *([p_padded] * hpb),
+      bias_u.reshape(num_heads, 1, d), bias_v.reshape(num_heads, 1, d))
+    return out[:, :t]
+
+
+def _xl_split(x, h):
+    b, t, c = x.shape
+    return x.reshape(b, t, h, c // h).transpose(0, 2, 1, 3)
+
+
+def _xl_merge(x):
+    b, h, t, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, t, h * d)
+
+
+def _xl_nhd_supported(c: int, num_heads: int, t: int) -> bool:
+    d = c // num_heads
+    hpb = min(max(128 // d, 1), num_heads)
+    lane = hpb * d
+    return (
+        num_heads % hpb == 0
+        and c % lane == 0
+        and (lane % 128 == 0 or lane == c)
+        and _band_supported(t)
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def flash_xl_attention_nhd(
+    q, k, v, bias_u, bias_v, p, num_heads: int, sm_scale: float, band_widths=None
+):
+    """XL attention in the model's [B, T, H*d] layout.
+
+    No-grad forwards run the heads-in-lanes row kernel with the
+    pos-bias adds fused in-kernel; differentiated calls and unsupported
+    shapes fall back to the [B, H, T, d] path (transposes + the
+    fully-Pallas saved-O/LSE backward).
+    """
+    if _on_tpu() and _xl_nhd_supported(q.shape[-1], num_heads, q.shape[1]):
+        return _xl_nhd_forward(q, k, v, bias_u, bias_v, p, num_heads, sm_scale,
+                               band_widths=band_widths)
+    qh = _xl_split(q, num_heads)
+    qu = (qh.astype(jnp.float32) + bias_u[None, :, None]).astype(q.dtype)
+    qv = (qh.astype(jnp.float32) + bias_v[None, :, None]).astype(q.dtype)
+    return _xl_merge(
+        flash_xl_attention(qu, qv, _xl_split(k, num_heads), _xl_split(v, num_heads),
+                           p, sm_scale, band_widths)
+    )
+
+
+def _nhd_xl_fwd(q, k, v, bias_u, bias_v, p, num_heads, sm_scale, band_widths):
+    qh = _xl_split(q, num_heads)
+    kh = _xl_split(k, num_heads)
+    vh = _xl_split(v, num_heads)
+    qu = (qh.astype(jnp.float32) + bias_u[None, :, None]).astype(q.dtype)
+    qv = (qh.astype(jnp.float32) + bias_v[None, :, None]).astype(q.dtype)
+    out, residuals = _fwd(qu, qv, kh, vh, p, sm_scale, band_widths)
+    return _xl_merge(out), residuals
+
+
+def _nhd_xl_bwd(num_heads, sm_scale, band_widths, residuals, g):
+    dqu, dqv, dk, dv, dp = _bwd(sm_scale, band_widths, residuals, _xl_split(g, num_heads))
+    dq = _xl_merge((dqu.astype(jnp.float32) + dqv.astype(jnp.float32)))
+    dbu = jnp.sum(dqu.astype(jnp.float32), axis=(0, 2))  # [H, d]
+    dbv = jnp.sum(dqv.astype(jnp.float32), axis=(0, 2))
+    return dq, _xl_merge(dk), _xl_merge(dv), dbu, dbv, dp
+
+
+flash_xl_attention_nhd.defvjp(_nhd_xl_fwd, _nhd_xl_bwd)

@@ -168,10 +168,10 @@ class RelPositionMultiheadAttention(nn.Module):
         scale = hd ** -0.5
 
         qkv = nn.Dense(3 * d, use_bias=True, dtype=self.dtype, name="in_proj")(x)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q.reshape(b, t, h, hd)
-        k = k.reshape(b, t, h, hd)
-        v = v.reshape(b, t, h, hd)
+        q_flat, k_flat, v_flat = jnp.split(qkv, 3, axis=-1)  # [B, T, D] lane views
+        q = q_flat.reshape(b, t, h, hd)
+        k = k_flat.reshape(b, t, h, hd)
+        v = v_flat.reshape(b, t, h, hd)
 
         p = nn.Dense(d, use_bias=False, dtype=self.dtype, name="linear_pos")(pos_emb)
         p = p.reshape(1, -1, h, hd)  # [1, 2T-1, H, hd]
@@ -180,23 +180,20 @@ class RelPositionMultiheadAttention(nn.Module):
         bias_v = self.param("pos_bias_v", nn.initializers.xavier_uniform(), (h, hd))
 
         if self.use_flash and self.attn_drop == 0.0 and mask is None:
-            # fully-fused XL kernel: position scores computed in-kernel;
+            # fully-fused XL kernel in the heads-in-lanes layout: q/k/v go
+            # in as the [B, T, D] projection slices (the head transposes +
+            # the two (q + pos_bias) materialisations measured 3.6 ms per
+            # layer at B=64); pos_bias_u/v are added per head in-kernel.
             # band_widths turns it into local attention (mask generated
             # in-kernel, no [T, T] tensor)
-            from transformer4sed_tpu.kernels.xl_attention import flash_xl_attention
+            from transformer4sed_tpu.kernels.xl_attention import flash_xl_attention_nhd
 
-            # cast the bias-shifted queries back to the compute dtype: the
-            # f32 pos_bias params promote q + bias to f32, which would
-            # force f32 kernel matmuls
-            out = flash_xl_attention(
-                (q + bias_u).astype(self.dtype).transpose(0, 2, 1, 3),
-                (q + bias_v).astype(self.dtype).transpose(0, 2, 1, 3),
-                k.transpose(0, 2, 1, 3),
-                v.transpose(0, 2, 1, 3),
-                p[0].transpose(1, 0, 2),  # [H, 2T-1, hd]
-                scale,
-                band_widths,
-            ).transpose(0, 2, 1, 3).reshape(b, t, d)
+            out = flash_xl_attention_nhd(
+                q_flat, k_flat, v_flat,
+                bias_u, bias_v,
+                p[0].transpose(1, 0, 2),  # [H, 2T-1, hd] (small tensor)
+                h, scale, band_widths,
+            )
             return nn.Dense(d, use_bias=True, dtype=self.dtype, name="out_proj")(out)
 
         if band_widths is not None and mask is None:
