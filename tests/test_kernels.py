@@ -536,3 +536,43 @@ class TestXLNHDKernel:
         g2 = jax.grad(loss_xla, argnums=(0, 1, 2, 3, 4, 5))(q, k, v, bu, bv, p)
         for a, b_ in zip(g1, g2):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-5)
+
+    def test_bf16_cotangent_dtypes_match_primals(self):
+        """bf16 regression: dq must come back in the primal dtype. A f32
+        dq next to bf16 dk/dv breaks the VJP of the caller's qkv split
+        (lax.concatenate rejects mixed dtypes) — exactly the
+        models/xl.py in_proj pattern, which only f32 tests exercised."""
+        from transformer4sed_tpu.kernels.xl_attention import flash_xl_attention_nhd
+
+        b, t, h, d = 1, 24, 4, 16
+        q, k, v, bu, bv, p = self._data(b, t, h, d, seed=2)
+        qkv = jnp.concatenate([q, k, v], axis=-1).astype(jnp.bfloat16)
+        p16 = p.astype(jnp.bfloat16)
+        scale = d ** -0.5
+
+        def loss(qkv):
+            q_, k_, v_ = jnp.split(qkv, 3, axis=-1)
+            out = flash_xl_attention_nhd(q_, k_, v_, bu, bv, p16, h, scale)
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        g = jax.grad(loss)(qkv)  # raised TypeError before the dtype fix
+        assert g.dtype == jnp.bfloat16
+        assert np.isfinite(np.asarray(g, dtype=np.float32)).all()
+
+
+def test_flash_nhd_bf16_cotangent_dtypes():
+    """Same bf16 qkv-split regression for the plain flash nhd kernel."""
+    from transformer4sed_tpu.kernels.flash_attention import flash_attention_nhd
+
+    b, t, h, d = 1, 30, 4, 16
+    c = h * d
+    rng = np.random.RandomState(3)
+    qkv = jnp.asarray(rng.randn(b, t, 3 * c).astype(np.float32)).astype(jnp.bfloat16)
+
+    def loss(qkv):
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        return jnp.sum(flash_attention_nhd(q, k, v, h).astype(jnp.float32) ** 2)
+
+    g = jax.grad(loss)(qkv)
+    assert g.dtype == jnp.bfloat16
+    assert np.isfinite(np.asarray(g, dtype=np.float32)).all()

@@ -803,7 +803,12 @@ def _nhd_xl_fwd(q, k, v, bias_u, bias_v, p, num_heads, sm_scale, band_widths):
 
 def _nhd_xl_bwd(num_heads, sm_scale, band_widths, residuals, g):
     dqu, dqv, dk, dv, dp = _bwd(sm_scale, band_widths, residuals, _xl_split(g, num_heads))
-    dq = _xl_merge((dqu.astype(jnp.float32) + dqv.astype(jnp.float32)))
+    # cotangent dtypes must match the primals: a float32 dq next to bf16
+    # dk/dv breaks the VJP of the caller's qkv split (lax.concatenate
+    # rejects mixed dtypes) — the accumulation stays f32, only the
+    # result is cast back
+    qu = residuals[0]
+    dq = _xl_merge((dqu.astype(jnp.float32) + dqv.astype(jnp.float32))).astype(qu.dtype)
     dbu = jnp.sum(dqu.astype(jnp.float32), axis=(0, 2))  # [H, d]
     dbv = jnp.sum(dqv.astype(jnp.float32), axis=(0, 2))
     return dq, _xl_merge(dk), _xl_merge(dv), dbu, dbv, dp
