@@ -559,6 +559,25 @@ class TestXLNHDKernel:
         assert g.dtype == jnp.bfloat16
         assert np.isfinite(np.asarray(g, dtype=np.float32)).all()
 
+    def test_bf16_bias_cotangent_dtypes_match_primals(self):
+        """Advisor r2: a fully-bf16 param tree passes bf16 pos_bias_u/v;
+        dbu/dbv must come back bf16 too, not hardcoded float32."""
+        from transformer4sed_tpu.kernels.xl_attention import flash_xl_attention_nhd
+
+        b, t, h, d = 1, 24, 4, 16
+        q, k, v, bu, bv, p = self._data(b, t, h, d, seed=4)
+        q, k, v, p = (x.astype(jnp.bfloat16) for x in (q, k, v, p))
+        bu16, bv16 = bu.astype(jnp.bfloat16), bv.astype(jnp.bfloat16)
+        scale = d ** -0.5
+
+        def loss(bu_, bv_):
+            out = flash_xl_attention_nhd(q, k, v, bu_, bv_, p, h, scale)
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+
+        dbu, dbv = jax.grad(loss, argnums=(0, 1))(bu16, bv16)
+        assert dbu.dtype == jnp.bfloat16 and dbv.dtype == jnp.bfloat16
+        assert np.isfinite(np.asarray(dbu, dtype=np.float32)).all()
+
 
 def test_flash_nhd_bf16_cotangent_dtypes():
     """Same bf16 qkv-split regression for the plain flash nhd kernel."""

@@ -798,10 +798,14 @@ def _nhd_xl_fwd(q, k, v, bias_u, bias_v, p, num_heads, sm_scale, band_widths):
     qu = (qh.astype(jnp.float32) + bias_u[None, :, None]).astype(q.dtype)
     qv = (qh.astype(jnp.float32) + bias_v[None, :, None]).astype(q.dtype)
     out, residuals = _fwd(qu, qv, kh, vh, p, sm_scale, band_widths)
-    return _xl_merge(out), residuals
+    # carry the bias primals ([H, d], negligible) so the backward can
+    # cast dbu/dbv to the primal dtypes — qu/qv in the inner residuals
+    # only record q's dtype, which may differ from the biases'
+    return _xl_merge(out), (residuals, bias_u, bias_v)
 
 
-def _nhd_xl_bwd(num_heads, sm_scale, band_widths, residuals, g):
+def _nhd_xl_bwd(num_heads, sm_scale, band_widths, res, g):
+    residuals, bias_u, bias_v = res
     dqu, dqv, dk, dv, dp = _bwd(sm_scale, band_widths, residuals, _xl_split(g, num_heads))
     # cotangent dtypes must match the primals: a float32 dq next to bf16
     # dk/dv breaks the VJP of the caller's qkv split (lax.concatenate
@@ -809,8 +813,8 @@ def _nhd_xl_bwd(num_heads, sm_scale, band_widths, residuals, g):
     # result is cast back
     qu = residuals[0]
     dq = _xl_merge((dqu.astype(jnp.float32) + dqv.astype(jnp.float32))).astype(qu.dtype)
-    dbu = jnp.sum(dqu.astype(jnp.float32), axis=(0, 2))  # [H, d]
-    dbv = jnp.sum(dqv.astype(jnp.float32), axis=(0, 2))
+    dbu = jnp.sum(dqu.astype(jnp.float32), axis=(0, 2)).astype(bias_u.dtype)  # [H, d]
+    dbv = jnp.sum(dqv.astype(jnp.float32), axis=(0, 2)).astype(bias_v.dtype)
     return dq, _xl_merge(dk), _xl_merge(dv), dbu, dbv, dp
 
 
