@@ -75,8 +75,9 @@ class Scaler:
         if self.normtype == "mean":
             return x - jnp.mean(x, axis=self.dims, keepdims=True)
         if self.normtype == "standard":
+            # torch.std is Bessel-corrected (ddof=1) — live-oracle pinned
             return (x - jnp.mean(x, axis=self.dims, keepdims=True)) / (
-                jnp.std(x, axis=self.dims, keepdims=True) + self.eps
+                jnp.std(x, axis=self.dims, keepdims=True, ddof=1) + self.eps
             )
         lo = jnp.min(x, axis=self.dims, keepdims=True)
         hi = jnp.max(x, axis=self.dims, keepdims=True)

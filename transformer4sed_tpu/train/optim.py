@@ -201,6 +201,93 @@ def build_optimizer(
     return tx, labels
 
 
+def child_tuning_adamw(
+    lr: float = 1e-3,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-6,
+    weight_decay: float = 0.0,
+    correct_bias: bool = True,
+    reserve_p: float = 1.0,
+    mode: Optional[str] = None,
+    gradient_mask=None,
+    seed: int = 0,
+) -> optax.GradientTransformation:
+    """Exact functional port of the reference ``ChildTuningAdamW``
+    (``src/optimizer.py:9-107``), live-oracle-tested in
+    ``tests/test_reference_live.py``.
+
+    Differences from ``optax.adamw`` that make this its own transform:
+
+    * eps is added to ``sqrt(v)`` BEFORE bias correction
+      (``denom = sqrt(v) + eps``; optax adds it to ``sqrt(v_hat)``);
+    * decoupled weight decay is applied to the ALREADY-UPDATED param
+      (``p -= lr*wd*p`` after the addcdiv), so the decay also shrinks
+      this step's Adam update;
+    * ``mode='ChildTuning-F'`` Bernoulli-masks gradients with keep-prob
+      ``reserve_p`` (scaled 1/reserve_p) before the moment updates;
+      ``mode='ChildTuning-D'`` applies a fixed ``gradient_mask`` tree
+      (leaves broadcastable to the grads; None leaves = unmasked,
+      mirroring ``p in self.gradient_mask``).
+
+    Requires params (pass-through of ``optax.apply_updates`` semantics:
+    the returned updates are deltas).
+    """
+    if mode == "ChildTuning-D" and gradient_mask is None:
+        raise ValueError("ChildTuning-D requires a gradient_mask tree")
+
+    def init_fn(params):
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, params)
+        return {
+            "count": jnp.zeros([], jnp.int32),
+            "mu": zeros,
+            "nu": jax.tree_util.tree_map(jnp.zeros_like, params),
+            "key": jax.random.PRNGKey(seed),
+        }
+
+    def update_fn(updates, state, params=None):
+        if params is None:
+            raise ValueError("child_tuning_adamw requires params")
+        count = state["count"] + 1
+        key = state["key"]
+        if mode == "ChildTuning-F":
+            new_key, sub = jax.random.split(key)
+            leaves, treedef = jax.tree_util.tree_flatten(updates)
+            subkeys = jax.random.split(sub, len(leaves))
+            leaves = [
+                g * jax.random.bernoulli(k, reserve_p, g.shape).astype(g.dtype) / reserve_p
+                for g, k in zip(leaves, subkeys)
+            ]
+            updates = jax.tree_util.tree_unflatten(treedef, leaves)
+            key = new_key
+        elif mode == "ChildTuning-D":
+            updates = jax.tree_util.tree_map(
+                lambda g, m: g if m is None else g * m,
+                updates, gradient_mask,
+                is_leaf=lambda x: x is None,
+            )
+
+        mu = jax.tree_util.tree_map(
+            lambda m, g: m * b1 + g * (1.0 - b1), state["mu"], updates)
+        nu = jax.tree_util.tree_map(
+            lambda v, g: v * b2 + (g * g) * (1.0 - b2), state["nu"], updates)
+        if correct_bias:
+            c = count.astype(jnp.float32)
+            step_size = lr * jnp.sqrt(1.0 - b2 ** c) / (1.0 - b1 ** c)
+        else:
+            step_size = jnp.asarray(lr, jnp.float32)
+
+        def delta(p, m, v):
+            adam = -step_size * m / (jnp.sqrt(v) + eps)
+            # wd acts on the post-addcdiv param: p_new = (p + adam)*(1 - lr*wd)
+            return adam - lr * weight_decay * (p + adam)
+
+        new_updates = jax.tree_util.tree_map(delta, params, mu, nu)
+        return new_updates, {"count": count, "mu": mu, "nu": nu, "key": key}
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def child_tuning(p: float = 0.3, seed: int = 0) -> optax.GradientTransformation:
     """ChildTuning-D: keep each gradient coordinate with prob ``p`` (scaled 1/p).
 
