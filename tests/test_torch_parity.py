@@ -646,7 +646,7 @@ class TestXLDecoderTorchParity:
 
         b, t, d = h.shape
         hd = d // heads
-        hn = F.layer_norm(h, (d,), w["norm1.weight"], w["norm1.bias"], eps=1e-6)
+        hn = F.layer_norm(h, (d,), w["norm1.weight"], w["norm1.bias"], eps=1e-5)
         q, k, v = (hn @ w["attn.in_proj.weight"].t() + w["attn.in_proj.bias"]).chunk(3, -1)
         q = q.view(b, t, heads, hd)
         k = k.view(b, t, heads, hd).permute(0, 2, 3, 1)           # [B,H,dk,T]
@@ -664,7 +664,7 @@ class TestXLDecoderTorchParity:
         out = (attn @ v).transpose(1, 2).reshape(b, t, d)
         out = out @ w["attn.out_proj.weight"].t() + w["attn.out_proj.bias"]
         h = hn + out                                               # post-norm1 residual
-        hn2 = F.layer_norm(h, (d,), w["norm2.weight"], w["norm2.bias"], eps=1e-6)
+        hn2 = F.layer_norm(h, (d,), w["norm2.weight"], w["norm2.bias"], eps=1e-5)
         mlp = F.gelu(hn2 @ w["mlp.fc1.weight"].t() + w["mlp.fc1.bias"])
         mlp = mlp @ w["mlp.fc2.weight"].t() + w["mlp.fc2.bias"]
         return h + mlp
@@ -733,7 +733,7 @@ class TestConformerTorchParity:
         hd = d // heads
 
         def ln(x, name, dim=d):
-            return F.layer_norm(x, (dim,), w[f"{name}.weight"], w[f"{name}.bias"], eps=1e-6)
+            return F.layer_norm(x, (dim,), w[f"{name}.weight"], w[f"{name}.bias"], eps=1e-5)
 
         def ff(x, name):
             x = x @ w[f"{name}.0.weight"].t() + w[f"{name}.0.bias"]
@@ -766,7 +766,7 @@ class TestConformerTorchParity:
                                        padding=(w["conv_module.depthwise_conv.weight"].shape[-1] - 1) // 2,
                                        groups=d)
         x = x.transpose(1, 2)
-        x = F.layer_norm(x, (d,), w["conv_module.norm.weight"], w["conv_module.norm.bias"], eps=1e-6)
+        x = F.layer_norm(x, (d,), w["conv_module.norm.weight"], w["conv_module.norm.bias"], eps=1e-5)
         x = x * torch.sigmoid(x)
         x = torch.nn.functional.conv1d(x.transpose(1, 2), w["conv_module.pointwise_conv2.weight"],
                                        w["conv_module.pointwise_conv2.bias"]).transpose(1, 2)

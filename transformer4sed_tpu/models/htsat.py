@@ -14,11 +14,12 @@ Flax reimplementation of the vendored HTSAT
     plus the ``fine_grained_embedding`` (freq-fold mean of the final
     feature map) that HTSAT_CNN / DASM_HTSAT / CLAP_SED consume.
 
-Deviations (documented): the reference upsamples short mels with
-bicubic align_corners=True (``htsat.py:855-859``); here
-``jax.image.resize(method='cubic')`` is used — boundary handling
-differs by <1e-3 on real mels. Stochastic depth defaults to 0 (the
-reference's 0.1 matters only for from-scratch training).
+The reference upsamples short mels with bicubic align_corners=True
+(``htsat.py:855-859``); reproduced exactly via a precomputed
+cubic-convolution matrix (A=-0.75, torch semantics) applied as an MXU
+matmul — live-oracle-pinned in ``tests/test_reference_live.py``.
+Stochastic depth defaults to 0 (the reference's 0.1 matters only for
+from-scratch training).
 """
 
 from __future__ import annotations
@@ -103,6 +104,30 @@ class HTSATFrontend:
 
     def normalize(self, mel):
         return mel
+
+
+def bicubic_resize_matrix(in_len: int, out_len: int, a: float = -0.75) -> np.ndarray:
+    """[out, in] weights reproducing torch ``F.interpolate(mode='bicubic',
+    align_corners=True)`` along one axis (cubic convolution, Keys A=-0.75,
+    out-of-range taps clamped to the border). Host-side, static shapes."""
+
+    def cc1(x):  # |x| <= 1
+        return ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0
+
+    def cc2(x):  # 1 < |x| < 2
+        return ((a * x - 5.0 * a) * x + 8.0 * a) * x - 4.0 * a
+
+    w = np.zeros((out_len, in_len), dtype=np.float64)
+    scale = (in_len - 1) / (out_len - 1) if out_len > 1 else 0.0
+    for i in range(out_len):
+        real = i * scale
+        f = int(np.floor(real))
+        frac = real - f
+        taps = (f - 1, f, f + 1, f + 2)
+        coefs = (cc2(frac + 1.0), cc1(frac), cc1(1.0 - frac), cc2(2.0 - frac))
+        for idx, cf in zip(taps, coefs):
+            w[i, min(max(idx, 0), in_len - 1)] += cf
+    return w.astype(np.float32)
 
 
 # -- Swin pieces ----------------------------------------------------------------
@@ -302,9 +327,13 @@ class HTSAT(nn.Module):
         target_f = self.spec_size // self.freq_ratio
         assert t <= target_t and f <= target_f, "mel larger than swin input"
         if t < target_t:
-            x = jax.image.resize(x, (b, c, target_t, f), method="cubic")
+            # torch F.interpolate(mode='bicubic', align_corners=True) exactly:
+            # a static [out, in] cubic-convolution matrix -> one matmul
+            w = jnp.asarray(bicubic_resize_matrix(t, target_t), x.dtype)
+            x = jnp.einsum("ot,bctf->bcof", w, x)
         if f < target_f:
-            x = jax.image.resize(x, (b, c, x.shape[2], target_f), method="cubic")
+            w = jnp.asarray(bicubic_resize_matrix(f, target_f), x.dtype)
+            x = jnp.einsum("of,bctf->bcto", w, x)
         x = x.transpose(0, 1, 3, 2)  # [B, C, F, T]
         x = x.reshape(b, c, target_f, self.freq_ratio, target_t // self.freq_ratio)
         x = x.transpose(0, 1, 3, 2, 4)

@@ -250,12 +250,12 @@ class TransformerXLBlock(nn.Module):
     @nn.compact
     def __call__(self, x, pos_emb, mask=None, deterministic: bool = True, band_widths=None):
         d = x.shape[-1]
-        x = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         x = x + RelPositionMultiheadAttention(
             num_heads=self.num_heads, attn_drop=self.attn_drop,
             use_flash=self.use_flash, dtype=self.dtype, name="attn",
         )(x, pos_emb, mask=mask, deterministic=deterministic, band_widths=band_widths)
-        h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         x = x + Mlp(hidden_features=int(d * self.mlp_ratio), dtype=self.dtype, name="mlp")(
             h, deterministic=deterministic
         )
@@ -323,7 +323,7 @@ class ConvolutionModule(nn.Module):
             dtype=self.dtype,
             name="depthwise_conv",
         )(h)
-        h = nn.LayerNorm(epsilon=1e-6, name="norm")(h)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm")(h)
         h = h * jax.nn.sigmoid(h)  # swish
         return nn.Dense(d, dtype=self.dtype, name="pointwise_conv2")(h)
 
@@ -347,16 +347,16 @@ class ConformerBlock(nn.Module):
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
             return nn.Dense(d, dtype=self.dtype, name=f"{name}_2")(h)
 
-        x = x + 0.5 * ff("feed_forward_macaron", nn.LayerNorm(epsilon=1e-6, name="norm_ff_macaron")(x))
-        h = nn.LayerNorm(epsilon=1e-6, name="norm_mha")(x)
+        x = x + 0.5 * ff("feed_forward_macaron", nn.LayerNorm(epsilon=1e-5, name="norm_ff_macaron")(x))
+        h = nn.LayerNorm(epsilon=1e-5, name="norm_mha")(x)
         x = x + RelPositionMultiheadAttention(
             num_heads=self.num_heads, use_flash=self.use_flash,
             dtype=self.dtype, name="self_attn",
         )(h, pos_emb, mask=mask, deterministic=deterministic, band_widths=band_widths)
-        h = nn.LayerNorm(epsilon=1e-6, name="norm_conv")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm_conv")(x)
         x = x + ConvolutionModule(kernel_size=self.kernel_size, dtype=self.dtype, name="conv_module")(h)
-        x = x + 0.5 * ff("feed_forward", nn.LayerNorm(epsilon=1e-6, name="norm_ff")(x))
-        return nn.LayerNorm(epsilon=1e-6, name="norm_final")(x)
+        x = x + 0.5 * ff("feed_forward", nn.LayerNorm(epsilon=1e-5, name="norm_ff")(x))
+        return nn.LayerNorm(epsilon=1e-5, name="norm_final")(x)
 
 
 class ConformerDecoder(nn.Module):
@@ -537,12 +537,12 @@ class TransformerXLWithClsToken(nn.Module):
     @nn.compact
     def __call__(self, x, pos_emb, mask=None, deterministic: bool = True):
         d = x.shape[-1]
-        x = nn.LayerNorm(epsilon=1e-6, name="norm1")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(x)
         x = x + RelPositionMHAWithClsToken(
             num_heads=self.num_heads, cls_num=self.cls_num, attn_drop=self.attn_drop,
             dtype=self.dtype, name="attn",
         )(x, pos_emb, mask=mask, deterministic=deterministic)
-        h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         x = x + Mlp(hidden_features=int(d * self.mlp_ratio), dtype=self.dtype, name="mlp")(
             h, deterministic=deterministic
         )
@@ -604,13 +604,13 @@ class VanillaCrossAttentionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, q, k, v, deterministic: bool = True):
-        norm1 = nn.LayerNorm(epsilon=1e-6, name="norm1")
+        norm1 = nn.LayerNorm(epsilon=1e-5, name="norm1")
         x = v + VanillaCrossAttention(
             num_heads=self.num_heads, qkv_bias=self.qkv_bias,
             attn_drop=self.attn_drop, proj_drop=self.drop,
             dtype=self.dtype, name="attn",
         )(norm1(q), norm1(k), norm1(v), deterministic=deterministic)
-        h = nn.LayerNorm(epsilon=1e-6, name="norm2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm2")(x)
         x = x + Mlp(
             hidden_features=int(x.shape[-1] * self.mlp_ratio),
             dropout=self.drop, dtype=self.dtype, name="mlp",
