@@ -512,3 +512,204 @@ class TestDevicePrefetch:
         assert len(out) == 5
         for i, b in enumerate(out):
             np.testing.assert_allclose(np.asarray(b["x"]), i)
+
+
+class TestBF16ModelLevel:
+    """VERDICT r2 item 3: bf16 use_flash=True versions of the train steps
+    on CPU. The deacbd2 bug (a custom_vjp returning f32 cotangents next
+    to bf16 siblings, breaking the caller's qkv-split VJP at trace time)
+    was only caught on real TPU because every model-level test ran f32.
+    These trace + run the full steps with the flagship's dtype/kernel
+    flags at tiny shapes — the failure mode is platform-independent."""
+
+    def _bf16_setup(self, **model_kw):
+        model = tiny_model(use_flash=True, dtype=jnp.bfloat16, **model_kw)
+        frontend = tiny_frontend()
+        return model, frontend
+
+    def test_mean_teacher_step_bf16(self):
+        model, frontend = self._bf16_setup()
+        cfg = MeanTeacherConfig(strong_num=2, weak_num=2, unlabel_num=2,
+                                net_pooling=1, self_loss_warmup_steps=10)
+        t_mel = 120
+        n_samples = (t_mel - 1) * 320 + 1
+        wav = np.random.RandomState(0).randn(6, n_samples).astype(np.float32)
+        t_out = (((t_mel - 16) // 10 + 1) + 1) * 10
+        labels = (np.random.RandomState(1).rand(6, 3, t_out) > 0.8).astype(np.float32)
+        batch = {"wav": jnp.asarray(wav), "labels": jnp.asarray(labels)}
+        mel = frontend.normalize(frontend(batch["wav"][:1]))
+        params = model.init({"params": KEY}, mel)["params"]
+
+        def model_apply(p, mel_in, train=False, rngs=None, **kw):
+            return model.apply({"params": p}, mel_in, train=train, rngs=rngs, **kw)
+
+        tx = optax.adamw(1e-3)
+        state = create_mean_teacher_state(params, tx)
+        step = jax.jit(make_mean_teacher_step(model_apply, frontend, tx, cfg))
+        for i in range(2):
+            state, metrics = step(state, batch, jax.random.PRNGKey(i))
+            assert np.isfinite(float(metrics["loss_total"]))
+        # params stay in their primal dtype through update + EMA
+        for leaf, new in zip(jax.tree_util.tree_leaves(params),
+                             jax.tree_util.tree_leaves(state.params)):
+            assert leaf.dtype == new.dtype
+        for leaf, new in zip(jax.tree_util.tree_leaves(params),
+                             jax.tree_util.tree_leaves(state.teacher_params)):
+            assert leaf.dtype == new.dtype
+
+    def test_mlm_step_bf16(self):
+        model, frontend = self._bf16_setup(
+            mlm=True, mlm_dict={"mask_rate": 0.5, "block_width": 10, "out_dim": 32})
+        t_mel = 120
+        n_samples = (t_mel - 1) * 320 + 1
+        wav = jnp.asarray(np.random.RandomState(0).randn(2, n_samples).astype(np.float32))
+        mel = frontend.normalize(frontend(wav))
+        variables = model.init({"params": KEY, "mlm": KEY}, mel)
+
+        def model_apply(p, mel_in, train=False, rngs=None, **kw):
+            return model.apply({"params": p}, mel_in, train=train, rngs=rngs, **kw)
+
+        tx = optax.adamw(1e-3)
+        from transformer4sed_tpu.train.mlm import MLMState
+
+        state = MLMState(params=variables["params"], opt_state=tx.init(variables["params"]),
+                         step=jnp.zeros((), jnp.int32))
+        step = jax.jit(make_mlm_step(model_apply, frontend, tx))
+        state, metrics = step(state, {"wav": wav}, KEY)
+        assert np.isfinite(float(metrics["loss_mlm"]))
+
+    def test_supervised_step_bf16(self):
+        from transformer4sed_tpu.recipes.audioset_strong import (
+            SupervisedConfig,
+            make_supervised_step,
+        )
+        from transformer4sed_tpu.train.mlm import MLMState
+
+        model, frontend = self._bf16_setup()
+        t_mel = 120
+        n_samples = (t_mel - 1) * 320 + 1
+        wav = jnp.asarray(np.random.RandomState(0).randn(4, n_samples).astype(np.float32))
+        t_out = (((t_mel - 16) // 10 + 1) + 1) * 10
+        labels = jnp.asarray(
+            (np.random.RandomState(1).rand(4, 3, t_out) > 0.8).astype(np.float32))
+        mel = frontend.normalize(frontend(wav[:1]))
+        params = model.init({"params": KEY}, mel)["params"]
+
+        def model_apply(p, mel_in, train=False, rngs=None, model_state=None, **kw):
+            return model.apply({"params": p}, mel_in, train=train, rngs=rngs, **kw), None
+
+        tx = optax.adamw(1e-3)
+        cfg = SupervisedConfig()
+        state = MLMState(params=params, opt_state=tx.init(params),
+                         step=jnp.zeros((), jnp.int32), model_state=None)
+        step = jax.jit(make_supervised_step(model_apply, frontend, tx, cfg))
+        state, metrics = step(state, {"wav": wav, "labels": labels}, KEY)
+        assert np.isfinite(float(metrics["loss_class_strong"]))
+
+    def test_grad_dtypes_match_param_dtypes_bf16(self):
+        """Cotangents surfacing from the bf16 flash/XL kernel stack must
+        come back in each param's dtype (f32 master params here)."""
+        model, frontend = self._bf16_setup()
+        t_mel = 120
+        n_samples = (t_mel - 1) * 320 + 1
+        wav = jnp.asarray(np.random.RandomState(0).randn(2, n_samples).astype(np.float32))
+        mel = frontend.normalize(frontend(wav))
+        params = model.init({"params": KEY}, mel)["params"]
+
+        def loss(p):
+            out = model.apply({"params": p}, mel, temp_w=1.0)
+            return jnp.sum(out.strong.astype(jnp.float32) ** 2) + jnp.sum(
+                out.weak.astype(jnp.float32) ** 2)
+
+        grads = jax.jit(jax.grad(loss))(params)
+        flat_p = jax.tree_util.tree_leaves_with_path(params)
+        flat_g = jax.tree_util.tree_leaves(grads)
+        for (path, p), g in zip(flat_p, flat_g):
+            assert g.dtype == p.dtype, f"{jax.tree_util.keystr(path)}: {g.dtype} != {p.dtype}"
+            assert np.isfinite(np.asarray(g, np.float32)).all(), jax.tree_util.keystr(path)
+
+    def test_eval_forward_bf16(self):
+        model, frontend = self._bf16_setup()
+        t_mel = 120
+        n_samples = (t_mel - 1) * 320 + 1
+        wav = jnp.asarray(np.random.RandomState(0).randn(2, n_samples).astype(np.float32))
+        mel = frontend.normalize(frontend(wav))
+        params = model.init({"params": KEY}, mel)["params"]
+        out = jax.jit(lambda p, m: model.apply({"params": p}, m, temp_w=0.5))(params, mel)
+        assert np.isfinite(np.asarray(out.strong, np.float32)).all()
+        assert np.isfinite(np.asarray(out.weak, np.float32)).all()
+
+
+class TestLearningSanity:
+    """VERDICT r2 item 4: an actual *decrease* assertion. A sign-flipped
+    loss term passed all 436 round-2 tests; these fail on one."""
+
+    def _clips(self, n=4, t_mel=120):
+        """2 clips with an 880 Hz tone in frames [0, T/2) (class 0 on),
+        2 noise-only clips (all classes off) — linearly separable."""
+        n_samples = (t_mel - 1) * 320 + 1
+        t_out = (((t_mel - 16) // 10 + 1) + 1) * 10
+        rng = np.random.RandomState(0)
+        wav = rng.randn(n, n_samples).astype(np.float32) * 0.02
+        tone = 0.3 * np.sin(2 * np.pi * 880.0 * np.arange(n_samples) / 32000.0)
+        labels = np.zeros((n, 3, t_out), np.float32)
+        for i in range(n // 2):
+            wav[i, : n_samples // 2] += tone[: n_samples // 2].astype(np.float32)
+            labels[i, 0, : t_out // 2] = 1.0
+        return wav, labels
+
+    def test_supervised_step_overfits(self):
+        from transformer4sed_tpu.recipes.audioset_strong import (
+            SupervisedConfig,
+            make_supervised_step,
+        )
+        from transformer4sed_tpu.train.mlm import MLMState
+
+        model = tiny_model(at_adapter=False)
+        frontend = tiny_frontend()
+        wav, labels = self._clips()
+        batch = {"wav": jnp.asarray(wav), "labels": jnp.asarray(labels)}
+        mel = frontend.normalize(frontend(batch["wav"][:1]))
+        params = model.init({"params": KEY}, mel)["params"]
+
+        def model_apply(p, mel_in, train=False, rngs=None, model_state=None, **kw):
+            return model.apply({"params": p}, mel_in, train=train, rngs=rngs, **kw), None
+
+        tx = optax.adamw(1e-3)
+        # deterministic memorisation: no mixup/filter-aug/frame-shift
+        cfg = SupervisedConfig(mixup_prob=0.0, transform_choice=(0, 0, 0, 0),
+                               max_shift_frame=0)
+        state = MLMState(params=params, opt_state=tx.init(params),
+                         step=jnp.zeros((), jnp.int32), model_state=None)
+        step = jax.jit(make_supervised_step(model_apply, frontend, tx, cfg))
+        losses = []
+        for i in range(100):
+            state, metrics = step(state, batch, jax.random.PRNGKey(i))
+            losses.append(float(metrics["loss_class_strong"]))
+        assert losses[-1] < losses[0] / 5.0, (
+            f"supervised step failed to memorise 4 clips: {losses[0]:.4f} -> {losses[-1]:.4f}")
+
+    def test_mean_teacher_step_overfits(self):
+        model = tiny_model()
+        frontend = tiny_frontend()
+        wav, labels = self._clips()
+        batch = {"wav": jnp.asarray(wav), "labels": jnp.asarray(labels)}
+        mel = frontend.normalize(frontend(batch["wav"][:1]))
+        params = model.init({"params": KEY}, mel)["params"]
+
+        def model_apply(p, mel_in, train=False, rngs=None, **kw):
+            return model.apply({"params": p}, mel_in, train=train, rngs=rngs, **kw)
+
+        cfg = MeanTeacherConfig(
+            strong_num=4, weak_num=0, unlabel_num=0, net_pooling=1,
+            self_loss_warmup_steps=50, w_cons_max=2.0,
+            mixup_prob=0.0, n_transform=0, max_shift_frame=0)
+        tx = optax.adamw(1e-3)
+        state = create_mean_teacher_state(params, tx)
+        step = jax.jit(make_mean_teacher_step(model_apply, frontend, tx, cfg))
+        losses = []
+        for i in range(100):
+            state, metrics = step(state, batch, jax.random.PRNGKey(i))
+            losses.append(float(metrics["loss_class_strong"]))
+        assert losses[-1] < losses[0] / 5.0, (
+            f"mean-teacher step failed to memorise 4 clips: {losses[0]:.4f} -> {losses[-1]:.4f}")
