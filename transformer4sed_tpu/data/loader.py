@@ -66,6 +66,7 @@ class DataLoader:
         num_workers: int = 4,
         prefetch: int = 2,
         collate_fn: Callable = collate,
+        process_shard: bool = False,
     ):
         self.dataset = _ConcatDataset(dataset) if isinstance(dataset, (list, tuple)) else dataset
         if batch_sampler is None:
@@ -73,6 +74,14 @@ class DataLoader:
 
             sampler = sampler or SequentialSampler(len(self.dataset))
             batch_sampler = _FixedBatcher(sampler, batch_size, drop_last)
+        if process_shard:
+            # multi-host: configs give GLOBAL batch sizes; each process
+            # loads only its contiguous chunk of every (deterministic,
+            # identically-seeded) global batch and reassembles via
+            # parallel.multihost.make_global_batch. No-op single-process.
+            from transformer4sed_tpu.parallel.multihost import ProcessShardedBatchSampler
+
+            batch_sampler = ProcessShardedBatchSampler(batch_sampler)
         self.batch_sampler = batch_sampler
         self.num_workers = num_workers
         self.prefetch = max(prefetch, 1)

@@ -14,6 +14,16 @@ from transformer4sed_tpu.parallel.partition import (
     partition_specs,
     shard_params,
 )
+from transformer4sed_tpu.parallel.multihost import (
+    ProcessShardedBatchSampler,
+    gather_clip_scores,
+    gather_objects,
+    is_primary,
+    make_global_batch,
+    maybe_initialize,
+    shard_batch_indices,
+    shard_eval_items,
+)
 
 __all__ = [
     "make_mesh",
@@ -28,4 +38,12 @@ __all__ = [
     "make_2d_mesh",
     "partition_specs",
     "shard_params",
+    "ProcessShardedBatchSampler",
+    "gather_clip_scores",
+    "gather_objects",
+    "is_primary",
+    "make_global_batch",
+    "maybe_initialize",
+    "shard_batch_indices",
+    "shard_eval_items",
 ]

@@ -118,9 +118,18 @@ def shard_train_step(
 
 
 def put_batch(batch: Any, mesh: Mesh) -> Any:
-    """Device-put a host batch with the data sharding."""
-    sharding = batch_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+    """Host batch -> jax.Array tree sharded ``P('data')`` over the mesh.
+
+    Single-process: plain sharded device_put of the full batch.
+    Multi-host (``jax.process_count() > 1``): ``batch`` is this
+    process's LOCAL chunk of the global batch (produced by a
+    ``process_shard=True`` DataLoader) and the global array is
+    assembled via ``jax.make_array_from_process_local_data`` — no
+    process ever holds the whole global batch.
+    """
+    from transformer4sed_tpu.parallel.multihost import make_global_batch
+
+    return make_global_batch(batch, mesh)
 
 
 def device_prefetch(iterator, mesh: Optional[Mesh] = None, size: int = 2):

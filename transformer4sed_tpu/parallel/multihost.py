@@ -1,0 +1,220 @@
+"""Multi-host (TPU pod / multi-slice) execution support.
+
+SURVEY §2.4/§5.8 names the pod path: ``jax.distributed`` over DCN,
+per-process data feeding, ``multihost_utils`` eval gathering. This
+module provides those pieces; every function degenerates cleanly at
+``process_count() == 1`` (the in-image test configuration) so the same
+recipes run unchanged from one chip to a pod.
+
+Pieces:
+
+  * :func:`maybe_initialize` — ``jax.distributed.initialize`` hook,
+    called by ``recipes/cli.py`` before first device use. No-op unless
+    multi-host is requested (explicit coordinator address / env).
+  * :func:`shard_batch_indices` / :class:`ProcessShardedBatchSampler` —
+    deterministic per-process slices of the *global* batch index list.
+    The seeded samplers generate identical global epochs on every
+    process; each process loads only its contiguous chunk (the rows
+    owned by its addressable devices under a ``P('data')`` sharding).
+  * :func:`make_global_batch` — assembles a jax.Array with GLOBAL batch
+    semantics from each process's local chunk via
+    ``jax.make_array_from_process_local_data`` (the train step's static
+    strong/weak/unlabeled masks index the global batch, so nothing
+    downstream changes).
+  * :func:`is_primary` — gate for logging / checkpoint / score writes.
+  * :func:`gather_objects` / :func:`gather_clip_scores` — host-object
+    all-gather built on ``multihost_utils.process_allgather`` (length
+    exchange + padded uint8 buffers), used to merge per-process
+    validation scores before PSDS.
+
+Replaces the reference's single-process ``nn.DataParallel`` ceiling
+(``src/utils/__init__.py:11-21``); there is no torch equivalent to
+cite for the pod path.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+
+def process_index() -> int:
+    return jax.process_index()
+
+
+def process_count() -> int:
+    return jax.process_count()
+
+
+def is_primary() -> bool:
+    """True on the process that owns logging / checkpoint / score writes."""
+    return jax.process_index() == 0
+
+
+def maybe_initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """``jax.distributed.initialize`` when multi-host execution is requested.
+
+    Triggers when any argument is given, or when the standard
+    coordination env vars are present (``JAX_COORDINATOR_ADDRESS``, or
+    a Cloud TPU pod environment where ``initialize()`` auto-detects).
+    Safe to call unconditionally at CLI startup: returns False (no-op)
+    for plain single-host runs, and is idempotent once a distributed
+    client exists. Must run before the first device touch.
+    """
+    requested = (
+        coordinator_address is not None
+        or num_processes is not None
+        or os.environ.get("JAX_COORDINATOR_ADDRESS")
+        or os.environ.get("T4S_MULTIHOST")
+    )
+    if not requested:
+        return False
+    if jax.process_count() > 1:
+        return True  # already initialized (e.g. by a launcher)
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+    return True
+
+
+# ---------------------------------------------------------------------------
+# per-process data feeding
+# ---------------------------------------------------------------------------
+
+
+def shard_batch_indices(
+    indices: Sequence[int],
+    pi: Optional[int] = None,
+    pc: Optional[int] = None,
+) -> List[int]:
+    """This process's contiguous chunk of a global batch index list.
+
+    Under ``NamedSharding(mesh, P('data'))`` with mesh devices in
+    ``jax.devices()`` order, process ``pi`` owns rows
+    ``[pi * B/pc, (pi+1) * B/pc)`` of the global batch — so the local
+    loader must produce exactly that slice. Requires the global batch
+    size to divide evenly (the recipes' batch_size configs are global,
+    as in the reference's DataParallel divisibility asserts,
+    ``recipes/desed/setting.py:176-178`` — but here the error is loud
+    and immediate).
+    """
+    pi = jax.process_index() if pi is None else pi
+    pc = jax.process_count() if pc is None else pc
+    if pc == 1:
+        return list(indices)
+    n = len(indices)
+    if n % pc:
+        raise ValueError(
+            f"global batch size {n} not divisible by process_count {pc}; "
+            f"adjust training.batch_size (it is a GLOBAL size)"
+        )
+    local = n // pc
+    return list(indices[pi * local : (pi + 1) * local])
+
+
+class ProcessShardedBatchSampler:
+    """Wrap a (deterministically seeded) global batch sampler so each
+    process yields only its contiguous chunk of every global batch.
+
+    The wrapped sampler must generate the SAME index stream on every
+    process for a given epoch (all samplers in ``data/sampler.py`` are
+    seeded + ``set_epoch``-driven, so they do).
+    """
+
+    def __init__(self, batch_sampler, pi: Optional[int] = None, pc: Optional[int] = None):
+        self.batch_sampler = batch_sampler
+        self._pi = pi
+        self._pc = pc
+
+    def set_epoch(self, epoch: int):
+        if hasattr(self.batch_sampler, "set_epoch"):
+            self.batch_sampler.set_epoch(epoch)
+
+    def __len__(self):
+        return len(self.batch_sampler)
+
+    def __iter__(self):
+        for indices in self.batch_sampler:
+            yield shard_batch_indices(indices, self._pi, self._pc)
+
+
+def shard_eval_items(items: Sequence, pi: Optional[int] = None, pc: Optional[int] = None) -> List:
+    """Strided split of an eval item list across processes (no padding
+    needed — per-clip scores are merged by :func:`gather_clip_scores`,
+    so unequal shard sizes are fine)."""
+    pi = jax.process_index() if pi is None else pi
+    pc = jax.process_count() if pc is None else pc
+    return list(items[pi::pc])
+
+
+def make_global_batch(local_batch: Any, mesh) -> Any:
+    """Per-process local chunks -> one jax.Array tree with GLOBAL batch
+    semantics, sharded ``P('data')`` over the mesh.
+
+    At ``process_count() == 1`` this is exactly ``device_put`` with the
+    data sharding (zero behavior change for the in-image path).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = NamedSharding(mesh, P("data"))
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), local_batch)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+        local_batch,
+    )
+
+
+# ---------------------------------------------------------------------------
+# host-object gathering (eval scores)
+# ---------------------------------------------------------------------------
+
+
+def _allgather_padded_u8(buf: np.ndarray, lengths: np.ndarray) -> List[bytes]:
+    from jax.experimental import multihost_utils
+
+    maxlen = int(lengths.max())
+    padded = np.zeros(maxlen, np.uint8)
+    padded[: len(buf)] = buf
+    gathered = multihost_utils.process_allgather(padded)  # [P, maxlen]
+    return [bytes(gathered[i, : int(lengths[i])]) for i in range(gathered.shape[0])]
+
+
+def gather_objects(obj: Any) -> List[Any]:
+    """All-gather one picklable host object per process -> list of all.
+
+    Built on two ``process_allgather`` rounds (int64 lengths, then
+    max-padded uint8 payloads). Returns ``[obj]`` at process_count 1.
+    """
+    if jax.process_count() == 1:
+        return [obj]
+    from jax.experimental import multihost_utils
+
+    payload = pickle.dumps(obj, protocol=pickle.HIGHEST_PROTOCOL)
+    buf = np.frombuffer(payload, np.uint8)
+    lengths = multihost_utils.process_allgather(np.asarray(len(buf), np.int64))
+    return [pickle.loads(b) for b in _allgather_padded_u8(buf, np.asarray(lengths).reshape(-1))]
+
+
+def gather_clip_scores(scores: Dict[str, Any]) -> Dict[str, Any]:
+    """Merge per-process ``{clip_id: ClipScores}`` shards into the full
+    validation score table on every process (clip ids are disjoint by
+    :func:`shard_eval_items` construction; duplicates keep the first)."""
+    merged: Dict[str, Any] = {}
+    for part in gather_objects(scores):
+        for k, v in part.items():
+            merged.setdefault(k, v)
+    return merged

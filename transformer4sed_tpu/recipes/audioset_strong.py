@@ -80,7 +80,8 @@ def audioset_dataset_setting(config: Dict, codec, seed: int = 0):
         )
     else:
         sampler = RandomSampler(len(train), seed)
-    train_loader = DataLoader(train, sampler=sampler, batch_size=batch, num_workers=workers)
+    train_loader = DataLoader(train, sampler=sampler, batch_size=batch,
+                              num_workers=workers, process_shard=True)
 
     val = StronglyLabeledDataset(
         pd.read_csv(ds["val_tsv"], sep="\t"), ds["val_folder"], True, codec

@@ -157,7 +157,8 @@ def main(argv=None):
             [RandomSampler(len(s), i) for i, s in enumerate(sources)], batch_sizes
         )
         train_loader = DataLoader(sources, batch_sampler=sampler,
-                                  num_workers=config["generals"].get("num_workers", 4))
+                                  num_workers=config["generals"].get("num_workers", 4),
+                                  process_shard=True)
         val = UnlabeledDataset(ds_cfg["val_folder"], False, codec)
         val_loader = DataLoader(val, batch_size=sum(batch_sizes),
                                 num_workers=config["generals"].get("num_workers", 4), drop_last=False)

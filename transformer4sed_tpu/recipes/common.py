@@ -126,14 +126,27 @@ def build_argparser() -> argparse.ArgumentParser:
 
 
 def prepare_run(args) -> Tuple[Dict, Dict, Logger]:
-    """Load config, create save dirs + logger, seed python/numpy."""
+    """Load config, create save dirs + logger, seed python/numpy.
+
+    Multi-host: initialises ``jax.distributed`` when requested (env /
+    coordinator address — no-op otherwise) and gives non-primary
+    processes a stream-only WARNING logger so log.txt / TensorBoard
+    have exactly one writer."""
+    from transformer4sed_tpu.parallel.multihost import is_primary, maybe_initialize
+
+    maybe_initialize()
     config = load_yaml_with_include(args.config_dir)
     config.setdefault("generals", {})["save_folder"] = args.save_folder
     paths = get_save_directories(config, args.save_folder)
-    logger = Logger(
-        log_path=paths["log"],
-        tensorboard_dir=paths["tensorboard"],
-    )
+    if is_primary():
+        logger = Logger(
+            log_path=paths["log"],
+            tensorboard_dir=paths["tensorboard"],
+        )
+    else:
+        import logging as _logging
+
+        logger = Logger(log_path=None, tensorboard_dir=None, level=_logging.WARNING)
     random.seed(args.random_seed)
     np.random.seed(args.random_seed)
     cache_dir = config["generals"].get("compilation_cache")
@@ -193,7 +206,8 @@ def desed_dataset_setting(config: Dict, codec: LabelCodec, seed: int = 42):
     )
     num_workers = config["generals"].get("num_workers", 4)
     train_loader = DataLoader(
-        [strong, synth, weak, unlabeled], batch_sampler=sampler, num_workers=num_workers
+        [strong, synth, weak, unlabeled], batch_sampler=sampler,
+        num_workers=num_workers, process_shard=True,
     )
 
     val = StronglyLabeledDataset(

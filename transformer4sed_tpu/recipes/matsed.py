@@ -215,6 +215,16 @@ class MATSEDTrainer:
             if out.at_out is not None:
                 weak_preds_all.append(np.asarray(out.at_out))
                 weak_labels_all.append((np.asarray(batch["label"]).sum(-1) >= 1).astype(np.float32))
+        # multi-host: every process ran the same global SPMD forwards but
+        # only holds host copies of the clips it decoded; merge so PSDS
+        # sees the full validation set (no-op at process_count == 1)
+        from transformer4sed_tpu.parallel.multihost import gather_clip_scores, gather_objects
+
+        if jax.process_count() > 1:
+            scores_post = gather_clip_scores(scores_post)
+            event_rows = [r for part in gather_objects(event_rows) for r in part]
+            weak_preds_all = [a for part in gather_objects(weak_preds_all) for a in part]
+            weak_labels_all = [a for part in gather_objects(weak_labels_all) for a in part]
         return scores_post, event_rows, weak_preds_all, weak_labels_all
 
     def validation(self, epoch: int) -> Dict[str, float]:

@@ -64,8 +64,13 @@ def wait_for_checkpoints():
 
 
 def save_params(path: str, params) -> str:
-    """Save a bare param tree (best-model flushes)."""
+    """Save a bare param tree (best-model flushes).
+
+    Multi-host: params are replicated, so only process 0 writes —
+    concurrent writers to one directory corrupt the checkpoint."""
     path = os.path.abspath(path)
+    if jax.process_index() != 0:
+        return path
     wait_for_checkpoints()  # the same path may have an in-flight write
     _ckptr().save(path, jax.device_get(params), force=True)
     return path
@@ -85,8 +90,12 @@ def save_checkpoint(path: str, state, async_save: bool = True, keep_backup: bool
     checkpoint at ``path`` to ``path + '.prev'`` first — orbax
     ``force=True`` deletes the destination before the (possibly
     background) write finalises, so without the backup a preemption in
-    that window loses the only resume point."""
+    that window loses the only resume point.
+
+    Multi-host: train state is replicated; only process 0 writes."""
     path = os.path.abspath(path)
+    if jax.process_index() != 0:
+        return path
     state_dict = flax.serialization.to_state_dict(state)
     ck = _async_ckptr() if async_save else None
     if ck is not None:

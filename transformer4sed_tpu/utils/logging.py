@@ -141,6 +141,12 @@ class BestModels:
         # only rewrite when a new best arrived since the last flush
         if self._student is None or not getattr(self, "_dirty", False):
             return
+        # multi-host: metrics (and params) are identical on every process;
+        # process 0 owns the files (save_params gates itself too, but the
+        # json below must not race either)
+        if jax.process_index() != 0:
+            self._dirty = False
+            return
         self._dirty = False
         import json
 
