@@ -395,6 +395,71 @@ class TestSwinWindowAttentionKernel:
         assert float(jnp.abs(gs2).max()) > 0
         np.testing.assert_allclose(np.asarray(gs1), np.asarray(gs2), atol=2e-5)
 
+    @pytest.mark.parametrize(
+        "bnw,n,h,d,n_windows,shifted",
+        [
+            (32, 64, 4, 24, 16, False),
+            (32, 64, 4, 24, 16, True),
+            (8, 64, 8, 24, 4, True),   # P >= nW (cross-image packing)
+            (5, 64, 2, 24, 1, False),  # P=1 fallback
+        ],
+    )
+    def test_pallas_backward_matches_xla_vjp(self, bnw, n, h, d, n_windows, shifted):
+        """The fully-Pallas backward (interpret mode): dq/dk/dv/dbias and
+        the scattered dshift vs jax.vjp of the XLA reference."""
+        from transformer4sed_tpu.kernels.window_attention import (
+            _window_backward,
+            _xla_window_attention,
+        )
+
+        q, k, v, bias, shift = self._data(bnw, n, h, d, n_windows, shifted, seed=2)
+        scale = d ** -0.5
+        out = _xla_window_attention(q, k, v, bias, shift, n_windows, scale)
+        gout = jnp.asarray(
+            np.random.RandomState(3).randn(*out.shape).astype(np.float32) * 0.1)
+
+        if shifted:
+            _, vjp = jax.vjp(
+                lambda q_, k_, v_, b_, s_: _xla_window_attention(q_, k_, v_, b_, s_, n_windows, scale),
+                q, k, v, bias, shift)
+            refs = vjp(gout)
+        else:
+            _, vjp = jax.vjp(
+                lambda q_, k_, v_, b_: _xla_window_attention(q_, k_, v_, b_, None, n_windows, scale),
+                q, k, v, bias)
+            refs = (*vjp(gout), None)
+
+        ours = _window_backward(q, k, v, out, gout, bias, shift, n_windows, scale,
+                                interpret=True)
+        names = ("dq", "dk", "dv", "dbias", "dshift")
+        for name, a, b in zip(names, ours, refs):
+            if b is None:
+                assert a is None, name
+                continue
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5,
+                                       err_msg=name)
+
+    def test_pallas_backward_bf16_dtypes(self):
+        """bf16 primals -> bf16 dq/dk/dv cotangents, f32 bias cotangent
+        (the bias_table param dtype), all finite."""
+        from transformer4sed_tpu.kernels.window_attention import (
+            _window_backward,
+            _xla_window_attention,
+        )
+
+        q, k, v, bias, shift = self._data(8, 64, 4, 24, 4, True, seed=4)
+        q, k, v = (x.astype(jnp.bfloat16) for x in (q, k, v))
+        scale = 24 ** -0.5
+        out = _xla_window_attention(q, k, v, bias, shift, 4, scale)
+        gout = out.astype(jnp.bfloat16)
+        dq, dk, dv, dbias, dshift = _window_backward(
+            q, k, v, out.astype(jnp.bfloat16), gout, bias, shift, 4, scale,
+            interpret=True)
+        assert dq.dtype == dk.dtype == dv.dtype == jnp.bfloat16
+        assert dbias.dtype == bias.dtype and dshift.dtype == shift.dtype
+        for x in (dq, dk, dv, dbias, dshift):
+            assert np.isfinite(np.asarray(x, np.float32)).all()
+
     def test_bnw_not_multiple_of_windows_raises(self):
         from transformer4sed_tpu.kernels.window_attention import _window_forward
 

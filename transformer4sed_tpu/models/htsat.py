@@ -257,15 +257,13 @@ class SwinBlock(nn.Module):
             h = jnp.roll(h, (-shift, -shift), axis=(1, 2))
         windows = window_partition(h, win)
         mask = jnp.asarray(_shift_attn_mask(hgt, wdt, win, shift)) if shift else None
-        # kernel only on deterministic forwards: its VJP recomputes the
-        # whole attention (flash trade), which measured SLOWER for
-        # training than XLA's saved-softmax backward (HTSAT_CNN full
-        # train step 200.4 vs 188.2 ms at B=32) — while eval/serving
-        # gains 1.16x. `deterministic` is a trace-time python bool, so
-        # this is a static branch, not a runtime switch.
+        # kernel on training forwards too since the fully-Pallas
+        # saved-O backward (kernels/window_attention.py, r3) replaced
+        # the XLA-recompute VJP that used to lose to XLA's saved-softmax
+        # backward (200.4 vs 188.2 ms HTSAT_CNN step at B=32)
         attn_out = WindowAttention(
             num_heads=self.num_heads, window_size=win, qkv_bias=self.qkv_bias,
-            use_flash=self.use_flash and deterministic, dtype=self.dtype, name="attn",
+            use_flash=self.use_flash, dtype=self.dtype, name="attn",
         )(windows, mask=mask, n_windows=(hgt // win) * (wdt // win))
         h = window_reverse(attn_out, win, hgt, wdt)
         if shift:
