@@ -6,6 +6,15 @@ ViT blocks, final LN) *in the test*, exports its state_dict with the
 reference's key naming, imports it with ``convert_passt_backbone`` and
 checks the flax forward reproduces the torch activations. This is the
 checkpoint-import fidelity test that real published weights would get.
+
+SUPERSEDED (r3) as the primary parity oracle by the LIVE-reference
+suites ``test_reference_live.py`` / ``test_reference_live_models.py``,
+which import the actual /root/reference modules instead of transcribing
+their math (a transcription here carried a wrong LayerNorm eps for the
+XL/Conformer blocks until the live oracle caught it). These tests stay
+as fast, tiny-shape regressions of the converter path and of semantics
+the live oracle can't reach (train-step loops, BN trajectories,
+frontend library math for libs absent from the image).
 """
 
 import jax

@@ -282,10 +282,15 @@ class DASM_HTSAT(nn.Module):
             self.mlm_fc2 = nn.Dense(out_dim)
 
     def _project_queries(self, query, query_type, train: bool):
+        # the reference projector is Sequential(Linear, GELU)
+        # (detect_any_sound.py:137,144-148) — this variant's first cut
+        # dropped the GELU, caught by the live-oracle DASM_HTSAT forward
+        # (tests/test_reference_live_models.py)
+        proj_act = lambda proj, q: fast_gelu(proj(q))  # noqa: E731
         if query is None:
             return self.at_query
         if isinstance(query, (list, tuple)):
-            projected = [proj(q) for proj, q in zip(self.query_projectors, query)]
+            projected = [proj_act(proj, q) for proj, q in zip(self.query_projectors, query)]
             stacked = jnp.stack(projected, axis=1)
             n_q, n_modal, _ = stacked.shape
             if train and n_modal > 1:
@@ -297,8 +302,8 @@ class DASM_HTSAT(nn.Module):
             idx = {"text": 0, "audio": 1}.get(query_type)
             if idx is None:
                 raise RuntimeError("query_type required with multi-modal projectors")
-            return self.query_projectors[idx](query)
-        return self.query_projectors[0](query)
+            return proj_act(self.query_projectors[idx], query)
+        return proj_act(self.query_projectors[0], query)
 
     def _encode_window(self, mel_tf: jnp.ndarray, train: bool) -> jnp.ndarray:
         """[N, F, W] mel window -> [N, t*ratio, C] (HtsatSlideWindow parity)."""

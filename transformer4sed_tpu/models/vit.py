@@ -37,20 +37,37 @@ def fast_gelu(x):
 
 
 class Mlp(nn.Module):
-    """Two-layer GELU MLP (timm Mlp parity)."""
+    """Two-layer GELU MLP (timm Mlp parity).
+
+    ``lora_rank > 0`` swaps fc1/fc2 for LoRA Dense — the reference's
+    lora variant adapts the MLP too, not only attention
+    (``src/models/passt/passt_lora.py:42-48,170-174``); base kernels
+    keep the same param paths so checkpoint import is unaffected.
+    """
 
     hidden_features: int
     out_features: Optional[int] = None
     dropout: float = 0.0
+    lora_rank: int = 0
+    lora_alpha: float = 1.0
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         out_features = self.out_features or x.shape[-1]
-        x = nn.Dense(self.hidden_features, dtype=self.dtype, name="fc1")(x)
+
+        def dense(features, name):
+            if self.lora_rank > 0:
+                from transformer4sed_tpu.models.lora import LoRADense
+
+                return LoRADense(features, rank=self.lora_rank,
+                                 alpha=self.lora_alpha, dtype=self.dtype, name=name)
+            return nn.Dense(features, dtype=self.dtype, name=name)
+
+        x = dense(self.hidden_features, "fc1")(x)
         x = fast_gelu(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
-        x = nn.Dense(out_features, dtype=self.dtype, name="fc2")(x)
+        x = dense(out_features, "fc2")(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         return x
 
@@ -63,9 +80,9 @@ class Attention(nn.Module):
     may be [L, S], [B, L, S] or [B, H, L, S].
 
     ``lora_rank > 0`` swaps the qkv and output projections for LoRA
-    Dense layers (reference passt_lora wraps exactly these two —
-    ``src/models/passt/passt_lora.py:122-124``); base kernels keep the
-    same param paths so torch checkpoint import is unaffected.
+    Dense layers (``src/models/passt/passt_lora.py:122-124``; the MLP's
+    fc1/fc2 are adapted in :class:`Mlp`); base kernels keep the same
+    param paths so torch checkpoint import is unaffected.
     """
 
     num_heads: int
@@ -185,6 +202,8 @@ class Block(nn.Module):
         h = Mlp(
             hidden_features=int(c * self.mlp_ratio),
             dropout=self.drop,
+            lora_rank=self.lora_rank,
+            lora_alpha=self.lora_alpha,
             dtype=self.dtype,
             name="mlp",
         )(h, deterministic=deterministic)

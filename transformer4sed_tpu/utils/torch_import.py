@@ -212,35 +212,47 @@ def _ln(sd, prefix):
     return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
 
 
-def _dense(sd, prefix):
-    return {"kernel": sd[f"{prefix}.weight"].T, "bias": sd[f"{prefix}.bias"]}
+def _dense(sd, prefix, lora=False):
+    out = {"kernel": sd[f"{prefix}.weight"].T, "bias": sd[f"{prefix}.bias"]}
+    if lora and f"{prefix}.lora_A" in sd:
+        # UNMERGED LoRA weights (src/models/lora/layers.py:106-110:
+        # lora_A [r, in], lora_B [out, r]) -> flax LoRADense [in, r]/[r, out].
+        # Only when the TARGET model uses LoRA (lora_rank>0): merged
+        # checkpoints still carry lora_A/B keys next to the already-merged
+        # weight, and a dense target must ignore them (the reference's own
+        # strict=False load-into-plain-PaSST convention, pmam/main.py:202).
+        out["lora_A"] = sd[f"{prefix}.lora_A"].T
+        out["lora_B"] = sd[f"{prefix}.lora_B"].T
+    return out
 
 
 def _dense_nobias(sd, prefix):
     return {"kernel": sd[f"{prefix}.weight"].T}
 
 
-def _vit_block(sd, prefix):
+def _vit_block(sd, prefix, lora=False):
     return {
         "norm1": _ln(sd, f"{prefix}.norm1"),
         "attn": {
-            "qkv": _dense(sd, f"{prefix}.attn.qkv"),
-            "proj": _dense(sd, f"{prefix}.attn.proj"),
+            "qkv": _dense(sd, f"{prefix}.attn.qkv", lora=lora),
+            "proj": _dense(sd, f"{prefix}.attn.proj", lora=lora),
         },
         "norm2": _ln(sd, f"{prefix}.norm2"),
         "mlp": {
-            "fc1": _dense(sd, f"{prefix}.mlp.fc1"),
-            "fc2": _dense(sd, f"{prefix}.mlp.fc2"),
+            "fc1": _dense(sd, f"{prefix}.mlp.fc1", lora=lora),
+            "fc2": _dense(sd, f"{prefix}.mlp.fc2", lora=lora),
         },
     }
 
 
 def convert_passt_backbone(
-    sd: Mapping[str, np.ndarray], depth: Optional[int] = None
+    sd: Mapping[str, np.ndarray], depth: Optional[int] = None, lora: bool = False
 ) -> Dict:
     """torch PaSST state_dict -> flax PaSST param tree.
 
-    ``depth`` defaults to the number of ``blocks.{i}`` present."""
+    ``depth`` defaults to the number of ``blocks.{i}`` present.
+    ``lora=True`` (target model has lora_rank>0) also maps UNMERGED
+    lora_A/lora_B adapters (passt_lora qkv/proj/fc1/fc2)."""
     if depth is None:
         depth = 0
         while f"blocks.{depth}.norm1.weight" in sd:
@@ -262,7 +274,7 @@ def convert_passt_backbone(
     if "dist_token" in sd:
         params["dist_token"] = sd["dist_token"]
     for i in range(depth):
-        params[f"blocks_{i}"] = _vit_block(sd, f"blocks.{i}")
+        params[f"blocks_{i}"] = _vit_block(sd, f"blocks.{i}", lora=lora)
     return params
 
 
@@ -316,6 +328,7 @@ def convert_passt_sed(
     decoder_layer_num: Optional[int] = None,
     at_adapter_heads: int = 12,
     f_pool_heads: int = 6,
+    lora_rank: int = 0,
 ) -> Dict:
     """torch PaSST_SED state_dict -> flax PaSST_SED param tree.
 
@@ -327,7 +340,8 @@ def convert_passt_sed(
         k[len("backbone.") :]: v for k, v in sd.items() if k.startswith("backbone.")
     }
     params: Dict = {
-        "backbone": convert_passt_backbone(backbone_sd, depth=backbone_depth),
+        "backbone": convert_passt_backbone(backbone_sd, depth=backbone_depth,
+                                           lora=lora_rank > 0),
         "out_norm": _ln(sd, "out_norm"),
     }
     if "classifier.weight" in sd:
@@ -809,7 +823,7 @@ def convert_passt_cnn(sd: Mapping[str, np.ndarray], **kwargs) -> Dict:
 _CONVERTER_INIT_KWARGS = {
     # init_kwargs keys a family's converter understands (head counts for
     # packed-MHA splitting; layer counts are auto-detected from the keys)
-    "PaSST_SED": ("at_adapter_heads", "f_pool_heads"),
+    "PaSST_SED": ("at_adapter_heads", "f_pool_heads", "lora_rank"),
     "PaSST_CNN": ("at_adapter_heads", "f_pool_heads"),
     "PasstComplexCNN": ("at_adapter_heads", "f_pool_heads"),
     "DASM": ("num_heads", "f_pool_heads"),
