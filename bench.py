@@ -22,11 +22,18 @@ time and the chip's peak bf16 FLOP/s.
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# persistent compile cache: the train-step jit is large; cached compiles
+# bring repeat bench runs from minutes to seconds
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".xla_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 # peak dense bf16 FLOP/s per chip, by device_kind substring
 _PEAK_FLOPS = {
@@ -65,6 +72,77 @@ def flops_per_clip() -> float:
     interp_heads = 2 * n_dec * d * 10              # classifier (C=10)
     at_adapter = 24 * n_enc * d * d / 12           # one block-equivalent
     return float(patch + enc + dec + interp_heads + at_adapter)
+
+
+def _force_scalar(tree):
+    """Cheap scalar that data-depends on every leaf of ``tree`` — defeats
+    XLA dead-code-eliminating the backward/optimizer/EMA when only the
+    loss is returned (exps/profile_train2.py methodology)."""
+    return sum(jnp.sum(x[(0,) * x.ndim]) for x in jax.tree_util.tree_leaves(tree))
+
+
+def measure_train(model, frontend, params, batch_size: int = 24, n_inner: int = 10,
+                  n_samples: int = 320000, repeats: int = 3):
+    """Full mean-teacher train step (frontend + aug + student fwd/bwd +
+    teacher fwd + clip + AdamW + EMA) clips/s/chip, DCE-proof.
+
+    Matches the hot loop of the reference's
+    ``recipes/desed/finetune/train.py:129-213``. Returns
+    (step_ms, clips_per_sec).
+
+    Methodology: ONE jit call runs ``n_inner`` steps in a lax.scan and
+    returns a scalar forced from the FINAL carry (so every step's
+    backward + optimizer + EMA is live). Per-call host-side timing of
+    repeated single-step dispatches was unusable under the axon tunnel
+    (same code measured 0.64 s, 2.7 s and 42 s per step on different
+    runs); the scan amortises dispatch to one round trip and matches
+    exps/profile_train2.py's stable scan-10 figure. min over repeats
+    rejects residual host noise.
+    """
+    import optax
+
+    from transformer4sed_tpu.train.mean_teacher import (
+        MeanTeacherConfig,
+        create_mean_teacher_state,
+        make_mean_teacher_step,
+        make_multi_step,
+    )
+
+    dev = jax.devices()[0]
+    s = w = batch_size // 3
+    cfg = MeanTeacherConfig(strong_num=s, weak_num=w, unlabel_num=batch_size - 2 * s)
+    opt = optax.chain(optax.clip_by_global_norm(20.0), optax.adamw(1e-4))
+    step = make_mean_teacher_step(
+        lambda p, m, train, rngs, **kw: model.apply({"params": p}, m, train=train, rngs=rngs, **kw),
+        frontend, opt, cfg,
+    )
+    multi = make_multi_step(step, n_inner)
+    state = jax.device_put(create_mean_teacher_state(params, opt), dev)
+    n_frames = model.decoder_pos_emd_len  # strong-label grid length
+    wav = jnp.asarray(
+        np.random.RandomState(1).randn(batch_size, n_samples).astype(np.float32) * 0.1)
+    batches = {
+        "wav": jax.device_put(jnp.broadcast_to(wav, (n_inner,) + wav.shape), dev),
+        "labels": jax.device_put(
+            jnp.zeros((n_inner, batch_size, model.class_num, n_frames)), dev),
+    }
+    key = jax.device_put(jax.random.PRNGKey(0), dev)
+
+    @jax.jit
+    def forced(st, bts, k):
+        final, metrics = multi(st, bts, k)
+        return (metrics["loss_total"][-1] + _force_scalar(final.params)
+                + _force_scalar(final.teacher_params)
+                + _force_scalar(final.opt_state))
+
+    float(forced(state, batches, key))  # compile + warm
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(forced(state, batches, key))  # fence INSIDE the timed region
+        best = min(best, time.perf_counter() - t0)
+    dt = best / n_inner
+    return dt * 1000.0, batch_size / dt
 
 
 def main():
@@ -141,6 +219,23 @@ def main():
     fpc = flops_per_clip()
     peak = _peak_flops(jax.devices()[0])
     mfu = (fpc * clips_per_sec / peak) if peak else None
+
+    # full mean-teacher TRAIN step (VERDICT r2 item 2: driver-visible
+    # training throughput). Analytic train FLOPs/clip ~ 4x forward:
+    # student fwd (1x) + bwd (2x) + teacher fwd (1x); optimizer/EMA are
+    # bandwidth, not FLOPs. Skippable for quick runs: T4S_BENCH_SKIP_TRAIN=1.
+    train_fields = {}
+    if os.environ.get("T4S_BENCH_SKIP_TRAIN", "0") != "1":
+        train_batch = 24
+        train_ms, train_cps = measure_train(model, frontend, params, train_batch)
+        train_mfu = (4.0 * fpc * train_cps / peak) if peak else None
+        train_fields = {
+            "train_clips_per_sec_per_chip": round(train_cps, 2),
+            "train_step_ms": round(train_ms, 1),
+            "train_batch": train_batch,
+            "train_mfu": round(train_mfu, 4) if train_mfu is not None else None,
+        }
+
     print(
         json.dumps(
             {
@@ -152,6 +247,7 @@ def main():
                 "flops_per_clip": fpc,
                 "mfu": round(mfu, 4) if mfu is not None else None,
                 "mel_frames_per_sec": round(mel_frames_per_sec, 1),
+                **train_fields,
                 "device_kind": jax.devices()[0].device_kind,
             }
         )
