@@ -20,6 +20,10 @@ test imports exactly these public symbols:
   torchlibrosa's public semantics (torch.stft reflect-pad Hann power
   spectrogram; slaney-normed librosa mel weights; power_to_db with
   global-max top_db clamp; SpecAugmentation is a no-op in eval mode).
+* ``sed_scores_eval.base_modules.scores.create_score_dataframe`` /
+  ``validate_score_dataframe`` — the (onset, offset, *classes)
+  DataFrame layout with T+1 boundary timestamps
+  (src/codec/decoder.py:12 imports exactly these two).
 
 These are stubs of *dependency libraries* (public semantics), not of
 reference code — the reference modules themselves are imported live.
@@ -324,6 +328,33 @@ class SpecAugmentation(nn.Module):
 
 
 # ---------------------------------------------------------------------------
+# sed_scores_eval surface (create/validate score dataframes)
+# ---------------------------------------------------------------------------
+
+
+def create_score_dataframe(scores, timestamps, event_classes):
+    """sed_scores_eval layout: columns (onset, offset, *classes), row t
+    spanning [timestamps[t], timestamps[t+1])."""
+    import pandas as pd
+
+    scores = np.asarray(scores)
+    timestamps = np.asarray(timestamps, dtype=np.float64)
+    assert scores.ndim == 2 and len(timestamps) == scores.shape[0] + 1
+    assert scores.shape[1] == len(event_classes)
+    return pd.DataFrame(
+        np.concatenate([timestamps[:-1, None], timestamps[1:, None], scores], axis=1),
+        columns=["onset", "offset", *event_classes],
+    )
+
+
+def validate_score_dataframe(df, timestamps=None, event_classes=None):
+    cols = list(df.columns)
+    assert cols[:2] == ["onset", "offset"], cols
+    ts = np.concatenate([df["onset"].to_numpy(), df["offset"].to_numpy()[-1:]])
+    return ts, cols[2:]
+
+
+# ---------------------------------------------------------------------------
 # sys.modules installation
 # ---------------------------------------------------------------------------
 
@@ -382,6 +413,16 @@ def install() -> None:
         ta.compliance = compliance
         compliance.kaldi = kaldi
         kaldi.get_mel_banks = get_mel_banks
+
+    if "sed_scores_eval" not in sys.modules:
+        sse = _module("sed_scores_eval")
+        sse.__t4s_stub__ = True
+        base = _module("sed_scores_eval.base_modules")
+        scores_mod = _module("sed_scores_eval.base_modules.scores")
+        sse.base_modules = base
+        base.scores = scores_mod
+        scores_mod.create_score_dataframe = create_score_dataframe
+        scores_mod.validate_score_dataframe = validate_score_dataframe
 
     if "codecarbon" not in sys.modules:
         cc = _module("codecarbon")

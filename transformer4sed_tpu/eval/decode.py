@@ -114,8 +114,17 @@ def decode_pred_batch(
 ) -> Dict[float, List[Tuple[str, str, float, float]]]:
     """Thresholded event decoding (reference ``decode_pred_batch_fast``):
     hard weak masking (weak < thr -> class zeroed), median filter,
-    binarise, decode to (filename, label, onset, offset) rows."""
-    widths = tuple(median_filter) if isinstance(median_filter, (list, tuple)) else median_filter
+    binarise, decode to (filename, label, onset, offset) rows.
+
+    This path filters with ``median_filter_torch``'s semantics
+    (``src/postprocess/filter.py:28-32``): even widths round UP to odd
+    and the boundary is replicate-padded ('nearest') — unlike the scipy
+    path :func:`batched_decode_preds` mirrors, which uses 'reflect'.
+    The reference's two decode paths genuinely differ at clip edges."""
+    if isinstance(median_filter, (list, tuple)):
+        widths = tuple(w + 1 if w % 2 == 0 else w for w in median_filter)
+    else:
+        widths = median_filter + 1 if median_filter % 2 == 0 else median_filter
     scores = jnp.transpose(jnp.asarray(strong_preds), (0, 2, 1))  # [B, T, C]
     out: Dict[float, List] = {}
     weak = None if weak_preds is None else np.asarray(weak_preds)
@@ -123,7 +132,7 @@ def decode_pred_batch(
         s = scores
         if weak is not None:
             s = s * jnp.asarray(weak >= thr)[:, None, :]
-        s = apply_class_filter(s, widths, kind="median")
+        s = apply_class_filter(s, widths, kind="median", mode="nearest")
         binary = np.asarray(s > thr).astype(np.float32)
         rows = []
         for j, name in enumerate(filenames):

@@ -99,14 +99,20 @@ def time_mask(
 ):
     """Zero a random contiguous time span (shared across the batch).
 
-    Width ~ U[T/ratio_hi, T/ratio_lo); features in the span are set to
-    1e-4 and labels to 0 (reference ``data_aug.py:93-108``).
+    Width ~ U[T/ratio_hi, T/ratio_lo); start ~ U[0, T - width) (the
+    reference's data-dependent bound — fine under jit, randint accepts
+    traced bounds); features in the span are set to 1e-4 and labels to 0
+    (reference ``data_aug.py:93-108``). Deviation: the reference clamps
+    the feature span end to ``len(features)`` — the BATCH size of the
+    3-D tensor, which for any realistic batch makes the feature masking
+    a silent no-op (``data_aug.py:99``); the intended span is used here
+    (the function is unwired in the reference recipes either way).
     """
     kw, kl = jax.random.split(key)
     if labels is not None:
         n_frame = labels.shape[-1]
         t_width = jax.random.randint(kw, (), n_frame // mask_ratios[1], n_frame // mask_ratios[0])
-        t_low = jax.random.randint(kl, (), 0, n_frame - n_frame // mask_ratios[0])
+        t_low = jax.random.randint(kl, (), 0, n_frame - t_width)
         lab_pos = jnp.arange(n_frame)
         lab_mask = (lab_pos >= t_low) & (lab_pos < t_low + t_width)
         feat_pos = jnp.arange(features.shape[-1])
@@ -116,7 +122,7 @@ def time_mask(
         return features, labels
     n_frame = features.shape[-1]
     t_width = jax.random.randint(kw, (), n_frame // mask_ratios[1], n_frame // mask_ratios[0])
-    t_low = jax.random.randint(kl, (), 0, n_frame - n_frame // mask_ratios[0])
+    t_low = jax.random.randint(kl, (), 0, n_frame - t_width)
     pos = jnp.arange(n_frame)
     mask = (pos >= t_low) & (pos < t_low + t_width)
     return jnp.where(mask[None, None, :], 0.0, features)
@@ -230,7 +236,8 @@ def add_noise(
     b = features.shape[0]
     snr_db = (snrs[0] - snrs[1]) * jax.random.uniform(ksnr, (b, 1, 1)) + snrs[1]
     snr = 10.0 ** (snr_db / 20.0)
-    sigma = jnp.std(features, axis=(1, 2), keepdims=True) / snr
+    # torch.std default is the UNBIASED estimator (ddof=1)
+    sigma = jnp.std(features, axis=(1, 2), keepdims=True, ddof=1) / snr
     return features + jax.random.normal(kn, features.shape) * sigma
 
 

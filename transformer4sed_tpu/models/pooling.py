@@ -58,10 +58,15 @@ class FrequencyWiseTransformerPooling(nn.Module):
         tag = nn.Dense(d, name="linear_emb")(ones)
         h = jnp.concatenate([tag, x], axis=1)
         for i in range(self.depth):
-            h = Block(num_heads=self.num_heads, mlp_ratio=4.0, dtype=self.dtype, name=f"blocks_{i}")(
-                h, deterministic=deterministic
-            )
-        h = nn.LayerNorm(epsilon=1e-6, name="norm")(h)
+            # the reference passes a PLAIN nn.LayerNorm norm_layer and no
+            # qkv_bias (pooling.py:24) -> torch LN eps 1e-5 (not PaSST's
+            # 1e-6) and timm 0.4.5's qkv_bias=False default
+            h = Block(num_heads=self.num_heads, mlp_ratio=4.0, ln_eps=1e-5,
+                      qkv_bias=False, dtype=self.dtype,
+                      name=f"blocks_{i}")(h, deterministic=deterministic)
+        # reference hardcodes LayerNorm(768) (pooling.py:25) — written for
+        # embed_dim=768 only; the width generalisation keeps its semantics
+        h = nn.LayerNorm(epsilon=1e-5, name="norm")(h)
         return h[:, 0, :]
 
 

@@ -179,12 +179,15 @@ class Block(nn.Module):
     lora_rank: int = 0
     lora_alpha: float = 1.0
     use_flash: bool = False
+    # PaSST builds blocks with eps 1e-6; callers passing a plain torch
+    # nn.LayerNorm norm_layer (e.g. pooling.py:24) get torch's 1e-5
+    ln_eps: float = LAYERNORM_EPS
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask: Optional[jnp.ndarray] = None, deterministic: bool = True):
         c = x.shape[-1]
-        h = nn.LayerNorm(epsilon=LAYERNORM_EPS, name="norm1")(x)
+        h = nn.LayerNorm(epsilon=self.ln_eps, name="norm1")(x)
         h = Attention(
             num_heads=self.num_heads,
             qkv_bias=self.qkv_bias,
@@ -198,7 +201,7 @@ class Block(nn.Module):
         )(h, mask=mask, deterministic=deterministic)
         x = x + DropPath(self.drop_path, name="drop_path1")(h, deterministic)
 
-        h = nn.LayerNorm(epsilon=LAYERNORM_EPS, name="norm2")(x)
+        h = nn.LayerNorm(epsilon=self.ln_eps, name="norm2")(x)
         h = Mlp(
             hidden_features=int(c * self.mlp_ratio),
             dropout=self.drop,
