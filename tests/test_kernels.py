@@ -538,6 +538,90 @@ class TestFlashNHDKernel:
         for a, b_ in zip(g1, g2):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=3e-5)
 
+    @pytest.mark.parametrize("t", [64, 190, 300])
+    def test_forward_lse_matches(self, t):
+        """The forward-with-LSE kernel: output parity with the plain nhd
+        kernel AND per-head LSE parity with the log-sum-exp definition."""
+        from transformer4sed_tpu.kernels.flash_attention import (
+            _flash_nhd_forward,
+            _flash_nhd_forward_lse,
+            _split_heads,
+        )
+
+        b, h, d = 2, 4, 16
+        c = h * d
+        rng = np.random.RandomState(2)
+        q = jnp.asarray(rng.randn(b, t, c).astype(np.float32))
+        k = jnp.asarray(rng.randn(b, t, c).astype(np.float32))
+        v = jnp.asarray(rng.randn(b, t, c).astype(np.float32))
+        scale = d ** -0.5
+        ref = _flash_nhd_forward(q, k, v, h, scale, block_q=128, interpret=True)
+        out, lse = _flash_nhd_forward_lse(q, k, v, h, scale, block_q=128, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+        s = jnp.einsum(
+            "bhqd,bhkd->bhqk", _split_heads(q, h), _split_heads(k, h)) * scale
+        ref_lse = jax.scipy.special.logsumexp(s, axis=-1)  # [B, H, T]
+        np.testing.assert_allclose(
+            np.asarray(lse)[:, :, :t], np.asarray(ref_lse), atol=2e-5)
+
+    @pytest.mark.parametrize("t", [64, 190])
+    def test_nhd_backward_matches_xla(self, t):
+        """The fully heads-in-lanes backward (interpret mode): dq/dk/dv
+        vs the split-head XLA autodiff reference, incl. ragged T."""
+        from transformer4sed_tpu.kernels.flash_attention import (
+            _flash_nhd_backward,
+            _flash_nhd_forward_lse,
+            _merge_heads,
+            _split_heads,
+            _xla_attention,
+        )
+
+        b, h, d = 2, 4, 16
+        c = h * d
+        rng = np.random.RandomState(3)
+        q = jnp.asarray(rng.randn(b, t, c).astype(np.float32))
+        k = jnp.asarray(rng.randn(b, t, c).astype(np.float32))
+        v = jnp.asarray(rng.randn(b, t, c).astype(np.float32))
+        g = jnp.asarray(rng.randn(b, t, c).astype(np.float32))
+        scale = d ** -0.5
+
+        o, lse = _flash_nhd_forward_lse(q, k, v, h, scale, block_q=128, interpret=True)
+        dq, dk, dv = _flash_nhd_backward(
+            q, k, v, o, lse, g, h, scale, block_q=128, interpret=True)
+
+        def f(q_, k_, v_):
+            return _merge_heads(_xla_attention(
+                _split_heads(q_, h), _split_heads(k_, h), _split_heads(v_, h), scale))
+
+        _, vjp = jax.vjp(f, q, k, v)
+        rq, rk, rv = vjp(g)
+        np.testing.assert_allclose(np.asarray(dq), np.asarray(rq), atol=3e-5)
+        np.testing.assert_allclose(np.asarray(dk), np.asarray(rk), atol=3e-5)
+        np.testing.assert_allclose(np.asarray(dv), np.asarray(rv), atol=3e-5)
+
+    def test_nhd_backward_bf16_dtypes(self):
+        """bf16 primals -> bf16 cotangents through the nhd backward
+        (the deacbd2 bug class, pinned at the new kernel boundary)."""
+        from transformer4sed_tpu.kernels.flash_attention import (
+            _flash_nhd_backward,
+            _flash_nhd_forward_lse,
+        )
+
+        b, t, h, d = 1, 64, 4, 16
+        c = h * d
+        rng = np.random.RandomState(4)
+        q = jnp.asarray(rng.randn(b, t, c)).astype(jnp.bfloat16)
+        k = jnp.asarray(rng.randn(b, t, c)).astype(jnp.bfloat16)
+        v = jnp.asarray(rng.randn(b, t, c)).astype(jnp.bfloat16)
+        g = jnp.asarray(rng.randn(b, t, c)).astype(jnp.bfloat16)
+        o, lse = _flash_nhd_forward_lse(q, k, v, h, d ** -0.5, block_q=64, interpret=True)
+        assert lse.dtype == jnp.float32
+        dq, dk, dv = _flash_nhd_backward(
+            q, k, v, o, lse, g, h, d ** -0.5, block_q=64, interpret=True)
+        assert dq.dtype == dk.dtype == dv.dtype == jnp.bfloat16
+        for x in (dq, dk, dv):
+            assert bool(jnp.all(jnp.isfinite(x.astype(jnp.float32))))
+
 
 class TestXLNHDKernel:
     """Heads-in-lanes XL attention: interpret-mode parity vs the

@@ -375,7 +375,10 @@ def compute_psds_from_scores(
     try:
         import sed_scores_eval  # noqa: F401
 
-        has_lib = True
+        # feature-detect the symbol actually used, not bare importability:
+        # partial installs (or test stubs exposing only the dataframe
+        # helpers) must fall through to the native sweep
+        has_lib = hasattr(sed_scores_eval, "intersection_based")
     except ImportError:
         has_lib = False
 

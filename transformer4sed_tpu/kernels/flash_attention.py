@@ -469,9 +469,10 @@ def _flash_backward(q, k, v, o, lse, g, sm_scale, block_q=256, interpret=False):
 # kernels/window_attention.py. Full-row K/V per batch element; ragged T
 # masked in-kernel. 12x fewer grid steps than the per-(b,h) kernel.
 #
-# The custom VJP routes TRAINING through the existing transpose +
-# saved-O/LSE Pallas backward (no regression, no gain there); only
-# no-grad forwards (inference/serving, the teacher pass) take this path.
+# The custom VJP keeps training in this layout too: the forward-with-LSE
+# and backward kernels below slice head lanes the same way, so neither
+# direction ever materialises a [B, H, N, d] transpose in HBM. Layouts
+# the lane-blocking cannot cover fall back to the [B, H, N, d] pair.
 
 
 def _flash_nhd_kernel(q_ref, k_ref, v_ref, o_ref, *, d, seq_len, sm_scale):
@@ -538,6 +539,197 @@ def _flash_nhd_forward(q, k, v, heads, sm_scale, block_q=256, interpret=False):
     return out[:, :t]
 
 
+# -- heads-in-lanes TRAINING path ---------------------------------------------------
+#
+# The custom-VJP fallback below (split-heads -> [B, H, T, d] kernel pair ->
+# merge-heads) costs ~8 HBM transposes of [B, T, H*d] per layer per train
+# step (fwd: 3 splits + 1 merge; bwd: 1 split + 3 merges) — measured
+# 4.2 ms/layer at B=64 for the forward set alone. These kernels keep the
+# model layout END TO END: the forward also emits a per-head LSE
+# ([B, H, T_pad] f32, written as sublane rows of the lane-blocked grid
+# step), and the backward recomputes p = exp(s - lse) in VMEM with the
+# same static head-lane slicing. delta = rowsum(g*o) is computed outside
+# per head ([B, T, H] -> [B, H, T] — a 12-lane transpose of a tiny
+# tensor, not the [B, T, 768] round-trips this path removes).
+
+
+def _flash_nhd_lse_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, d, seq_len, sm_scale):
+    bq = q_ref.shape[0]
+    t_pad = k_ref.shape[0]
+    lanes = q_ref.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (bq, t_pad), 1)
+    for j in range(lanes // d):
+        qh = q_ref[:, j * d : (j + 1) * d]
+        kh = k_ref[:, j * d : (j + 1) * d]
+        vh = v_ref[:, j * d : (j + 1) * d]
+        s = jnp.dot(qh, kh.T, preferred_element_type=jnp.float32) * sm_scale
+        s = jnp.where(col < seq_len, s, _NEG_INF)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        acc = jnp.dot(p.astype(vh.dtype), vh, preferred_element_type=jnp.float32)
+        o_ref[:, j * d : (j + 1) * d] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        lse_ref[j, :] = (m + jnp.log(jnp.maximum(l, 1e-30)))[:, 0]
+
+
+def _flash_nhd_forward_lse(q, k, v, heads, sm_scale, block_q=256, interpret=False):
+    """q/k/v: [B, N, H*d] -> ([B, N, H*d], lse [B, H, T_pad] f32)."""
+    b, t, c = q.shape
+    d = c // heads
+    lane_block = min(max(128 // d, 1) * d, c)
+    t_pad = _round_up(t, block_q)
+
+    def pad(x):
+        return jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)))
+
+    hpb = lane_block // d
+    grid = (b, c // lane_block, t_pad // block_q)
+    # LSE lives as [B, n_pairs, hpb, T_pad] so its block's sublane dim
+    # (hpb, e.g. 2) EQUALS the full array dim — Mosaic requires the last
+    # two block dims be (8, 128)-divisible or full (hpb alone is neither)
+    out, lse = pl.pallas_call(
+        functools.partial(_flash_nhd_lse_kernel, d=d, seq_len=t, sm_scale=sm_scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, block_q, lane_block), lambda bi, hi, qi: (bi, qi, hi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, t_pad, lane_block), lambda bi, hi, qi: (bi, 0, hi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, t_pad, lane_block), lambda bi, hi, qi: (bi, 0, hi),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((None, block_q, lane_block), lambda bi, hi, qi: (bi, qi, hi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, hpb, block_q), lambda bi, hi, qi: (bi, hi, 0, qi),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, t_pad, c), q.dtype),
+            jax.ShapeDtypeStruct((b, heads // hpb, hpb, t_pad), jnp.float32),
+        ),
+        interpret=interpret,
+    )(pad(q), pad(k), pad(v))
+    return out[:, :t], lse.reshape(b, heads, t_pad)
+
+
+def _nhd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *, d, seq_len, sm_scale):
+    bq = q_ref.shape[0]
+    t_pad = k_ref.shape[0]
+    lanes = q_ref.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (bq, t_pad), 1)
+    for j in range(lanes // d):
+        qh = q_ref[:, j * d : (j + 1) * d]
+        kh = k_ref[:, j * d : (j + 1) * d]
+        vh = v_ref[:, j * d : (j + 1) * d]
+        doh = do_ref[:, j * d : (j + 1) * d]
+        lse = lse_ref[j, :].reshape(-1, 1)
+        delta = delta_ref[j, :].reshape(-1, 1)
+        s = jnp.dot(qh, kh.T, preferred_element_type=jnp.float32) * sm_scale
+        s = jnp.where(col < seq_len, s, _NEG_INF)
+        p = jnp.exp(s - lse)
+        dp = jnp.dot(doh, vh.T, preferred_element_type=jnp.float32)
+        ds = (p * (dp - delta)).astype(qh.dtype)
+        dq_ref[:, j * d : (j + 1) * d] = (
+            jnp.dot(ds, kh, preferred_element_type=jnp.float32) * sm_scale
+        ).astype(dq_ref.dtype)
+
+
+def _nhd_dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref, *, d, seq_len, sm_scale
+):
+    t_pad = q_ref.shape[0]
+    bkv = k_ref.shape[0]
+    lanes = q_ref.shape[1]
+    kv_start = pl.program_id(2) * bkv
+    col = jax.lax.broadcasted_iota(jnp.int32, (t_pad, bkv), 1) + kv_start
+    for j in range(lanes // d):
+        qh = q_ref[:, j * d : (j + 1) * d]
+        kh = k_ref[:, j * d : (j + 1) * d]
+        vh = v_ref[:, j * d : (j + 1) * d]
+        doh = do_ref[:, j * d : (j + 1) * d]
+        lse = lse_ref[j, :].reshape(-1, 1)
+        delta = delta_ref[j, :].reshape(-1, 1)
+        s = jnp.dot(qh, kh.T, preferred_element_type=jnp.float32) * sm_scale  # [t_pad, bkv]
+        s = jnp.where(col < seq_len, s, _NEG_INF)
+        p = jnp.exp(s - lse)
+        dv_ref[:, j * d : (j + 1) * d] = jnp.dot(
+            p.astype(doh.dtype).T, doh, preferred_element_type=jnp.float32
+        ).astype(dv_ref.dtype)
+        dp = jnp.dot(doh, vh.T, preferred_element_type=jnp.float32)
+        ds = (p * (dp - delta)).astype(qh.dtype)
+        dk_ref[:, j * d : (j + 1) * d] = (
+            jnp.dot(ds.T, qh, preferred_element_type=jnp.float32) * sm_scale
+        ).astype(dk_ref.dtype)
+
+
+def _flash_nhd_backward(q, k, v, o, lse, g, heads, sm_scale, block_q=256, interpret=False):
+    """Pallas dq/dk/dv in the [B, N, H*d] layout from saved (o, lse [B, H, T_pad])."""
+    b, t, c = q.shape
+    d = c // heads
+    lane_block = min(max(128 // d, 1) * d, c)
+    hpb = lane_block // d
+    t_pad = lse.shape[-1]
+
+    def pad(x):
+        return jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)))
+
+    qp, kp, vp, gp, op = pad(q), pad(k), pad(v), pad(g), pad(o)
+    # delta[b, h, t] = sum_d g*o over head h's lanes (padded rows carry
+    # g=0); lse/delta ride as [B, n_pairs, hpb, T_pad] so their blocks'
+    # sublane dim (hpb) equals the full array dim (Mosaic constraint)
+    delta = jnp.transpose(
+        (gp.astype(jnp.float32) * op.astype(jnp.float32)).reshape(b, t_pad, heads, d).sum(-1),
+        (0, 2, 1),
+    ).reshape(b, heads // hpb, hpb, t_pad)
+    lse4 = lse.reshape(b, heads // hpb, hpb, t_pad)
+
+    qkv_blk = lambda bi, hi, qi: (bi, qi, hi)
+    qkv_full = lambda bi, hi, qi: (bi, 0, hi)
+    vec_blk = lambda bi, hi, qi: (bi, hi, 0, qi)
+    vec_full = lambda bi, hi, qi: (bi, hi, 0, 0)
+    grid = (b, c // lane_block, t_pad // block_q)
+
+    dq = pl.pallas_call(
+        functools.partial(_nhd_dq_kernel, d=d, seq_len=t, sm_scale=sm_scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, block_q, lane_block), qkv_blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, t_pad, lane_block), qkv_full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, t_pad, lane_block), qkv_full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_q, lane_block), qkv_blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, hpb, block_q), vec_blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, hpb, block_q), vec_blk, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, block_q, lane_block), qkv_blk, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, t_pad, c), q.dtype),
+        interpret=interpret,
+    )(qp, kp, vp, gp, lse4, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_nhd_dkv_kernel, d=d, seq_len=t, sm_scale=sm_scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, t_pad, lane_block), qkv_full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_q, lane_block), qkv_blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_q, lane_block), qkv_blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, t_pad, lane_block), qkv_full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, hpb, t_pad), vec_full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, hpb, t_pad), vec_full, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((None, block_q, lane_block), qkv_blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_q, lane_block), qkv_blk, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, t_pad, c), k.dtype),
+            jax.ShapeDtypeStruct((b, t_pad, c), v.dtype),
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, gp, lse4, delta)
+    return dq[:, :t], dk[:, :t], dv[:, :t]
+
+
 def _split_heads(x, heads):
     b, t, c = x.shape
     return x.reshape(b, t, heads, c // heads).transpose(0, 2, 1, 3)
@@ -552,9 +744,9 @@ def _merge_heads(x):
 def flash_attention_nhd(q, k, v, num_heads: int, sm_scale: Optional[float] = None):
     """Softmax attention in the model's [B, N, H*d] layout, no mask.
 
-    No-grad forwards run the heads-in-lanes kernel (no HBM transposes);
-    differentiated calls fall back to the [B, H, N, d] kernel pair so
-    the saved-O/LSE Pallas backward is reused unchanged.
+    Forward AND backward run heads-in-lanes Pallas kernels (no HBM
+    transposes in either direction); layouts the lane blocking cannot
+    cover fall back to the [B, H, N, d] kernel pair.
     """
     scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(q.shape[-1] // num_heads)
     c = q.shape[-1]
@@ -575,6 +767,14 @@ def flash_attention_nhd(q, k, v, num_heads: int, sm_scale: Optional[float] = Non
 
 def _nhd_fwd(q, k, v, num_heads, sm_scale):
     scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(q.shape[-1] // num_heads)
+    c = q.shape[-1]
+    d = c // num_heads
+    lane_block = min(max(128 // d, 1) * d, c)
+    if _on_tpu() and c % lane_block == 0 and (lane_block % 128 == 0 or lane_block == c):
+        # fully heads-in-lanes: residuals stay in the model layout
+        # (3-dim; the backward dispatches on residual rank)
+        out, lse = _flash_nhd_forward_lse(q, k, v, num_heads, scale)
+        return out, (q, k, v, out, lse)
     qh, kh, vh = (_split_heads(x, num_heads) for x in (q, k, v))
     if _on_tpu():
         out, lse = _flash_forward_lse(qh, kh, vh, scale)
@@ -583,14 +783,18 @@ def _nhd_fwd(q, k, v, num_heads, sm_scale):
 
 
 def _nhd_bwd(num_heads, sm_scale, residuals, g):
-    qh, kh, vh, o, lse = residuals
+    q_, k_, v_, o, lse = residuals
+    if q_.ndim == 3:  # heads-in-lanes residuals: transpose-free backward
+        scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(q_.shape[-1] // num_heads)
+        return _flash_nhd_backward(q_, k_, v_, o, lse, g, num_heads, scale)
+    qh, kh, vh = q_, k_, v_
     scale = sm_scale if sm_scale is not None else 1.0 / math.sqrt(qh.shape[-1])
     gh = _split_heads(g, num_heads)
     if o is not None and _on_tpu():
         dq, dk, dv = _flash_backward(qh, kh, vh, o, lse, gh, scale)
     else:
-        def f(q_, k_, v_):
-            return _xla_attention(q_, k_, v_, scale)
+        def f(q__, k__, v__):
+            return _xla_attention(q__, k__, v__, scale)
 
         out_dtype = jax.eval_shape(f, qh, kh, vh).dtype
         _, vjp = jax.vjp(f, qh, kh, vh)
