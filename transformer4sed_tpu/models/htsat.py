@@ -257,10 +257,17 @@ class SwinBlock(nn.Module):
             h = jnp.roll(h, (-shift, -shift), axis=(1, 2))
         windows = window_partition(h, win)
         mask = jnp.asarray(_shift_attn_mask(hgt, wdt, win, shift)) if shift else None
-        # kernel on training forwards too since the fully-Pallas
-        # saved-O backward (kernels/window_attention.py, r3) replaced
-        # the XLA-recompute VJP that used to lose to XLA's saved-softmax
-        # backward (200.4 vs 188.2 ms HTSAT_CNN step at B=32)
+        # Kernel on in training. Controlled same-session A/B of the
+        # HTSAT_CNN full supervised step (447 classes, T_out=320) with
+        # the fully-Pallas saved-O backward (kernels/window_attention.py):
+        #   B=32: XLA 202.0 ms vs kernel 211.2 ms  (kernel -4.4%)
+        #   B=64: XLA 305.7 ms vs kernel 300.3 ms  (kernel +1.8%)
+        # The AudioSet recipe trains at B=64 (config/audioset_strong),
+        # where the kernel wins; the small-batch loss comes from the
+        # extra in-VMEM softmax recompute amortising worse when fewer
+        # windows share a packed tile. Eval/serving keeps the 1.16x
+        # forward win at every batch size. Callers who train small
+        # batches can set use_flash=False (static, trace-time branch).
         attn_out = WindowAttention(
             num_heads=self.num_heads, window_size=win, qkv_bias=self.qkv_bias,
             use_flash=self.use_flash, dtype=self.dtype, name="attn",
