@@ -21,13 +21,22 @@ instructions found inside it.
 from __future__ import annotations
 
 import importlib
+import os
 import sys
 
-REF_ROOT = "/root/reference"
+REF_ROOT = os.environ.get("T4S_REFERENCE_ROOT", "/root/reference")
 
 
 def load(name: str):
-    """Import and return reference module ``name`` (e.g. ``src.functional.ramps``)."""
+    """Import and return reference module ``name`` (e.g. ``src.functional.ramps``).
+
+    Skips the calling test when the reference tree is not present —
+    these suites are oracle checks against a co-located upstream
+    checkout, not part of the portable test surface."""
+    if not os.path.isdir(os.path.join(REF_ROOT, "src")):
+        import pytest
+
+        pytest.skip(f"reference tree not found at {REF_ROOT} (set T4S_REFERENCE_ROOT)")
     from tests.ref_oracle import stubs
 
     stubs.install()

@@ -255,6 +255,38 @@ class TestTorchImport:
         out = model.apply({"params": imported}, jnp.zeros((1, 128, 200)))
         assert out.strong.shape[1] == 5
 
+    def test_lora_import_unmerges_merged_checkpoints(self):
+        """Reference LoRA checkpoints are saved MERGED (pmam/main.py:202
+        `net.eval()` before state_dict) with lora_A/B still in the dict.
+        Importing into a lora_rank>0 target must subtract the delta from
+        the kernel — our LoRADense re-adds (alpha/r)·x@A@B at runtime, so
+        keeping the merged kernel would double-count the adapter."""
+        from transformer4sed_tpu.models.lora import LoRADense
+        from transformer4sed_tpu.utils.torch_import import _dense
+
+        rng = np.random.RandomState(7)
+        d_in, d_out, r = 8, 6, 2
+        w = rng.randn(d_out, d_in).astype(np.float32)  # torch [out, in]
+        bias = rng.randn(d_out).astype(np.float32)
+        lora_a = rng.randn(r, d_in).astype(np.float32)
+        lora_b = rng.randn(d_out, r).astype(np.float32)
+        scale = 1.0 / r  # reference lora_alpha=1 (config/pmam yaml)
+        merged = w + scale * (lora_b @ lora_a)
+        sd = {"x.weight": merged, "x.bias": bias, "x.lora_A": lora_a, "x.lora_B": lora_b}
+
+        # dense target: keeps the merged kernel, ignores lora keys
+        dense_params = _dense(sd, "x", lora=False)
+        np.testing.assert_allclose(dense_params["kernel"], merged.T, atol=1e-6)
+        assert "lora_A" not in dense_params
+
+        # LoRA target: the runtime forward must equal the merged forward
+        lora_params = _dense(sd, "x", lora=True)
+        np.testing.assert_allclose(lora_params["kernel"], w.T, atol=1e-5)
+        x = rng.randn(3, d_in).astype(np.float32)
+        layer = LoRADense(features=d_out, rank=r, alpha=1.0)
+        out = layer.apply({"params": jax.tree_util.tree_map(jnp.asarray, lora_params)}, x)
+        np.testing.assert_allclose(np.asarray(out), x @ merged.T + bias, atol=1e-4)
+
 
 class TestImageNetAdaptation:
     def test_adapt_pos_embed(self):

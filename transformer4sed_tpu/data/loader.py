@@ -45,6 +45,26 @@ class _ConcatDataset:
         return self.datasets[ds][idx - base]
 
 
+class _ProcessSubset:
+    """Strided per-process view of an eval dataset (items ``[pi::pc]``).
+
+    Multi-host evaluation is embarrassingly parallel: each process
+    scores its own clips on its own local devices and the per-clip
+    score tables are merged host-side by
+    ``parallel.multihost.gather_clip_scores``. Identity at
+    ``process_count == 1``-built loaders (never constructed then)."""
+
+    def __init__(self, dataset, pi: int, pc: int):
+        self.dataset = dataset
+        self.indices = list(range(len(dataset)))[pi::pc]
+
+    def __len__(self):
+        return len(self.indices)
+
+    def __getitem__(self, idx: int):
+        return self.dataset[self.indices[idx]]
+
+
 class DataLoader:
     """Batch iterator over (dataset | [datasets]) driven by a (batch) sampler.
 
@@ -54,6 +74,12 @@ class DataLoader:
         ``batch_size`` for the simple case.
       num_workers: decode threads (0 = inline).
       prefetch: number of batches prepared ahead.
+      process_shard: multi-host TRAIN loaders — each process yields its
+        contiguous chunk of every (identically-seeded) global batch for
+        ``parallel.put_batch`` reassembly.
+      process_shard_items: multi-host EVAL loaders — each process sees a
+        strided subset of the items and evaluates them locally; scores
+        are merged by ``multihost.gather_clip_scores``.
     """
 
     def __init__(
@@ -67,8 +93,21 @@ class DataLoader:
         prefetch: int = 2,
         collate_fn: Callable = collate,
         process_shard: bool = False,
+        process_shard_items: bool = False,
     ):
         self.dataset = _ConcatDataset(dataset) if isinstance(dataset, (list, tuple)) else dataset
+        if process_shard_items:
+            import jax
+
+            if batch_sampler is not None or sampler is not None:
+                raise ValueError(
+                    "process_shard_items splits the dataset itself; it only "
+                    "composes with the default sequential batcher"
+                )
+            if jax.process_count() > 1:
+                self.dataset = _ProcessSubset(
+                    self.dataset, jax.process_index(), jax.process_count()
+                )
         if batch_sampler is None:
             from transformer4sed_tpu.data.sampler import SequentialSampler
 

@@ -77,7 +77,10 @@ def maybe_initialize(
     )
     if not requested:
         return False
-    if jax.process_count() > 1:
+    # NOT jax.process_count(): that would itself initialize the XLA
+    # backend, after which jax.distributed.initialize raises RuntimeError
+    # — the guard must consult only the distributed-client state
+    if jax.distributed.is_initialized():
         return True  # already initialized (e.g. by a launcher)
     kwargs = {}
     if coordinator_address is not None:
@@ -154,10 +157,35 @@ class ProcessShardedBatchSampler:
 def shard_eval_items(items: Sequence, pi: Optional[int] = None, pc: Optional[int] = None) -> List:
     """Strided split of an eval item list across processes (no padding
     needed — per-clip scores are merged by :func:`gather_clip_scores`,
-    so unequal shard sizes are fine)."""
+    so unequal shard sizes are fine). ``data.loader._ProcessSubset``
+    applies the same split at the dataset level for eval DataLoaders
+    built with ``process_shard_items=True``."""
     pi = jax.process_index() if pi is None else pi
     pc = jax.process_count() if pc is None else pc
     return list(items[pi::pc])
+
+
+_local_eval_mesh = None
+
+
+def local_eval_mesh(train_mesh):
+    """The mesh evaluation rides on.
+
+    Single-process: the training mesh itself (eval is the same SPMD
+    program over all chips). Multi-host: evaluation is embarrassingly
+    parallel — each process scores its OWN strided subset of the eval
+    items (``process_shard_items=True`` loaders) on its OWN local
+    devices, so eval inputs must be sharded over a process-local data
+    mesh; results merge host-side via :func:`gather_clip_scores`.
+    """
+    if jax.process_count() == 1:
+        return train_mesh
+    global _local_eval_mesh
+    if _local_eval_mesh is None:
+        from transformer4sed_tpu.parallel.mesh import make_mesh
+
+        _local_eval_mesh = make_mesh(devices=jax.local_devices())
+    return _local_eval_mesh
 
 
 def make_global_batch(local_batch: Any, mesh) -> Any:

@@ -88,7 +88,7 @@ def audioset_dataset_setting(config: Dict, codec, seed: int = 0):
     )
     val_loader = DataLoader(
         val, batch_size=tr.get("batch_size_val", batch),
-        drop_last=False, num_workers=workers,
+        drop_last=False, num_workers=workers, process_shard_items=True,
     )
     return train_loader, val_loader
 
@@ -299,7 +299,9 @@ class SupervisedTrainer:
         for i, batch in enumerate(self.train_loader):
             k = jax.random.fold_in(key, epoch * n + i)
             self.state, metrics = self._train_step(
-                self.state, {"wav": jnp.asarray(batch["wav"]), "labels": jnp.asarray(batch["label"])}, k
+                self.state,
+                common.put_train_batch({"wav": batch["wav"], "labels": batch["label"]}, self.mesh),
+                k,
             )
             for kk, v in metrics.items():
                 acc[kk] = acc.get(kk, 0.0) + float(v) / n
@@ -323,6 +325,11 @@ class SupervisedTrainer:
                 out.strong, batch["filename"], self.codec, filter=median_filter
             )
             scores.update(post)
+        if jax.process_count() > 1:
+            # each process scored its strided val subset (local eval mesh)
+            from transformer4sed_tpu.parallel.multihost import gather_clip_scores
+
+            scores = gather_clip_scores(scores)
         psds, single = compute_psds_from_scores(
             scores, ground_truth, durations,
             dtc_threshold=0.7, gtc_threshold=0.7, alpha_ct=0.0, alpha_st=0.0,

@@ -161,7 +161,8 @@ def main(argv=None):
                                   process_shard=True)
         val = UnlabeledDataset(ds_cfg["val_folder"], False, codec)
         val_loader = DataLoader(val, batch_size=sum(batch_sizes),
-                                num_workers=config["generals"].get("num_workers", 4), drop_last=False)
+                                num_workers=config["generals"].get("num_workers", 4),
+                                drop_last=False, process_shard_items=True)
         trainer = MLMTrainer(
             model, frontend, config, train_loader, val_loader, logger, params,
             init_model_state=model_state,
@@ -283,6 +284,7 @@ def main(argv=None):
             if isinstance(config["training"]["batch_size"], int)
             else sum(config["training"]["batch_size"]),
             num_workers=config["generals"].get("num_workers", 4),
+            process_shard=True,
         )
         config.setdefault("opt", {}).setdefault("lora_trainable", True)
         optimizer, _ = common.optimizer_from_config(params, config, len(loader))
@@ -297,12 +299,19 @@ def main(argv=None):
             w_at=config["training"].get("w_AT", 0.0),
             model_kwargs=config.get(model_name, {}).get("train_kwargs", {}),
         )
-        step = jax.jit(
-            make_pmam_step(
-                model_apply, frontend, optimizer, gmm_means, cfg, model_state_aware=aware
-            ),
-            donate_argnums=0,
+        raw_step = make_pmam_step(
+            model_apply, frontend, optimizer, gmm_means, cfg, model_state_aware=aware
         )
+        pmam_batch = config["training"]["batch_size"]
+        pmam_batch = pmam_batch if isinstance(pmam_batch, int) else sum(pmam_batch)
+        if jax.device_count() > 1 and pmam_batch % jax.device_count() == 0:
+            from transformer4sed_tpu.parallel import make_mesh, shard_train_step
+
+            mesh = make_mesh()
+            step = shard_train_step(raw_step, mesh, donate_state=True)
+        else:
+            mesh = None
+            step = jax.jit(raw_step, donate_argnums=0)
         key = jax.random.PRNGKey(args.random_seed)
         best = float("inf")
         n = len(loader)
@@ -312,7 +321,9 @@ def main(argv=None):
             for i, batch in enumerate(loader):
                 state, metrics = step(
                     state,
-                    {"wav": jnp.asarray(batch["wav"]), "labels": jnp.asarray(batch["label"])},
+                    common.put_train_batch(
+                        {"wav": batch["wav"], "labels": batch["label"]}, mesh
+                    ),
                     jax.random.fold_in(key, epoch * n + i),
                 )
                 acc += float(metrics["loss_total"]) / n

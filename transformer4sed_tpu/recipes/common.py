@@ -215,7 +215,7 @@ def desed_dataset_setting(config: Dict, codec: LabelCodec, seed: int = 42):
     )
     val_loader = DataLoader(
         val, batch_size=config["training"].get("batch_size_val", 24), num_workers=num_workers,
-        drop_last=False,
+        drop_last=False, process_shard_items=True,
     )
     test_loader = val_loader
     if ds_cfg.get("test_tsv"):
@@ -224,7 +224,7 @@ def desed_dataset_setting(config: Dict, codec: LabelCodec, seed: int = 42):
         )
         test_loader = DataLoader(
             test, batch_size=config["training"].get("batch_size_val", 24),
-            num_workers=num_workers, drop_last=False,
+            num_workers=num_workers, drop_last=False, process_shard_items=True,
         )
     return train_loader, val_loader, test_loader
 
@@ -277,14 +277,45 @@ def make_model_apply(model, model_state_aware: bool):
     return model_apply
 
 
+def put_train_batch(batch, mesh):
+    """Host train batch -> device tree for the (possibly sharded) step.
+
+    With a mesh: ``parallel.put_batch`` — sharded ``P('data')`` device
+    put single-process, ``jax.make_array_from_process_local_data``
+    global-batch assembly from each process's local loader chunk on
+    pods (the train step's static strong/weak/unlabeled masks index the
+    GLOBAL batch, so the step itself never changes). Without a mesh:
+    plain device arrays."""
+    if mesh is not None:
+        from transformer4sed_tpu.parallel import put_batch
+
+        return put_batch(batch, mesh)
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    return _jax.tree_util.tree_map(_jnp.asarray, batch)
+
+
 def shard_eval_put(mesh, *arrays):
     """Device-put eval arrays with the data sharding when the batch
     divides the mesh (multi-chip hosts evaluate SPMD like training);
     ragged tail batches stay unsharded — jit compiles one variant per
-    input sharding, so both shapes coexist."""
+    input sharding, so both shapes coexist.
+
+    Multi-host: eval rides a process-LOCAL data mesh instead of the
+    global training mesh — each process scores its own strided item
+    subset (``process_shard_items=True`` loaders) and outputs stay
+    fully addressable for the host-side decode; a global-mesh eval
+    would make ``np.asarray(out.strong)`` raise on non-addressable
+    shards."""
     if mesh is None:
         return arrays
     import jax as _jax
+
+    if _jax.process_count() > 1:
+        from transformer4sed_tpu.parallel.multihost import local_eval_mesh
+
+        mesh = local_eval_mesh(mesh)
 
     # batch_sharding partitions over the 'data' axis only — gate on that
     # axis size, not the total device count (a ('data', 'model') mesh

@@ -329,6 +329,14 @@ class OVDASMTrainer(DASMTrainer):
             )
             scores.update(post)
 
+        if jax.process_count() > 1:
+            # each process scored its strided val subset (local eval mesh)
+            from transformer4sed_tpu.parallel.multihost import gather_clip_scores, gather_objects
+
+            scores = gather_clip_scores(scores)
+            at_preds = [a for part in gather_objects(at_preds) for a in part]
+            at_targets = [a for part in gather_objects(at_targets) for a in part]
+
         psds, single = compute_psds_from_scores(
             scores, ground_truth, durations,
             dtc_threshold=0.7, gtc_threshold=0.7, alpha_ct=0.0, alpha_st=0.0,

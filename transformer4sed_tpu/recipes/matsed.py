@@ -165,7 +165,9 @@ class MATSEDTrainer:
         n = len(self.train_loader)
         for i, batch in enumerate(self.train_loader):
             step_key = jax.random.fold_in(key, epoch * n + i)
-            dev_batch = {"wav": jnp.asarray(batch["wav"]), "labels": jnp.asarray(batch["label"])}
+            dev_batch = common.put_train_batch(
+                {"wav": batch["wav"], "labels": batch["label"]}, self.mesh
+            )
             self.state, metrics = self._train_step(self.state, dev_batch, step_key)
             loss = float(metrics["loss_total"])
             if not np.isfinite(loss):
@@ -215,9 +217,10 @@ class MATSEDTrainer:
             if out.at_out is not None:
                 weak_preds_all.append(np.asarray(out.at_out))
                 weak_labels_all.append((np.asarray(batch["label"]).sum(-1) >= 1).astype(np.float32))
-        # multi-host: every process ran the same global SPMD forwards but
-        # only holds host copies of the clips it decoded; merge so PSDS
-        # sees the full validation set (no-op at process_count == 1)
+        # multi-host: each process evaluated its own strided item subset
+        # on its local devices (process_shard_items loader + local eval
+        # mesh in shard_eval_put); merge so PSDS sees the full validation
+        # set (no-op at process_count == 1)
         from transformer4sed_tpu.parallel.multihost import gather_clip_scores, gather_objects
 
         if jax.process_count() > 1:
@@ -354,6 +357,13 @@ class MATSEDTrainer:
                 need_weak_mask=self.config["training"].get("weak_mask", False),
             )
             scores_post.update(raw if use_sebb else post)
+        if jax.process_count() > 1:
+            # each process scored its strided test subset (local eval mesh);
+            # merge before any tuning / PSDS so every process computes the
+            # same result and makes the same file-write decisions
+            from transformer4sed_tpu.parallel.multihost import gather_clip_scores
+
+            scores_post = gather_clip_scores(scores_post)
         if use_sebb:
             from transformer4sed_tpu.eval.sebbs import CSEBBParams, apply_csebbs, tune_csebbs
 
@@ -392,7 +402,7 @@ class MATSEDTrainer:
             dtc_threshold=0.1, gtc_threshold=0.1, cttc_threshold=0.3, alpha_ct=0.5, alpha_st=1.0,
         )
         results = {"psds1": psds1, "psds2": psds2}
-        if save_dir:
+        if save_dir and jax.process_index() == 0:  # single writer on pods
             import json
 
             os.makedirs(save_dir, exist_ok=True)
@@ -431,6 +441,13 @@ class MLMTrainer:
         self.val_loader = val_loader
         self.logger = logger
         self.model_name = config.get("model_name", "PaSST_SED")
+        if not getattr(model, "mlm", False):
+            # fail here, not as an opaque NoneType error inside the jitted
+            # loss when out.mlm_pred is missing
+            raise ValueError(
+                f"masked-reconstruction pretraining needs the model's MLM head: "
+                f"set {self.model_name}.init_kwargs.mlm: true (+ mlm_dict) in the config"
+            )
 
         if init_params is None or init_model_state is None:
             sample = next(iter(train_loader))
@@ -458,12 +475,23 @@ class MLMTrainer:
             ),
             model_kwargs=config.get(self.model_name, {}).get("train_kwargs", {}),
         )
-        self._train_step = jax.jit(
-            make_mlm_step(
-                model_apply, frontend, self.optimizer, mlm_cfg, model_state_aware=self._aware
-            ),
-            donate_argnums=0,
+        raw_step = make_mlm_step(
+            model_apply, frontend, self.optimizer, mlm_cfg, model_state_aware=self._aware
         )
+        # the ACTUAL global batch size: the MLM loader may use only a
+        # prefix of training.batch_size (one entry per present source
+        # folder), so size from the sampler, not the config sum
+        local_batch = len(next(iter(train_loader.batch_sampler)))
+        batch_size = local_batch * jax.process_count()
+        if jax.device_count() > 1 and batch_size % jax.device_count() == 0:
+            from transformer4sed_tpu.parallel import make_mesh, shard_train_step
+
+            self.mesh = make_mesh()
+            self._train_step = shard_train_step(raw_step, self.mesh, donate_state=True)
+            self.logger.info(f"sharding batches over {jax.device_count()} devices")
+        else:
+            self.mesh = None
+            self._train_step = jax.jit(raw_step, donate_argnums=0)
 
     def train_epoch(self, epoch: int, key) -> float:
         self.train_loader.set_epoch(epoch)
@@ -472,7 +500,7 @@ class MLMTrainer:
         for i, batch in enumerate(self.train_loader):
             step_key = jax.random.fold_in(key, epoch * n + i)
             self.state, metrics = self._train_step(
-                self.state, {"wav": jnp.asarray(batch["wav"])}, step_key
+                self.state, common.put_train_batch({"wav": batch["wav"]}, self.mesh), step_key
             )
             total += float(metrics["loss_mlm"]) / n
         self.logger.scalar("Train/loss_mlm", total, epoch + 1)
@@ -500,4 +528,12 @@ class MLMTrainer:
                 )
             )
             n += 1
+        if jax.process_count() > 1:
+            # each process scored its strided val subset; the best-model
+            # decision must be identical everywhere
+            from transformer4sed_tpu.parallel.multihost import gather_objects
+
+            parts = gather_objects((total, n))
+            total = sum(t for t, _ in parts)
+            n = sum(c for _, c in parts)
         return total / max(n, 1)

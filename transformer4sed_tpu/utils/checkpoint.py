@@ -66,11 +66,12 @@ def wait_for_checkpoints():
 def save_params(path: str, params) -> str:
     """Save a bare param tree (best-model flushes).
 
-    Multi-host: params are replicated, so only process 0 writes —
-    concurrent writers to one directory corrupt the checkpoint."""
+    Multi-host: ALL processes must call this — orbax ``save`` runs
+    cross-host sync barriers internally (gating to process 0 would
+    deadlock it at the first barrier) and coordinates the single
+    writer itself; the path must be on a filesystem all hosts share
+    (GCS on Cloud TPU pods)."""
     path = os.path.abspath(path)
-    if jax.process_index() != 0:
-        return path
     wait_for_checkpoints()  # the same path may have an in-flight write
     _ckptr().save(path, jax.device_get(params), force=True)
     return path
@@ -92,15 +93,17 @@ def save_checkpoint(path: str, state, async_save: bool = True, keep_backup: bool
     background) write finalises, so without the backup a preemption in
     that window loses the only resume point.
 
-    Multi-host: train state is replicated; only process 0 writes."""
+    Multi-host: ALL processes must call this — orbax ``save`` runs
+    cross-host sync barriers internally (a process-0 gate would
+    deadlock the primary at the first barrier); only the backup
+    rename below is primary-only, and it completes before orbax's
+    own save-start barrier releases any writer."""
     path = os.path.abspath(path)
-    if jax.process_index() != 0:
-        return path
     state_dict = flax.serialization.to_state_dict(state)
     ck = _async_ckptr() if async_save else None
     if ck is not None:
         ck.wait_until_finished()  # one outstanding write; protects overwrites
-    if keep_backup and os.path.isdir(path):
+    if keep_backup and jax.process_index() == 0 and os.path.isdir(path):
         import shutil
 
         prev = path + ".prev"

@@ -138,14 +138,13 @@ class BestModels:
         return improved
 
     def flush(self):
-        # only rewrite when a new best arrived since the last flush
+        # only rewrite when a new best arrived since the last flush.
+        # Multi-host: update() runs identically on every process (metrics
+        # and params are replicated), so _dirty flips everywhere in
+        # lockstep and ALL processes reach the orbax saves below — orbax
+        # save has internal cross-host barriers and must be called by
+        # every host; only the tiny json write is primary-gated.
         if self._student is None or not getattr(self, "_dirty", False):
-            return
-        # multi-host: metrics (and params) are identical on every process;
-        # process 0 owns the files (save_params gates itself too, but the
-        # json below must not race either)
-        if jax.process_index() != 0:
-            self._dirty = False
             return
         self._dirty = False
         import json
@@ -161,5 +160,6 @@ class BestModels:
             save_params(
                 os.path.join(self.save_dir, "best_model_state_teacher"), self._teacher_ms
             )
-        with open(os.path.join(self.save_dir, "best_metric.json"), "w") as f:
-            json.dump({"metric": float(self.best_metric), "epoch": self.best_epoch}, f)
+        if jax.process_index() == 0:
+            with open(os.path.join(self.save_dir, "best_metric.json"), "w") as f:
+                json.dump({"metric": float(self.best_metric), "epoch": self.best_epoch}, f)

@@ -212,17 +212,35 @@ def _ln(sd, prefix):
     return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
 
 
-def _dense(sd, prefix, lora=False):
+def _dense(sd, prefix, lora=False, lora_alpha=1.0):
     out = {"kernel": sd[f"{prefix}.weight"].T, "bias": sd[f"{prefix}.bias"]}
     if lora and f"{prefix}.lora_A" in sd:
-        # UNMERGED LoRA weights (src/models/lora/layers.py:106-110:
-        # lora_A [r, in], lora_B [out, r]) -> flax LoRADense [in, r]/[r, out].
-        # Only when the TARGET model uses LoRA (lora_rank>0): merged
-        # checkpoints still carry lora_A/B keys next to the already-merged
-        # weight, and a dense target must ignore them (the reference's own
+        # LoRA weights (src/models/lora/layers.py:106-110: lora_A [r, in],
+        # lora_B [out, r]) -> flax LoRADense [in, r]/[r, out]. Only when the
+        # TARGET model uses LoRA (lora_rank>0); a dense target ignores the
+        # lora keys and keeps the merged weight (the reference's own
         # strict=False load-into-plain-PaSST convention, pmam/main.py:202).
-        out["lora_A"] = sd[f"{prefix}.lora_A"].T
-        out["lora_B"] = sd[f"{prefix}.lora_B"].T
+        #
+        # Reference checkpoints with lora keys are saved MERGED — the best
+        # save explicitly `net.eval()`s "to merge lora weight to the
+        # pretrain weight" (pmam/main.py:202-205) before state_dict, and
+        # loralib keeps lora_A/B in the dict beside the merged weight. Our
+        # LoRADense always computes x@W + (alpha/r)·x@A@B at runtime, so
+        # the merged delta must be SUBTRACTED from the kernel (the analog
+        # of loralib's train()-entry unmerge) or the adapter would be
+        # counted twice. A zero lora_B (untrained adapter) makes this a
+        # no-op, so unmerged raw-loralib dicts are safe to pass too unless
+        # they carry a trained, unmerged adapter — the reference never
+        # produces those.
+        a = sd[f"{prefix}.lora_A"].T  # [in, r]
+        b = sd[f"{prefix}.lora_B"].T  # [r, out]
+        scale = lora_alpha / a.shape[1]
+        delta = (a.astype(np.float32) @ b.astype(np.float32)) * scale
+        out["kernel"] = (out["kernel"].astype(np.float32) - delta).astype(
+            out["kernel"].dtype
+        )
+        out["lora_A"] = a
+        out["lora_B"] = b
     return out
 
 
@@ -230,29 +248,34 @@ def _dense_nobias(sd, prefix):
     return {"kernel": sd[f"{prefix}.weight"].T}
 
 
-def _vit_block(sd, prefix, lora=False):
+def _vit_block(sd, prefix, lora=False, lora_alpha=1.0):
     return {
         "norm1": _ln(sd, f"{prefix}.norm1"),
         "attn": {
-            "qkv": _dense(sd, f"{prefix}.attn.qkv", lora=lora),
-            "proj": _dense(sd, f"{prefix}.attn.proj", lora=lora),
+            "qkv": _dense(sd, f"{prefix}.attn.qkv", lora=lora, lora_alpha=lora_alpha),
+            "proj": _dense(sd, f"{prefix}.attn.proj", lora=lora, lora_alpha=lora_alpha),
         },
         "norm2": _ln(sd, f"{prefix}.norm2"),
         "mlp": {
-            "fc1": _dense(sd, f"{prefix}.mlp.fc1", lora=lora),
-            "fc2": _dense(sd, f"{prefix}.mlp.fc2", lora=lora),
+            "fc1": _dense(sd, f"{prefix}.mlp.fc1", lora=lora, lora_alpha=lora_alpha),
+            "fc2": _dense(sd, f"{prefix}.mlp.fc2", lora=lora, lora_alpha=lora_alpha),
         },
     }
 
 
 def convert_passt_backbone(
-    sd: Mapping[str, np.ndarray], depth: Optional[int] = None, lora: bool = False
+    sd: Mapping[str, np.ndarray],
+    depth: Optional[int] = None,
+    lora: bool = False,
+    lora_alpha: float = 1.0,
 ) -> Dict:
     """torch PaSST state_dict -> flax PaSST param tree.
 
     ``depth`` defaults to the number of ``blocks.{i}`` present.
-    ``lora=True`` (target model has lora_rank>0) also maps UNMERGED
-    lora_A/lora_B adapters (passt_lora qkv/proj/fc1/fc2)."""
+    ``lora=True`` (target model has lora_rank>0) also maps lora_A/lora_B
+    adapters (passt_lora qkv/proj/fc1/fc2), unmerging the reference's
+    merged-at-save kernels; ``lora_alpha`` is the reference
+    ``lora_config.lora_alpha`` (1 in every shipped config)."""
     if depth is None:
         depth = 0
         while f"blocks.{depth}.norm1.weight" in sd:
@@ -274,7 +297,7 @@ def convert_passt_backbone(
     if "dist_token" in sd:
         params["dist_token"] = sd["dist_token"]
     for i in range(depth):
-        params[f"blocks_{i}"] = _vit_block(sd, f"blocks.{i}", lora=lora)
+        params[f"blocks_{i}"] = _vit_block(sd, f"blocks.{i}", lora=lora, lora_alpha=lora_alpha)
     return params
 
 
@@ -329,6 +352,7 @@ def convert_passt_sed(
     at_adapter_heads: int = 12,
     f_pool_heads: int = 6,
     lora_rank: int = 0,
+    lora_alpha: float = 1.0,
 ) -> Dict:
     """torch PaSST_SED state_dict -> flax PaSST_SED param tree.
 
@@ -341,7 +365,7 @@ def convert_passt_sed(
     }
     params: Dict = {
         "backbone": convert_passt_backbone(backbone_sd, depth=backbone_depth,
-                                           lora=lora_rank > 0),
+                                           lora=lora_rank > 0, lora_alpha=lora_alpha),
         "out_norm": _ln(sd, "out_norm"),
     }
     if "classifier.weight" in sd:
