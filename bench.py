@@ -82,7 +82,7 @@ def _force_scalar(tree):
 
 
 def measure_train(model, frontend, params, batch_size: int = 24, n_inner: int = 10,
-                  n_samples: int = 320000, repeats: int = 3):
+                  n_samples: int = 320000, repeats: int = 3, cfg_overrides=None):
     """Full mean-teacher train step (frontend + aug + student fwd/bwd +
     teacher fwd + clip + AdamW + EMA) clips/s/chip, DCE-proof.
 
@@ -110,7 +110,10 @@ def measure_train(model, frontend, params, batch_size: int = 24, n_inner: int = 
 
     dev = jax.devices()[0]
     s = w = batch_size // 3
-    cfg = MeanTeacherConfig(strong_num=s, weak_num=w, unlabel_num=batch_size - 2 * s)
+    cfg = MeanTeacherConfig(
+        strong_num=s, weak_num=w, unlabel_num=batch_size - 2 * s,
+        **(cfg_overrides or {}),  # exps/profile_train3.py A/B variants
+    )
     opt = optax.chain(optax.clip_by_global_norm(20.0), optax.adamw(1e-4))
     step = make_mean_teacher_step(
         lambda p, m, train, rngs, **kw: model.apply({"params": p}, m, train=train, rngs=rngs, **kw),
