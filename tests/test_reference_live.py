@@ -598,6 +598,41 @@ class TestLoRALayersLive:
         np.testing.assert_allclose(
             np.asarray(merged["kernel"]).T, ref.weight.detach().numpy(), atol=1e-6)
 
+    def test_import_unmerges_reference_merged_state_dict(self):
+        """The full checkpoint cycle: a reference lora.Linear saved MERGED
+        (net.eval() before state_dict, pmam/main.py:202-205) must import
+        into a lora_rank>0 target such that OUR runtime forward equals the
+        reference's — torch_import._dense unmerges the kernel because
+        LoRADense always re-adds (alpha/r)·x@A@B."""
+        ref_mod = load("src.models.lora.layers")
+        from transformer4sed_tpu.models.lora import LoRADense
+        from transformer4sed_tpu.utils.torch_import import _dense
+
+        rng = np.random.RandomState(12)
+        d_in, d_out, r, alpha = 8, 12, 4, 1  # alpha=1: every shipped config
+        ref = ref_mod.Linear(d_in, d_out, r=r, lora_alpha=alpha)
+        with torch.no_grad():
+            ref.weight.copy_(t(rng.randn(d_out, d_in) * 0.2))
+            ref.bias.copy_(t(rng.randn(d_out) * 0.1))
+            ref.lora_A.copy_(t(rng.randn(r, d_in) * 0.3))
+            ref.lora_B.copy_(t(rng.randn(d_out, r) * 0.3))
+        x = rng.randn(5, d_in).astype(np.float32)
+        ref.eval()  # the reference's pre-save merge
+        out_ref = ref(t(x)).detach().numpy()
+        sd = {f"l.{k}": v.detach().numpy() for k, v in ref.state_dict().items()}
+
+        params = _dense(sd, "l", lora=True, lora_alpha=alpha)
+        model = LoRADense(features=d_out, rank=r, alpha=alpha)
+        out_ours = np.asarray(
+            model.apply({"params": jax.tree_util.tree_map(jnp.asarray, params)},
+                        jnp.asarray(x))
+        )
+        np.testing.assert_allclose(out_ours, out_ref, atol=1e-5)
+        # and the unmerged kernel equals the reference's train()-entry state
+        ref.train()  # loralib unmerge
+        np.testing.assert_allclose(
+            np.asarray(params["kernel"]).T, ref.weight.detach().numpy(), atol=1e-5)
+
 
 # ---------------------------------------------------------------------------
 # src/models/transformer_decoder.py — live XL decoder (timm-Block-subclassed)
