@@ -424,6 +424,107 @@ class TestMeanTeacherStep:
             assert k in metrics
 
 
+class TestGradAccumulation:
+    """training.accum_steps: optax.MultiSteps over k loader batches per
+    optimizer step, with per-APPLIED-step semantics for state.step, the
+    mean-teacher EMA and the consistency ramp (train.optim.update_applied)."""
+
+    def _supervised_setup(self):
+        from transformer4sed_tpu.recipes.audioset_strong import (
+            SupervisedConfig,
+            make_supervised_step,
+        )
+        from transformer4sed_tpu.train.mlm import MLMState
+
+        model = tiny_model(at_adapter=False)
+        frontend = tiny_frontend()
+        t_mel = 120
+        n_samples = (t_mel - 1) * 320 + 1
+        wav = np.random.RandomState(3).randn(4, n_samples).astype(np.float32)
+        t_out = (((t_mel - 16) // 10 + 1) + 1) * 10
+        labels = (np.random.RandomState(4).rand(4, 3, t_out) > 0.8).astype(np.float32)
+        mel = frontend.normalize(frontend(jnp.asarray(wav[:1])))
+        params = model.init({"params": KEY}, mel)["params"]
+
+        def model_apply(p, mel_in, train=False, rngs=None, model_state=None, **kw):
+            return model.apply({"params": p}, mel_in, train=train, rngs=rngs, **kw), None
+
+        # deterministic: all aug off so per-sample grads are independent
+        cfg = SupervisedConfig(mixup_prob=0.0, transform_choice=(0, 0, 0, 0),
+                               max_shift_frame=0)
+
+        def make(tx):
+            state = MLMState(params=params, opt_state=tx.init(params),
+                             step=jnp.zeros((), jnp.int32), model_state=None)
+            return jax.jit(make_supervised_step(model_apply, frontend, tx, cfg)), state
+
+        return make, wav, labels
+
+    def test_supervised_accum_equals_full_batch(self):
+        """k=2 over two half-batches with the same key == one plain step
+        over the full batch (grads average; all aug draws are per-batch
+        scalars so the split does not change per-sample processing)."""
+        make, wav, labels = self._supervised_setup()
+        key = jax.random.PRNGKey(0)
+        full = {"wav": jnp.asarray(wav), "labels": jnp.asarray(labels)}
+        h1 = {"wav": full["wav"][:2], "labels": full["labels"][:2]}
+        h2 = {"wav": full["wav"][2:], "labels": full["labels"][2:]}
+
+        # SGD: the update is linear in the gradient, so half-batch
+        # averaging must reproduce the full-batch step to f32 rounding
+        # (adam's eps-normalisation amplifies ~1e-8 grad noise near zero)
+        step_plain, s_plain = make(optax.sgd(1e-2))
+        s_plain, _ = step_plain(s_plain, full, key)
+
+        step_acc, s_acc = make(optax.MultiSteps(optax.sgd(1e-2), every_k_schedule=2))
+        s_mid, _ = step_acc(s_acc, h1, key)
+        # intermediate micro-step: zero update, counter unchanged
+        assert int(s_mid.step) == 0
+        mid_same = jax.tree_util.tree_map(
+            lambda a, b: np.allclose(np.asarray(a), np.asarray(b)),
+            s_mid.params, s_acc.params,
+        )
+        assert all(jax.tree_util.tree_leaves(mid_same))
+        s_done, _ = step_acc(s_mid, h2, key)
+        assert int(s_done.step) == 1
+        for a, b in zip(jax.tree_util.tree_leaves(s_done.params),
+                        jax.tree_util.tree_leaves(s_plain.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+    def test_mean_teacher_ema_and_ramp_gated_on_apply(self):
+        model_apply, frontend, tx, cfg, params, batch = build_mt_setup()
+        acc = optax.MultiSteps(optax.adamw(1e-3), every_k_schedule=2)
+        state = create_mean_teacher_state(params, acc)
+        step = jax.jit(make_mean_teacher_step(model_apply, frontend, acc, cfg))
+        s1, m1 = step(state, batch, jax.random.PRNGKey(0))
+        # micro-step: params, teacher and the ramp counter all frozen
+        assert int(s1.step) == 0
+        for a, b in zip(jax.tree_util.tree_leaves(s1.teacher_params),
+                        jax.tree_util.tree_leaves(params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        s2, m2 = step(s1, batch, jax.random.PRNGKey(1))
+        assert int(s2.step) == 1
+        moved = any(
+            float(jnp.abs(a - b).max()) > 0
+            for a, b in zip(jax.tree_util.tree_leaves(s2.teacher_params),
+                            jax.tree_util.tree_leaves(params))
+        )
+        assert moved  # EMA applied exactly on the applied update
+
+    def test_optimizer_from_config_wraps_multisteps(self):
+        from transformer4sed_tpu.recipes.common import optimizer_from_config
+
+        config = {
+            "opt": {"param_groups": {"encoder": {"lr": 1e-4}, "decoder": {"lr": 1e-3},
+                                      "head": {"lr": 1e-3}}},
+            "training": {"scheduler": {"n_epochs": 2, "n_epochs_cut": 1},
+                          "accum_steps": 2},
+        }
+        params = {"backbone": {"w": jnp.ones(3)}, "head": {"w": jnp.ones(3)}}
+        tx, _ = optimizer_from_config(params, config, steps_per_epoch=10)
+        assert isinstance(tx.init(params), optax.MultiStepsState)
+
+
 class TestMLMStep:
     def test_mlm_loss_masked_only(self):
         pred = jnp.ones((2, 10, 4))

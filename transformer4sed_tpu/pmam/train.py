@@ -18,6 +18,8 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from transformer4sed_tpu.train.optim import step_increment
+
 from transformer4sed_tpu.core import losses as L
 from transformer4sed_tpu.frontend import augment
 
@@ -137,7 +139,7 @@ def make_pmam_step(
         new_params = _optax.apply_updates(state.params, updates)
         return (
             state.replace(
-                params=new_params, opt_state=new_opt, step=state.step + 1, model_state=new_ms
+                params=new_params, opt_state=new_opt, step=state.step + step_increment(new_opt), model_state=new_ms
             ),
             metrics,
         )

@@ -27,6 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from transformer4sed_tpu.train.optim import step_increment
+
 from transformer4sed_tpu.core import losses as L
 from transformer4sed_tpu.frontend import augment
 from transformer4sed_tpu.recipes.audioset_strong import SupervisedConfig, SupervisedTrainer
@@ -87,7 +89,7 @@ def make_clap_step(
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         return state.replace(
-            params=new_params, opt_state=new_opt, step=state.step + 1, model_state=new_ms
+            params=new_params, opt_state=new_opt, step=state.step + step_increment(new_opt), model_state=new_ms
         ), metrics
 
     return step

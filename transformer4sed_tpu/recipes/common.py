@@ -380,14 +380,26 @@ def optimizer_from_config(params, config: Dict, steps_per_epoch: int):
         lora_trainable=bool(config["opt"].get("lora_trainable", False)),
     )
     sch = config["training"]["scheduler"]
+    # gradient accumulation: training.accum_steps > 1 averages gradients
+    # over k loader batches per optimizer step (optax.MultiSteps). The
+    # LR schedule and the train-step ramps/EMA count APPLIED optimizer
+    # steps (train.optim.update_applied gates them), so the schedule
+    # horizon shrinks by k. A pod lever (simulate larger global batches,
+    # hide the DCN all-reduce under k local steps) — docs/SCALING.md.
+    accum = int(config["training"].get("accum_steps", 1) or 1)
+    opt_steps_per_epoch = max(1, steps_per_epoch // accum)
     schedule = schedules.exponential_down(
-        start_iter=sch["n_epochs_cut"] * steps_per_epoch,
-        total_iter=sch["n_epochs"] * steps_per_epoch,
+        start_iter=sch["n_epochs_cut"] * opt_steps_per_epoch,
+        total_iter=sch["n_epochs"] * opt_steps_per_epoch,
         exponent=sch.get("exponent", -0.5),
-        warmup_iter=sch.get("lr_warmup_epochs", 0) * steps_per_epoch,
+        warmup_iter=sch.get("lr_warmup_epochs", 0) * opt_steps_per_epoch,
         warmup_rate=sch.get("lr_warmup_rate", 0.1),
     )
     tx, labels = build_optimizer(params, pg, schedule=schedule)
+    if accum > 1:
+        import optax as _optax
+
+        tx = _optax.MultiSteps(tx, every_k_schedule=accum)
     return tx, labels
 
 

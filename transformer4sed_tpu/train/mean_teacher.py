@@ -281,11 +281,26 @@ def make_mean_teacher_step(
         new_teacher = ema_update(
             new_params, state.teacher_params, state.step + 2, cfg.ema_factor
         )
+        from transformer4sed_tpu.train.optim import update_applied
+
+        applied = update_applied(new_opt_state)
+        if applied is None:  # plain optimizer: the reference-parity path
+            new_step = state.step + 1
+        else:
+            # gradient accumulation: between applied updates the params are
+            # unchanged, but an ungated EMA would still decay the teacher
+            # toward them k times per optimizer step — gate EMA and the
+            # step counter (which drives the EMA warmup and the
+            # consistency-weight ramp) on the actual apply
+            new_teacher = jax.tree_util.tree_map(
+                lambda e, o: jnp.where(applied, e, o), new_teacher, state.teacher_params
+            )
+            new_step = state.step + applied.astype(jnp.int32)
         new_state = MeanTeacherState(
             params=new_params,
             teacher_params=new_teacher,
             opt_state=new_opt_state,
-            step=state.step + 1,
+            step=new_step,
             model_state=new_ms,
             teacher_model_state=new_tms,
         )

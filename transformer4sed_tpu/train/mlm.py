@@ -17,6 +17,8 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from transformer4sed_tpu.train.optim import step_increment
+
 from transformer4sed_tpu.frontend import augment
 
 
@@ -111,7 +113,7 @@ def make_mlm_step(
         new_params = optax.apply_updates(state.params, updates)
         return (
             MLMState(
-                params=new_params, opt_state=new_opt, step=state.step + 1, model_state=new_ms
+                params=new_params, opt_state=new_opt, step=state.step + step_increment(new_opt), model_state=new_ms
             ),
             metrics,
         )

@@ -312,3 +312,32 @@ def child_tuning(p: float = 0.3, seed: int = 0) -> optax.GradientTransformation:
         return jax.tree_util.tree_unflatten(treedef, masked), {"key": new_key}
 
     return optax.GradientTransformation(init_fn, update_fn)
+
+
+def update_applied(opt_state):
+    """Whether this ``optimizer.update`` call APPLIED an optimizer step.
+
+    Gradient accumulation (``training.accum_steps > 1``) wraps the whole
+    transform chain in ``optax.MultiSteps``: intermediate micro-steps
+    return zero updates and only every k-th call applies the averaged
+    gradient. Train steps use this to keep per-OPTIMIZER-step semantics
+    (mean-teacher EMA cadence, consistency-ramp step counters) intact
+    under accumulation. Returns ``None`` for plain optimizers — a static
+    signal that the unconditional (reference-parity) code path should
+    compile, identical to pre-accumulation builds.
+
+    Call with the NEW opt state: optax resets ``mini_step`` to 0 on the
+    micro-step that applied the update.
+    """
+    if isinstance(opt_state, optax.MultiStepsState):
+        return opt_state.mini_step == 0
+    return None
+
+
+def step_increment(opt_state):
+    """``state.step`` increment: 1, or 0/1 under gradient accumulation so
+    the counter keeps counting applied optimizer steps."""
+    applied = update_applied(opt_state)
+    if applied is None:
+        return 1
+    return applied.astype(jnp.int32)
