@@ -75,6 +75,27 @@ class InferenceEngine:
 
         self._forward = forward
 
+    @classmethod
+    def from_exported(cls, path: str, threshold: float = 0.5):
+        """Serve a ``recipes.export`` artifact: no model code, config or
+        checkpoint needed — the weights are constants inside the
+        deserialized StableHLO program and the sidecar metadata rebuilds
+        the codec/batch geometry."""
+        from transformer4sed_tpu.recipes.export import codec_from_meta, load_exported
+
+        exp, meta = load_exported(path)
+        if meta is None:
+            raise ValueError(f"missing sidecar {path}.meta.json next to the artifact")
+        self = cls.__new__(cls)
+        self.codec = codec_from_meta(meta)
+        self.batch_size = int(meta["batch_size"])
+        self.threshold = threshold
+        self._batch_sharding = None
+        self.params = None
+        self.model_state = None
+        self._forward = lambda params, model_state, wav, pm: exp.call(wav, pm)
+        return self
+
     def score_batches(self, batches):
         """Iterate (filenames, scores [B,T,C], weak [B,C]) over host batches
         of dicts with 'wav' [B, S], 'pad_mask' [B, T], 'filename'."""
@@ -134,8 +155,12 @@ def main(argv=None):
     from transformer4sed_tpu.utils.config import load_yaml_with_include
 
     parser = argparse.ArgumentParser(description="batch SED scoring")
-    parser.add_argument("--config_dir", required=True)
-    parser.add_argument("--ckpt", required=True)
+    parser.add_argument("--config_dir", default=None)
+    parser.add_argument("--ckpt", default=None)
+    parser.add_argument("--exported", default=None,
+                        help="recipes.export artifact (.jaxexp): serve without "
+                             "config/checkpoint; weights and geometry come from "
+                             "the artifact + its .meta.json sidecar")
     parser.add_argument("--wav_dir", required=True)
     parser.add_argument("--out_dir", required=True)
     parser.add_argument("--batch_size", type=int, default=64)
@@ -146,6 +171,18 @@ def main(argv=None):
     parser.add_argument("--query_names", default=None,
                         help="text file, one event name per query row; becomes the output class list")
     args = parser.parse_args(argv)
+
+    if args.exported:
+        if args.query or args.query_names:
+            parser.error("--exported artifacts have their query baked in at export "
+                         "time; --query/--query_names only apply to --config_dir serving")
+        if args.config_dir or args.ckpt:
+            parser.error("pass either --exported or --config_dir/--ckpt, not both")
+        engine = InferenceEngine.from_exported(args.exported, threshold=args.threshold)
+        return _run_engine(engine, engine.codec, args,
+                           num_workers=4, batch_size=engine.batch_size)
+    if not args.config_dir or not args.ckpt:
+        parser.error("--config_dir and --ckpt are required unless --exported is given")
 
     config = load_yaml_with_include(args.config_dir)
     labels = None
@@ -200,10 +237,20 @@ def main(argv=None):
         model_kwargs=model_kwargs,
         model_state=model_state,
     )
+    return _run_engine(
+        engine, codec, args,
+        num_workers=config.get("generals", {}).get("num_workers", 4),
+        batch_size=args.batch_size,
+    )
+
+
+def _run_engine(engine, codec, args, num_workers: int, batch_size: int):
+    """Score --wav_dir with a built engine: per-clip score TSVs + events.jsonl."""
+    from transformer4sed_tpu.data import DataLoader, UnlabeledDataset
 
     ds = UnlabeledDataset(args.wav_dir, True, codec)
-    loader = DataLoader(ds, batch_size=args.batch_size, drop_last=False,
-                        num_workers=config.get("generals", {}).get("num_workers", 4))
+    loader = DataLoader(ds, batch_size=batch_size, drop_last=False,
+                        num_workers=num_workers)
     os.makedirs(args.out_dir, exist_ok=True)
     t_frames = None
     n_clips = 0
