@@ -108,3 +108,53 @@ class TestReferenceConfigsBuildModels:
             for x in jax.tree_util.tree_leaves(shapes["params"])
         )
         assert n_params > 90e6, f"{rel}: {n_params/1e6:.1f}M params"
+
+
+class TestLoRACkptPolicy:
+    """lora_ckpt_merged resolution order: CLI > config > default-merged
+    (the published-artifact convention, pmam/main.py:202-205)."""
+
+    def test_default_is_merged(self):
+        from transformer4sed_tpu.recipes.common import lora_ckpt_merged
+
+        assert lora_ckpt_merged({"model_name": "PaSST_SED"}) is True
+
+    def test_config_key_wins_over_default(self):
+        from transformer4sed_tpu.recipes.common import lora_ckpt_merged
+
+        cfg = {
+            "model_name": "PaSST_SED",
+            "PaSST_SED": {"init_kwargs": {
+                "lora_config": {"r": 4, "lora_alpha": 1,
+                                "merged_checkpoint": False}}},
+        }
+        assert lora_ckpt_merged(cfg) is False
+
+    def test_cli_wins_over_config(self):
+        from transformer4sed_tpu.recipes.common import lora_ckpt_merged
+
+        cfg = {
+            "model_name": "PaSST_SED",
+            "PaSST_SED": {"init_kwargs": {
+                "lora_config": {"r": 4, "merged_checkpoint": False}}},
+        }
+        assert lora_ckpt_merged(cfg, "merged") is True
+        assert lora_ckpt_merged(cfg, "unmerged") is False
+
+    def test_nested_passt_cnn_layout(self):
+        from transformer4sed_tpu.recipes.common import lora_ckpt_merged
+
+        cfg = {
+            "model_name": "PaSST_CNN",
+            "PaSST_CNN": {"init_kwargs": {"passt_sed_param": {
+                "lora_config": {"r": 4, "merged_checkpoint": False}}}},
+        }
+        assert lora_ckpt_merged(cfg) is False
+
+    def test_bad_cli_choice_raises(self):
+        import pytest as _pytest
+
+        from transformer4sed_tpu.recipes.common import lora_ckpt_merged
+
+        with _pytest.raises(ValueError):
+            lora_ckpt_merged({}, "sideways")

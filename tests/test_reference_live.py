@@ -598,18 +598,20 @@ class TestLoRALayersLive:
         np.testing.assert_allclose(
             np.asarray(merged["kernel"]).T, ref.weight.detach().numpy(), atol=1e-6)
 
-    def test_import_unmerges_reference_merged_state_dict(self):
+    @pytest.mark.parametrize("alpha", [1, 8])
+    def test_import_unmerges_reference_merged_state_dict(self, alpha):
         """The full checkpoint cycle: a reference lora.Linear saved MERGED
         (net.eval() before state_dict, pmam/main.py:202-205) must import
         into a lora_rank>0 target such that OUR runtime forward equals the
-        reference's — torch_import._dense unmerges the kernel because
-        LoRADense always re-adds (alpha/r)·x@A@B."""
+        reference's — torch_import._dense(lora_merged=True) unmerges the
+        kernel because LoRADense always re-adds (alpha/r)·x@A@B. alpha=1
+        is every shipped config; alpha=8 guards the unmerge SCALE."""
         ref_mod = load("src.models.lora.layers")
         from transformer4sed_tpu.models.lora import LoRADense
         from transformer4sed_tpu.utils.torch_import import _dense
 
         rng = np.random.RandomState(12)
-        d_in, d_out, r, alpha = 8, 12, 4, 1  # alpha=1: every shipped config
+        d_in, d_out, r = 8, 12, 4
         ref = ref_mod.Linear(d_in, d_out, r=r, lora_alpha=alpha)
         with torch.no_grad():
             ref.weight.copy_(t(rng.randn(d_out, d_in) * 0.2))
@@ -632,6 +634,39 @@ class TestLoRALayersLive:
         ref.train()  # loralib unmerge
         np.testing.assert_allclose(
             np.asarray(params["kernel"]).T, ref.weight.detach().numpy(), atol=1e-5)
+
+    def test_import_unmerged_state_dict_keeps_kernel(self):
+        """The OTHER convention: a dict saved in train() mode (the
+        reference's BestModels mid-training deep-copies,
+        src/utils/log.py:47-89) holds the RAW pretrain kernel —
+        _dense(lora_merged=False) must keep it untouched, and the runtime
+        forward must still equal the reference's train()-mode forward."""
+        ref_mod = load("src.models.lora.layers")
+        from transformer4sed_tpu.models.lora import LoRADense
+        from transformer4sed_tpu.utils.torch_import import _dense
+
+        rng = np.random.RandomState(13)
+        d_in, d_out, r, alpha = 8, 12, 4, 8
+        ref = ref_mod.Linear(d_in, d_out, r=r, lora_alpha=alpha)
+        with torch.no_grad():
+            ref.weight.copy_(t(rng.randn(d_out, d_in) * 0.2))
+            ref.bias.copy_(t(rng.randn(d_out) * 0.1))
+            ref.lora_A.copy_(t(rng.randn(r, d_in) * 0.3))
+            ref.lora_B.copy_(t(rng.randn(d_out, r) * 0.3))
+        x = rng.randn(5, d_in).astype(np.float32)
+        ref.train()  # UNMERGED: state_dict carries the raw kernel
+        out_ref = ref(t(x)).detach().numpy()
+        sd = {f"l.{k}": v.detach().numpy() for k, v in ref.state_dict().items()}
+
+        params = _dense(sd, "l", lora=True, lora_alpha=alpha, lora_merged=False)
+        np.testing.assert_allclose(
+            np.asarray(params["kernel"]).T, ref.weight.detach().numpy(), atol=0)
+        model = LoRADense(features=d_out, rank=r, alpha=alpha)
+        out_ours = np.asarray(
+            model.apply({"params": jax.tree_util.tree_map(jnp.asarray, params)},
+                        jnp.asarray(x))
+        )
+        np.testing.assert_allclose(out_ours, out_ref, atol=1e-5)
 
 
 # ---------------------------------------------------------------------------

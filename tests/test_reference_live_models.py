@@ -204,7 +204,10 @@ class TestPaSSTLoRALive:
             decoder="transformerXL", decoder_layer_num=1,
             decoder_pos_emd_len=1000, at_adapter=False,
             lora_rank=r, lora_alpha=float(alpha))
-        params, _ = convert_torch_checkpoint(sd, "PaSST_SED", init_kwargs=init_kwargs)
+        # the dict came from a train()-mode net (BestModels mid-training
+        # convention, src/utils/log.py:47-89) -> state the UNMERGED policy
+        params, _ = convert_torch_checkpoint(
+            sd, "PaSST_SED", init_kwargs=init_kwargs, lora_merged=False)
         model = PaSST_SED(**init_kwargs)
         out = model.apply({"params": params}, jnp.asarray(mel), temp_w=0.5)
         np.testing.assert_allclose(np.asarray(out.strong), sed_ref.numpy(), atol=2e-4)

@@ -90,10 +90,13 @@ def load_pretrained(model, frontend, config, args, logger):
                 load_torch_state_dict,
             )
 
+            from transformer4sed_tpu.recipes.common import lora_ckpt_merged
+
             _mname = config.get("model_name", "PaSST_SED")
             restored, torch_state = convert_torch_checkpoint(
                 load_torch_state_dict(args.pretrained_ckpt), _mname,
                 init_kwargs=model_init_kwargs(config, _mname),
+                lora_merged=lora_ckpt_merged(config, getattr(args, "lora_ckpt", None)),
             )
             if torch_state and model_state:
                 model_state = load_partial(model_state, torch_state)

@@ -110,6 +110,35 @@ def model_init_kwargs(config: Dict, name: Optional[str] = None) -> Dict:
     return kwargs
 
 
+def lora_ckpt_merged(config: Dict, cli_choice: Optional[str] = None) -> bool:
+    """Explicit LoRA checkpoint merged-ness policy for ``.pt`` imports.
+
+    loralib state dicts do not record whether the kernel carries the
+    merged (alpha/r)·A@B delta, so the importer needs a stated policy
+    (``torch_import._dense``). Resolution order:
+
+    1. CLI ``--lora_ckpt merged|unmerged`` (wins if given);
+    2. config ``<model>.lora_config.merged_checkpoint`` (bool);
+    3. default ``True`` — the reference's published-artifact convention
+       (``pmam/main.py:202-205`` evals, i.e. merges, before saving).
+
+    Use ``unmerged`` for the reference's mid-training BestModels saves
+    (``src/utils/log.py:47-89`` deep-copies a train()-mode state_dict).
+    """
+    if cli_choice:
+        if cli_choice not in ("merged", "unmerged"):
+            raise ValueError(f"--lora_ckpt must be merged|unmerged, got {cli_choice!r}")
+        return cli_choice == "merged"
+    name = config.get("model_name", "PaSST_SED")
+    section = dict(config.get(name, {}))
+    if "init_kwargs" in section:
+        section = dict(section["init_kwargs"])
+    if "passt_sed_param" in section:
+        section = {**dict(section["passt_sed_param"]), **section}
+    lora_config = section.get("lora_config") or {}
+    return bool(lora_config.get("merged_checkpoint", True))
+
+
 def build_argparser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(description="transformer4sed_tpu recipe runner")
     parser.add_argument("--config_dir", type=str, required=True, help="YAML config path")
@@ -118,6 +147,12 @@ def build_argparser() -> argparse.ArgumentParser:
     parser.add_argument("--test_only", action="store_true")
     parser.add_argument("--resume_ckpt", type=str, default=None)
     parser.add_argument("--pretrained_ckpt", type=str, default=None)
+    parser.add_argument(
+        "--lora_ckpt", choices=("merged", "unmerged"), default=None,
+        help="merged-ness of a LoRA .pt checkpoint (loralib dicts can't "
+        "self-describe): 'merged' = published artifacts (default), "
+        "'unmerged' = mid-training BestModels saves",
+    )
     # PMAM stage plumbing (reference pmam/main.py:49 --gmm_means_path):
     # point pmam_train at a tokenizer run in a different save_folder
     parser.add_argument("--gmm_means_path", type=str, default=None)

@@ -168,6 +168,9 @@ def main(argv=None):
     parser.add_argument("--ckpt", required=True, help="orbax params dir or reference .pt")
     parser.add_argument("--out", required=True, help="output artifact path (.jaxexp)")
     parser.add_argument("--batch_size", type=int, default=64)
+    parser.add_argument("--lora_ckpt", choices=("merged", "unmerged"), default=None,
+                        help="merged-ness of a LoRA .pt checkpoint "
+                        "(merged = published artifacts, the default)")
     parser.add_argument("--platforms", nargs="*", default=None,
                         help="lowering platforms, e.g. 'tpu cpu' (default: current backend)")
     args = parser.parse_args(argv)
@@ -185,6 +188,7 @@ def main(argv=None):
         params, model_state = convert_torch_checkpoint(
             load_torch_state_dict(args.ckpt), model_name,
             init_kwargs=common.model_init_kwargs(config, model_name),
+            lora_merged=common.lora_ckpt_merged(config, args.lora_ckpt),
         )
         model_state = model_state or None
     else:

@@ -165,6 +165,9 @@ def main(argv=None):
     parser.add_argument("--out_dir", required=True)
     parser.add_argument("--batch_size", type=int, default=64)
     parser.add_argument("--threshold", type=float, default=0.5)
+    parser.add_argument("--lora_ckpt", choices=("merged", "unmerged"), default=None,
+                        help="merged-ness of a LoRA .pt checkpoint "
+                        "(merged = published artifacts, the default)")
     parser.add_argument("--query", default=None,
                         help=".npy of external query embeddings (open-vocab DASM)")
     parser.add_argument("--query_type", default="text", choices=["text", "audio"])
@@ -220,6 +223,8 @@ def main(argv=None):
         params, model_state = convert_torch_checkpoint(
             load_torch_state_dict(args.ckpt), _mname,
             init_kwargs=common.model_init_kwargs(config, _mname),
+            lora_merged=common.lora_ckpt_merged(
+                config, getattr(args, "lora_ckpt", None)),
         )
         model_state = model_state or None
     else:

@@ -212,7 +212,7 @@ def _ln(sd, prefix):
     return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
 
 
-def _dense(sd, prefix, lora=False, lora_alpha=1.0):
+def _dense(sd, prefix, lora=False, lora_alpha=1.0, lora_merged=True):
     out = {"kernel": sd[f"{prefix}.weight"].T, "bias": sd[f"{prefix}.bias"]}
     if lora and f"{prefix}.lora_A" in sd:
         # LoRA weights (src/models/lora/layers.py:106-110: lora_A [r, in],
@@ -221,24 +221,28 @@ def _dense(sd, prefix, lora=False, lora_alpha=1.0):
         # lora keys and keeps the merged weight (the reference's own
         # strict=False load-into-plain-PaSST convention, pmam/main.py:202).
         #
-        # Reference checkpoints with lora keys are saved MERGED — the best
-        # save explicitly `net.eval()`s "to merge lora weight to the
-        # pretrain weight" (pmam/main.py:202-205) before state_dict, and
-        # loralib keeps lora_A/B in the dict beside the merged weight. Our
-        # LoRADense always computes x@W + (alpha/r)·x@A@B at runtime, so
-        # the merged delta must be SUBTRACTED from the kernel (the analog
-        # of loralib's train()-entry unmerge) or the adapter would be
-        # counted twice. A zero lora_B (untrained adapter) makes this a
-        # no-op, so unmerged raw-loralib dicts are safe to pass too unless
-        # they carry a trained, unmerged adapter — the reference never
-        # produces those.
+        # A loralib state_dict does NOT record whether its weight has the
+        # (alpha/r)·A@B delta merged in, so merged-ness is an EXPLICIT
+        # caller policy (``lora_merged``), not a guess. Both conventions
+        # exist in the reference:
+        #   * MERGED (default): published artifacts — the best-model save
+        #     `net.eval()`s "to merge lora weight to the pretrain weight"
+        #     (pmam/main.py:202-205) before state_dict. Our LoRADense
+        #     always re-adds (alpha/r)·x@A@B at runtime, so the delta must
+        #     be SUBTRACTED from the kernel here (loralib's train()-entry
+        #     unmerge) or the adapter would be counted twice.
+        #   * UNMERGED: mid-training state dicts — BestModels deep-copies
+        #     `state_dict()` while the net is in train() mode
+        #     (src/utils/log.py:47-89, src/models/lora/layers.py:124-141),
+        #     i.e. the kernel is the raw pretrain weight. Keep it as-is.
         a = sd[f"{prefix}.lora_A"].T  # [in, r]
         b = sd[f"{prefix}.lora_B"].T  # [r, out]
-        scale = lora_alpha / a.shape[1]
-        delta = (a.astype(np.float32) @ b.astype(np.float32)) * scale
-        out["kernel"] = (out["kernel"].astype(np.float32) - delta).astype(
-            out["kernel"].dtype
-        )
+        if lora_merged:
+            scale = lora_alpha / a.shape[1]
+            delta = (a.astype(np.float32) @ b.astype(np.float32)) * scale
+            out["kernel"] = (out["kernel"].astype(np.float32) - delta).astype(
+                out["kernel"].dtype
+            )
         out["lora_A"] = a
         out["lora_B"] = b
     return out
@@ -248,17 +252,18 @@ def _dense_nobias(sd, prefix):
     return {"kernel": sd[f"{prefix}.weight"].T}
 
 
-def _vit_block(sd, prefix, lora=False, lora_alpha=1.0):
+def _vit_block(sd, prefix, lora=False, lora_alpha=1.0, lora_merged=True):
+    lk = dict(lora=lora, lora_alpha=lora_alpha, lora_merged=lora_merged)
     return {
         "norm1": _ln(sd, f"{prefix}.norm1"),
         "attn": {
-            "qkv": _dense(sd, f"{prefix}.attn.qkv", lora=lora, lora_alpha=lora_alpha),
-            "proj": _dense(sd, f"{prefix}.attn.proj", lora=lora, lora_alpha=lora_alpha),
+            "qkv": _dense(sd, f"{prefix}.attn.qkv", **lk),
+            "proj": _dense(sd, f"{prefix}.attn.proj", **lk),
         },
         "norm2": _ln(sd, f"{prefix}.norm2"),
         "mlp": {
-            "fc1": _dense(sd, f"{prefix}.mlp.fc1", lora=lora, lora_alpha=lora_alpha),
-            "fc2": _dense(sd, f"{prefix}.mlp.fc2", lora=lora, lora_alpha=lora_alpha),
+            "fc1": _dense(sd, f"{prefix}.mlp.fc1", **lk),
+            "fc2": _dense(sd, f"{prefix}.mlp.fc2", **lk),
         },
     }
 
@@ -268,14 +273,17 @@ def convert_passt_backbone(
     depth: Optional[int] = None,
     lora: bool = False,
     lora_alpha: float = 1.0,
+    lora_merged: bool = True,
 ) -> Dict:
     """torch PaSST state_dict -> flax PaSST param tree.
 
     ``depth`` defaults to the number of ``blocks.{i}`` present.
     ``lora=True`` (target model has lora_rank>0) also maps lora_A/lora_B
-    adapters (passt_lora qkv/proj/fc1/fc2), unmerging the reference's
-    merged-at-save kernels; ``lora_alpha`` is the reference
-    ``lora_config.lora_alpha`` (1 in every shipped config)."""
+    adapters (passt_lora qkv/proj/fc1/fc2); ``lora_alpha`` is the
+    reference ``lora_config.lora_alpha`` (1 in every shipped config).
+    ``lora_merged`` states whether the checkpoint's kernels carry the
+    merged adapter delta (see :func:`_dense` — published reference
+    artifacts: True; mid-training BestModels dicts: False)."""
     if depth is None:
         depth = 0
         while f"blocks.{depth}.norm1.weight" in sd:
@@ -297,7 +305,9 @@ def convert_passt_backbone(
     if "dist_token" in sd:
         params["dist_token"] = sd["dist_token"]
     for i in range(depth):
-        params[f"blocks_{i}"] = _vit_block(sd, f"blocks.{i}", lora=lora, lora_alpha=lora_alpha)
+        params[f"blocks_{i}"] = _vit_block(
+            sd, f"blocks.{i}", lora=lora, lora_alpha=lora_alpha, lora_merged=lora_merged
+        )
     return params
 
 
@@ -353,19 +363,22 @@ def convert_passt_sed(
     f_pool_heads: int = 6,
     lora_rank: int = 0,
     lora_alpha: float = 1.0,
+    lora_merged: bool = True,
 ) -> Dict:
     """torch PaSST_SED state_dict -> flax PaSST_SED param tree.
 
     Handles the MAT-SED configuration (XL decoder, AT adapter, optional
     MLM head). mel_trans buffers (window, preemphasis) are frontend
-    constants here and are skipped.
+    constants here and are skipped. ``lora_merged`` is the explicit
+    checkpoint merged-ness policy (:func:`_dense`).
     """
     backbone_sd = {
         k[len("backbone.") :]: v for k, v in sd.items() if k.startswith("backbone.")
     }
     params: Dict = {
         "backbone": convert_passt_backbone(backbone_sd, depth=backbone_depth,
-                                           lora=lora_rank > 0, lora_alpha=lora_alpha),
+                                           lora=lora_rank > 0, lora_alpha=lora_alpha,
+                                           lora_merged=lora_merged),
         "out_norm": _ln(sd, "out_norm"),
     }
     if "classifier.weight" in sd:
@@ -847,9 +860,9 @@ def convert_passt_cnn(sd: Mapping[str, np.ndarray], **kwargs) -> Dict:
 _CONVERTER_INIT_KWARGS = {
     # init_kwargs keys a family's converter understands (head counts for
     # packed-MHA splitting; layer counts are auto-detected from the keys)
-    "PaSST_SED": ("at_adapter_heads", "f_pool_heads", "lora_rank"),
-    "PaSST_CNN": ("at_adapter_heads", "f_pool_heads"),
-    "PasstComplexCNN": ("at_adapter_heads", "f_pool_heads"),
+    "PaSST_SED": ("at_adapter_heads", "f_pool_heads", "lora_rank", "lora_alpha"),
+    "PaSST_CNN": ("at_adapter_heads", "f_pool_heads", "lora_rank", "lora_alpha"),
+    "PasstComplexCNN": ("at_adapter_heads", "f_pool_heads", "lora_rank", "lora_alpha"),
     "DASM": ("num_heads", "f_pool_heads"),
     "DASM_HTSAT": ("num_heads", "f_pool_heads"),
     "HTSAT_CNN": (),
@@ -861,6 +874,7 @@ def convert_torch_checkpoint(
     sd: Mapping[str, np.ndarray],
     model_name: str,
     init_kwargs: Optional[Mapping] = None,
+    lora_merged: Optional[bool] = None,
     **kwargs,
 ) -> Tuple[Dict, Dict]:
     """Dispatch a reference ``.pt`` state_dict by model family.
@@ -870,7 +884,18 @@ def convert_torch_checkpoint(
     serving engine thread as non-params collections. This is what makes
     ``--pretrained_ckpt foo.pt`` / ``--ckpt foo.pt`` accept the
     reference's own checkpoints directly.
+
+    ``lora_merged`` is the explicit LoRA checkpoint merged-ness policy
+    (loralib state dicts can't self-describe it — :func:`_dense`).
+    ``None`` keeps the family converter's default (True = the
+    reference's published-artifact convention, pmam/main.py:202); pass
+    ``False`` for mid-training BestModels saves (src/utils/log.py:47-89).
+    Families without LoRA support ignore it.
     """
+    if lora_merged is not None and model_name in (
+        "PaSST_SED", "PaSST_CNN", "PasstComplexCNN"
+    ):
+        kwargs.setdefault("lora_merged", lora_merged)
     converters = {
         "PaSST_SED": lambda s: {"params": convert_passt_sed(s, **kwargs), "batch_stats": {}},
         "PaSST_CNN": lambda s: convert_passt_cnn(s, **kwargs),
