@@ -188,6 +188,43 @@ def local_eval_mesh(train_mesh):
     return _local_eval_mesh
 
 
+_checked_contiguous: set = set()
+
+
+def _assert_contiguous_rows(sharding, global_shape) -> None:
+    """Fail loudly if this process's addressable shards are NOT the
+    contiguous global-batch rows ``[pi*B/pc, (pi+1)*B/pc)``.
+
+    :func:`shard_batch_indices` loads exactly that contiguous chunk on
+    the assumption that mesh devices are process-contiguous in
+    process-index order (the ``jax.devices()`` default). On a topology
+    where they are not (some multi-slice configs),
+    ``make_array_from_process_local_data`` would place the local rows at
+    whatever positions the local devices own — and the train step's
+    static strong/weak/unlabeled source masks would silently select the
+    wrong clips. Checked once per (mesh, batch-shape)."""
+    key = (id(sharding.mesh), global_shape[0], jax.process_index())
+    if key in _checked_contiguous:
+        return
+    rows = set()
+    for idx in sharding.addressable_devices_indices_map(global_shape).values():
+        s = idx[0]
+        rows.update(range(s.start or 0, global_shape[0] if s.stop is None else s.stop))
+    pi, pc = jax.process_index(), jax.process_count()
+    local = global_shape[0] // pc
+    expected = set(range(pi * local, (pi + 1) * local))
+    if rows != expected:
+        raise RuntimeError(
+            f"process {pi}: addressable global-batch rows {sorted(rows)} != expected "
+            f"contiguous chunk {sorted(expected)} — mesh devices are not "
+            f"process-contiguous in process order, so shard_batch_indices' "
+            f"contiguous loader chunks would land on the wrong global rows. "
+            f"Build the mesh from jax.devices() (parallel.make_mesh default) "
+            f"or reorder its devices process-contiguously."
+        )
+    _checked_contiguous.add(key)
+
+
 def make_global_batch(local_batch: Any, mesh) -> Any:
     """Per-process local chunks -> one jax.Array tree with GLOBAL batch
     semantics, sharded ``P('data')`` over the mesh.
@@ -200,10 +237,14 @@ def make_global_batch(local_batch: Any, mesh) -> Any:
     sharding = NamedSharding(mesh, P("data"))
     if jax.process_count() == 1:
         return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), local_batch)
-    return jax.tree_util.tree_map(
-        lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
-        local_batch,
-    )
+
+    def _assemble(x):
+        x = np.asarray(x)
+        global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+        _assert_contiguous_rows(sharding, global_shape)
+        return jax.make_array_from_process_local_data(sharding, x)
+
+    return jax.tree_util.tree_map(_assemble, local_batch)
 
 
 # ---------------------------------------------------------------------------

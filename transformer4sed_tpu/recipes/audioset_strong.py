@@ -316,13 +316,17 @@ class SupervisedTrainer:
         from transformer4sed_tpu.recipes.dasm_recipe import split_psds_by_type
 
         scores = {}
+        # multi-host: params must join the batch on the local eval mesh
+        ev_params, ev_state = common.localize_eval_params(
+            self.mesh, self.state.params, self.state.model_state
+        )
         for batch in self.val_loader:
             mel = self.frontend.normalize(self.frontend(jnp.asarray(batch["wav"])))
             # multi-chip: evaluation rides the same data mesh as training
             mel, pm = common.shard_eval_put(
                 self.mesh, mel, jnp.asarray(batch["pad_mask"])
             )
-            out = self._eval_fn(self.state.params, self.state.model_state, mel, pm)
+            out = self._eval_fn(ev_params, ev_state, mel, pm)
             _, post = batched_decode_preds(
                 out.strong, batch["filename"], self.codec, filter=median_filter
             )

@@ -364,6 +364,42 @@ def shard_eval_put(mesh, *arrays):
     return tuple(_jax.device_put(a, sh) for a in arrays)
 
 
+def localize_eval_params(mesh, *trees):
+    """Re-place replicated params/model_state onto the process-LOCAL
+    eval mesh for multi-host localized evaluation.
+
+    ``shard_eval_put`` moves eval batch inputs onto a process-local data
+    mesh at ``process_count() > 1`` — but the jitted eval fn also
+    receives params / model_state still committed to the GLOBAL training
+    mesh, which jit rejects ("Received incompatible devices for jitted
+    computation"). Params are fully replicated under the data-parallel
+    training sharding, so every shard is process-addressable and a host
+    round-trip onto the local mesh is exact. Call ONCE per eval round
+    (before the batch loop): the transfer is one host copy of the
+    (replicated) trees, not one per batch. No-op single-process,
+    without a mesh, or for ``None`` trees.
+    """
+    import jax as _jax
+
+    if mesh is None or _jax.process_count() == 1:
+        return trees[0] if len(trees) == 1 else trees
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from transformer4sed_tpu.parallel.multihost import local_eval_mesh
+
+    sh = NamedSharding(local_eval_mesh(mesh), P())
+
+    def _place(tree):
+        if not tree:
+            return tree
+        return _jax.tree_util.tree_map(
+            lambda x: _jax.device_put(np.asarray(_jax.device_get(x)), sh), tree
+        )
+
+    out = tuple(_place(t) for t in trees)
+    return out[0] if len(out) == 1 else out
+
+
 def resolve_resume(args, paths, logger) -> Optional[str]:
     """Elastic recovery: map ``--resume_ckpt auto`` to the newest intact
     per-epoch checkpoint (``last_state``, else the pre-overwrite backup

@@ -314,6 +314,10 @@ class OVDASMTrainer(DASMTrainer):
 
         scores = {}
         at_preds, at_targets = [], []
+        # multi-host: params must join the batch on the local eval mesh
+        ev_params, ev_state = _common.localize_eval_params(
+            self.mesh, self.state.params, self.state.model_state
+        )
         for batch in self.val_loader:
             mel = self.frontend.normalize(self.frontend(jnp.asarray(batch["wav"])))
             # multi-chip: evaluation rides the same data mesh as training
@@ -321,7 +325,7 @@ class OVDASMTrainer(DASMTrainer):
                 self.mesh, mel, jnp.asarray(batch["pad_mask"])
             )
             strong, at_out = self._ov_eval_fn(
-                self.state.params, self.state.model_state, mel, pm, query, att_mask
+                ev_params, ev_state, mel, pm, query, att_mask
             )
             labels = np.asarray(batch["label"])
             at_preds.append(np.asarray(at_out))

@@ -192,6 +192,10 @@ class MATSEDTrainer:
         scores_post = {}
         event_rows = []
         weak_preds_all, weak_labels_all = [], []
+        # multi-host: batch inputs ride a process-LOCAL eval mesh
+        # (shard_eval_put) — params/model_state must leave the global
+        # training mesh too or jit rejects the device mix; once per round
+        params, model_state = common.localize_eval_params(self.mesh, params, model_state)
         for batch in self.val_loader:
             mel = self.frontend.normalize(self.frontend(jnp.asarray(batch["wav"])))
             # multi-chip: evaluation rides the same data mesh as training
@@ -338,12 +342,14 @@ class MATSEDTrainer:
                 "the test split"
             )
         scores_post = {}
+        tch_params, tch_state = common.localize_eval_params(
+            self.mesh, self.state.teacher_params, self.state.teacher_model_state
+        )
         for batch in self.test_loader:
             mel = self.frontend.normalize(self.frontend(jnp.asarray(batch["wav"])))
             mel, pm = common.shard_eval_put(self.mesh, mel, jnp.asarray(batch["pad_mask"]))
             out = self._eval_apply(
-                self.state.teacher_params, mel, pm, "test_kwargs",
-                model_state=self.state.teacher_model_state,
+                tch_params, mel, pm, "test_kwargs", model_state=tch_state,
             )
             raw, post = batched_decode_preds(
                 out.strong,
@@ -510,16 +516,20 @@ class MLMTrainer:
         """Mean reconstruction loss over the val loader (best-model metric)."""
         key = key if key is not None else jax.random.PRNGKey(0)
         total, n = 0.0, 0
+        # multi-host: each process scores its strided subset on LOCAL
+        # devices — params must leave the global training mesh first
+        ev_params, ev_state = common.localize_eval_params(
+            self.mesh, self.state.params, self.state.model_state
+        )
         for i, batch in enumerate(self.val_loader):
             mel = self.frontend.normalize(self.frontend(jnp.asarray(batch["wav"])))
             rngs = {"mlm": jax.random.fold_in(key, i)}
             if self._aware:
                 out, _ = self.model_apply(
-                    self.state.params, mel, train=False, rngs=rngs,
-                    model_state=self.state.model_state,
+                    ev_params, mel, train=False, rngs=rngs, model_state=ev_state,
                 )
             else:
-                out = self.model_apply(self.state.params, mel, train=False, rngs=rngs)
+                out = self.model_apply(ev_params, mel, train=False, rngs=rngs)
             total += float(
                 mlm_loss(
                     out.mlm_pred,
