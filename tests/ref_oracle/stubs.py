@@ -464,6 +464,54 @@ def install() -> None:
 
         ops.drop_block2d = drop_block2d
 
+    # -- import-surface-only stubs for the RECIPE trainer modules ---------
+    # (recipes/desed/finetune/train.py etc. import these at module top;
+    # the live trainer tests never call into them — train() touches only
+    # torch + src.preprocess + src.utils)
+    if "torchmetrics" not in sys.modules:
+        tm = _module("torchmetrics")
+        tm.__t4s_stub__ = True
+
+        class _UnusedMetric:  # constructor-only placeholder
+            def __init__(self, *args, **kwargs):
+                raise RuntimeError("torchmetrics stub: not usable in live tests")
+
+        tm.Metric = _UnusedMetric
+        tm.AveragePrecision = _UnusedMetric
+        cls_mod = _module("torchmetrics.classification")
+        tm.classification = cls_mod
+        cls_mod.MultilabelAveragePrecision = _UnusedMetric
+
+    if "psds_eval" not in sys.modules:
+        pe = _module("psds_eval")
+        pe.__t4s_stub__ = True
+
+        class PSDSEvalError(Exception):
+            pass
+
+        class _UnusedPSDSEval:
+            def __init__(self, *args, **kwargs):
+                raise RuntimeError("psds_eval stub: not usable in live tests")
+
+        pe.PSDSEval = _UnusedPSDSEval
+        pe.plot_psd_roc = lambda *a, **k: None
+        psds_mod = _module("psds_eval.psds")
+        pe.psds = psds_mod
+        psds_mod.PSDSEvalError = PSDSEvalError
+
+    if "sed_eval" not in sys.modules:
+        se = _module("sed_eval")
+        se.__t4s_stub__ = True
+        sound_event = _module("sed_eval.sound_event")
+        se.sound_event = sound_event
+
+        class _UnusedMetrics:
+            def __init__(self, *args, **kwargs):
+                raise RuntimeError("sed_eval stub: not usable in live tests")
+
+        sound_event.EventBasedMetrics = _UnusedMetrics
+        sound_event.SegmentBasedMetrics = _UnusedMetrics
+
     if "torchlibrosa" not in sys.modules:
         tl = _module("torchlibrosa")
         tl.__t4s_stub__ = True

@@ -5,6 +5,19 @@ masked positions only (``recipes/desed/mlm/mlm_passt/train.py:36-38``),
 implemented as a mask-weighted mean so shapes stay static. Augmentation
 mirrors the reference MLM trainer: frame shift + one
 feature_transformation view (``mlm_passt/train.py:24-33``).
+
+INTENTIONAL DEVIATION — we actually mask. The reference's
+``MlmModule.setence_mask`` writes the mask token via
+``token_seq_new.reshape(-1, C)[mask] = mask_token``
+(``src/models/transformer/mask.py:69-71``); the decoder input is
+non-contiguous in every real PaSST_SED forward (``InterpolateModule``
+interpolates in [B,C,T] and transposes back, ``passt_sed.py:31-34``),
+``.clone()`` preserves that layout, so ``reshape`` returns a copy and
+the in-place write is silently discarded — upstream MLM pretraining
+reconstructs UNCORRUPTED input. We implement the intended BERT-style
+corruption. Pinned live in ``tests/test_reference_live_trainers.py::
+TestMLMTrainerLive`` (trajectory parity on the reference's intended
+contiguous path + a no-op-bug pin).
 """
 
 from __future__ import annotations
