@@ -114,23 +114,10 @@ def create_mean_teacher_state(
     )
 
 
-def make_mean_teacher_step(
-    model_apply: Callable,
-    frontend,
-    optimizer: optax.GradientTransformation,
-    cfg: MeanTeacherConfig,
-    model_state_aware: bool = False,
-):
-    """Build the jittable train step.
-
-    ``model_apply(params, mel, train, rngs, **kwargs) -> SEDOutput``.
-    With ``model_state_aware=True`` the contract becomes
-    ``model_apply(params, mel, train, rngs, model_state, **kwargs) ->
-    (SEDOutput, new_model_state)`` and the state's model_state /
-    teacher_model_state collections (BatchNorm stats) are threaded
-    through the step. ``batch`` = dict(wav=[B, S], labels=[B, C, T_lab])
-    in [strong | weak | unlabeled] order.
-    """
+def make_preprocess(frontend, cfg: MeanTeacherConfig):
+    """The frontend + augmentation segment of the train step, exposed at
+    module level so profiling studies (``exps/profile_train_segments.py``)
+    can time it in isolation with the EXACT production code."""
     s, w = cfg.strong_num, cfg.weak_num
 
     def preprocess(batch, key):
@@ -197,6 +184,15 @@ def make_mean_teacher_step(
         weak_from_tags = jnp.sum(labels[s : s + w], axis=-1)
         return stu_mel, tch_mel, labels, weak_from_tags
 
+    return preprocess
+
+
+def make_loss_fn(model_apply: Callable, cfg: MeanTeacherConfig, model_state_aware: bool = False):
+    """The student-forward + loss-assembly segment (differentiated by the
+    step); module-level for the same profiling reason as
+    :func:`make_preprocess`."""
+    s, w = cfg.strong_num, cfg.weak_num
+
     def loss_fn(params, model_state, stu_mel, labels, weak_tags, tch, kstu, step):
         stu_rngs = {k: jax.random.fold_in(kstu, i) for i, k in enumerate(("patchout", "dropout", "mlm"))}
 
@@ -246,6 +242,29 @@ def make_mean_teacher_step(
             "w_cons": w_cons,
         }
         return total, (metrics, new_ms)
+
+    return loss_fn
+
+
+def make_mean_teacher_step(
+    model_apply: Callable,
+    frontend,
+    optimizer: optax.GradientTransformation,
+    cfg: MeanTeacherConfig,
+    model_state_aware: bool = False,
+):
+    """Build the jittable train step.
+
+    ``model_apply(params, mel, train, rngs, **kwargs) -> SEDOutput``.
+    With ``model_state_aware=True`` the contract becomes
+    ``model_apply(params, mel, train, rngs, model_state, **kwargs) ->
+    (SEDOutput, new_model_state)`` and the state's model_state /
+    teacher_model_state collections (BatchNorm stats) are threaded
+    through the step. ``batch`` = dict(wav=[B, S], labels=[B, C, T_lab])
+    in [strong | weak | unlabeled] order.
+    """
+    preprocess = make_preprocess(frontend, cfg)
+    loss_fn = make_loss_fn(model_apply, cfg, model_state_aware)
 
     def train_step(state: MeanTeacherState, batch, key):
         # preprocess + the teacher forward run OUTSIDE value_and_grad: the
