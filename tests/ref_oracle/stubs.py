@@ -141,6 +141,75 @@ def trunc_normal_(tensor, mean=0.0, std=1.0, a=-2.0, b=2.0):
     return torch.nn.init.trunc_normal_(tensor, mean=mean, std=std, a=a, b=b)
 
 
+class _TimmPatchEmbed(nn.Module):
+    """timm 0.4.5 PatchEmbed (non-overlapping conv patchify). The AST
+    reference overrides ``timm.models.vision_transformer.PatchEmbed``
+    before ``create_model`` (ast_models.py:120) — ``_create_deit`` looks
+    the class up at call time so the override takes effect, like real
+    timm's module-global reference does."""
+
+    def __init__(self, img_size=224, patch_size=16, in_chans=3, embed_dim=768):
+        super().__init__()
+        img_size = to_2tuple(img_size)
+        patch_size = to_2tuple(patch_size)
+        self.img_size = img_size
+        self.patch_size = patch_size
+        self.num_patches = (img_size[1] // patch_size[1]) * (img_size[0] // patch_size[0])
+        self.proj = nn.Conv2d(in_chans, embed_dim, kernel_size=patch_size, stride=patch_size)
+
+    def forward(self, x):
+        return self.proj(x).flatten(2).transpose(1, 2)
+
+
+class _DistilledVisionTransformer(nn.Module):
+    """timm 0.4.5 deit distilled ViT surface: the attributes/state_dict
+    keys ASTModel touches (patch_embed/cls_token/dist_token/pos_embed/
+    pos_drop/blocks/norm + head/head_dist). Blocks use timm ViT defaults
+    (qkv_bias=True, LN eps 1e-6)."""
+
+    def __init__(self, img_size, patch_size, embed_dim, depth, num_heads,
+                 num_classes=1000):
+        super().__init__()
+        import functools
+
+        patch_embed_cls = sys.modules["timm.models.vision_transformer"].PatchEmbed
+        self.patch_embed = patch_embed_cls(
+            img_size=img_size, patch_size=patch_size, in_chans=3, embed_dim=embed_dim)
+        num_patches = self.patch_embed.num_patches
+        self.cls_token = nn.Parameter(torch.zeros(1, 1, embed_dim))
+        self.dist_token = nn.Parameter(torch.zeros(1, 1, embed_dim))
+        self.pos_embed = nn.Parameter(torch.zeros(1, num_patches + 2, embed_dim))
+        self.pos_drop = nn.Dropout(0.0)
+        norm_layer = functools.partial(nn.LayerNorm, eps=1e-6)
+        self.blocks = nn.ModuleList(
+            Block(dim=embed_dim, num_heads=num_heads, mlp_ratio=4.0,
+                  qkv_bias=True, norm_layer=norm_layer) for _ in range(depth))
+        self.norm = norm_layer(embed_dim)
+        self.head = nn.Linear(embed_dim, num_classes)
+        self.head_dist = nn.Linear(embed_dim, num_classes)
+        trunc_normal_(self.pos_embed, std=0.02)
+        trunc_normal_(self.cls_token, std=0.02)
+        trunc_normal_(self.dist_token, std=0.02)
+
+
+_DEIT_CFGS = {
+    "vit_deit_tiny_distilled_patch16_224": (224, 16, 192, 12, 3),
+    "vit_deit_small_distilled_patch16_224": (224, 16, 384, 12, 6),
+    "vit_deit_base_distilled_patch16_224": (224, 16, 768, 12, 12),
+    "vit_deit_base_distilled_patch16_384": (384, 16, 768, 12, 12),
+}
+
+
+def create_model(model_name, pretrained=False, **kwargs):
+    if pretrained:  # pragma: no cover - guarded path
+        raise RuntimeError(
+            "timm stub: pretrained weights unavailable — live-oracle tests "
+            "must build with imagenet_pretrain=False")
+    if model_name not in _DEIT_CFGS:
+        raise RuntimeError(f"timm stub: unknown model {model_name!r}")
+    return _DistilledVisionTransformer(*_DEIT_CFGS[model_name])
+
+
 def load_pretrained(*args, **kwargs):  # pragma: no cover - guarded path
     raise RuntimeError(
         "timm stub: load_pretrained must not be reached in live-oracle tests "
@@ -381,6 +450,7 @@ def install() -> None:
         timm = _module("timm")
         timm.__t4s_stub__ = True
         timm.__version__ = "0.4.5"
+        timm.create_model = create_model
         models = _module("timm.models")
         layers = _module("timm.models.layers")
         layers_helpers = _module("timm.models.layers.helpers")
@@ -399,6 +469,7 @@ def install() -> None:
         models.resnet = resnet
         resnet.downsample_avg = downsample_avg
         vit.Block = Block
+        vit.PatchEmbed = _TimmPatchEmbed
         vit.Attention = Attention
         vit.Mlp = Mlp
         vit.DropPath = DropPath

@@ -46,7 +46,9 @@ class TestASTBackbone:
 
 
 class TestASTSED:
-    def test_forward(self):
+    def test_forward_gru(self):
+        # plain 'gru' context decodes at patch-time resolution (the
+        # reference interpolates ONLY for local_gru_decoder)
         model = AST_SED(
             class_num=3,
             embed_dim=32,
@@ -56,6 +58,24 @@ class TestASTSED:
             input_fdim=32,
             input_tdim=128,
             context_block="gru",
+        )
+        fbank = jnp.asarray(np.random.RandomState(0).randn(2, 32, 128).astype(np.float32))
+        params = model.init({"params": KEY}, fbank)
+        out = model.apply(params, fbank)
+        t_dim = (128 - 16) // 10 + 1
+        assert out.strong.shape == (2, 3, t_dim)
+        assert out.weak.shape == (2, 3)
+
+    def test_forward_local_gru(self):
+        model = AST_SED(
+            class_num=3,
+            embed_dim=32,
+            depth=2,
+            num_heads=4,
+            ast_feature_layer=2,
+            input_fdim=32,
+            input_tdim=128,
+            context_block="local_gru_decoder",
         )
         fbank = jnp.asarray(np.random.RandomState(0).randn(2, 32, 128).astype(np.float32))
         params = model.init({"params": KEY}, fbank)
@@ -87,11 +107,16 @@ class TestASTWithSlide:
     def test_forward(self):
         from transformer4sed_tpu.models.ast import ASTWithSlide
 
+        # scale chosen so the 3 windows (t_w=5 patches each at starts
+        # 0/32/64) fully cover the round(128*scale)=10-row grid
         model = ASTWithSlide(
             class_num=3, embed_dim=32, depth=1, num_heads=4, ast_feature_layer=1,
             input_fdim=32, input_tdim=128, win_width=64, step=32, decode_ratio=10,
+            scale=5.0 / 64.0,
         )
         fbank = jnp.asarray(np.random.RandomState(0).randn(1, 32, 128).astype(np.float32))
         out = model.apply(model.init({"params": KEY}, fbank), fbank)
-        assert out.strong.shape[1] == 3
+        # grid 10 -> crop min(100, 10) -> x10 nearest = 100 frames
+        assert out.strong.shape == (1, 3, 100)
         assert out.weak.shape == (1, 3)
+        assert bool(jnp.isfinite(out.strong).all())

@@ -335,6 +335,102 @@ class TestDASMHTSATLive:
         np.testing.assert_allclose(np.asarray(out.weak), weak_ref.numpy(), atol=2e-4)
 
 
+class TestASTSEDLive:
+    """Full AST_SED live forwards (``ast_models.py:395-559``): deit
+    base384 ASTModel (stub ``timm.create_model``, imagenet_pretrain=False)
+    + frequency-wise transformer pooling + context net, converter-shared
+    weights. The reference hardcodes ``.cuda()`` for the freq-pool tag
+    token (ast_models.py:515) — ``torch.Tensor.cuda`` is monkeypatched to
+    identity — and its sincos helper uses the removed ``np.float`` alias
+    (pos_embed.py:57) — shimmed to ``float``."""
+
+    def _make_ref(self, monkeypatch, **kw):
+        ref_mod = load("src.models.ast.ast_models")
+        monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self,
+                            raising=False)
+        monkeypatch.setattr(np, "float", float, raising=False)
+        torch.manual_seed(50)
+        return ref_mod.AST_SED(load_pretrained_model=False, class_num=10, **kw)
+
+    @staticmethod
+    def _perturb_params(ref, scale=0.02, skip=("decoder_pos_embed",)):
+        # randomise away identity-init LN affines etc; keep the fixed
+        # sincos decoder_pos_embed buffer (ours is recomputed at trace)
+        with torch.no_grad():
+            for name, p in ref.named_parameters():
+                if not any(s in name for s in skip):
+                    p.add_(torch.randn_like(p) * scale)
+
+    def _ours(self, ref, **init_kwargs):
+        from transformer4sed_tpu.models.ast import AST_SED
+        from transformer4sed_tpu.utils.torch_import import convert_torch_checkpoint
+
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        params, _ = convert_torch_checkpoint(sd, "AST_SED", init_kwargs=init_kwargs)
+        return AST_SED(class_num=10, **init_kwargs), params
+
+    def test_local_gru_forward_matches(self, monkeypatch):
+        ref = self._make_ref(monkeypatch)  # defaults: freq-pool + local_gru_decoder
+        self._perturb_params(ref)
+        ref.eval()
+        rng = np.random.RandomState(51)
+        mel = rng.randn(1, 128, 1024).astype(np.float32) * 0.5
+        with torch.no_grad():
+            sed_ref, at_ref, _ = ref(t(mel))
+
+        model, params = self._ours(ref)
+        out = model.apply({"params": params}, jnp.asarray(mel))
+        np.testing.assert_allclose(np.asarray(out.strong), sed_ref.numpy(), atol=5e-4)
+        np.testing.assert_allclose(np.asarray(out.weak), at_ref.numpy(), atol=5e-4)
+
+    def test_transformer_context_matches(self, monkeypatch):
+        ref = self._make_ref(monkeypatch, context_block="transformer")
+        self._perturb_params(ref)
+        ref.eval()
+        # the reference's fixed pos table spans init t_dim - 1 = 100 rows
+        # (ast_models.py:468) -> feed T giving t_dim == 100
+        rng = np.random.RandomState(52)
+        mel = rng.randn(1, 128, 1006).astype(np.float32) * 0.5
+        with torch.no_grad():
+            sed_ref, at_ref, _ = ref(t(mel))
+
+        model, params = self._ours(ref, context_block="transformer")
+        out = model.apply({"params": params}, jnp.asarray(mel))
+        np.testing.assert_allclose(np.asarray(out.strong), sed_ref.numpy(), atol=3e-4)
+        np.testing.assert_allclose(np.asarray(out.weak), at_ref.numpy(), atol=3e-4)
+
+
+class TestASTWithSlideLive:
+    """ASTWithSlide live forward (``ast_models.py:562-658``): windowed
+    backbone+f-pool encodes overlap-added at patch resolution, averaged,
+    cropped to 100 rows, nearest-interpolated x10 and GRU-decoded. T=512
+    keeps it to 17 full-width windows (the reference's own 1024/256/16
+    layout scaled down; (T-win)%step==0 so torch takes no ragged tail)."""
+
+    def test_forward_matches(self, monkeypatch):
+        ref_mod = load("src.models.ast.ast_models")
+        from transformer4sed_tpu.models.ast import ASTWithSlide
+        from transformer4sed_tpu.utils.torch_import import convert_torch_checkpoint
+
+        monkeypatch.setattr(torch.Tensor, "cuda", lambda self, *a, **k: self,
+                            raising=False)
+        torch.manual_seed(53)
+        ref = ref_mod.ASTWithSlide(load_pretrained_model=False, class_num=10)
+        TestASTSEDLive._perturb_params(ref)
+        ref.eval()
+        rng = np.random.RandomState(54)
+        mel = rng.randn(1, 128, 512).astype(np.float32) * 0.5
+        with torch.no_grad():
+            sed_ref, weak_ref = ref(t(mel), win_width=256, step=16)
+
+        sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+        params, _ = convert_torch_checkpoint(sd, "ASTWithSlide")
+        model = ASTWithSlide(class_num=10, win_width=256, step=16)
+        out = model.apply({"params": params}, jnp.asarray(mel))
+        np.testing.assert_allclose(np.asarray(out.strong), sed_ref.numpy(), atol=5e-4)
+        np.testing.assert_allclose(np.asarray(out.weak), weak_ref.numpy(), atol=5e-4)
+
+
 class TestCNNFamilyLive:
     def test_fdy_cnn_matches(self):
         ref_mod = load("src.models.cnn")

@@ -159,21 +159,33 @@ class AST(nn.Module):
         h = nn.LayerNorm(epsilon=1e-6, name="norm")(h.astype(jnp.float32))
         out["frame"] = h
         globals_ = (h[:, 0] + h[:, 1]) / 2.0
+        # mlp_head = Sequential(PLAIN nn.LayerNorm, Linear) -> eps 1e-5
+        # (ast_models.py:137), unlike the backbone's timm 1e-6 norms
         out["globals"] = nn.Dense(self.label_dim, name="mlp_head")(
-            nn.LayerNorm(epsilon=1e-6, name="mlp_head_norm")(globals_)
+            nn.LayerNorm(epsilon=1e-5, name="mlp_head_norm")(globals_)
         )
         out["f_dim"], out["t_dim"] = f_dim, t_dim
         return out
 
 
 class AST_SED(nn.Module):
-    """AST backbone + f-pool + GRU/transformer context + classifier."""
+    """AST backbone + f-pool + GRU/transformer context + classifier.
+
+    Parity: ``ast_models.py:395-559``. Field defaults mirror the
+    reference constructor (f_pool='frequency_wise_tranformer_encoder',
+    context_block='local_gru_decoder'). Interpolation happens ONLY for
+    ``local_gru_decoder`` and in NEAREST mode (``F.interpolate``'s
+    default, ast_models.py:538); plain ``gru``/``transformer``/``no``
+    decode at patch-time resolution. ``temp_w`` is kept for the shared
+    SED head contract — the reference AST_SED applies no temperature
+    (ast_models.py:556), so the default 1.0 is parity.
+    """
 
     class_num: int = 10
     decode_ratio: int = 10
     ast_feature_layer: int = 10
-    f_pool: str = "mean_pool"
-    context_block: str = "gru"
+    f_pool: str = "frequency_wise_tranformer_encoder"
+    context_block: str = "local_gru_decoder"
     embed_dim: int = 768
     depth: int = 12
     num_heads: int = 12
@@ -205,13 +217,21 @@ class AST_SED(nn.Module):
         elif self.context_block == "transformer":
             from transformer4sed_tpu.models.xl import TransformerDecoder
 
+            # reference builds timm Blocks with a PLAIN nn.LayerNorm
+            # norm_layer (ast_models.py:464) -> eps 1e-5, qkv_bias False;
+            # pos table = fixed sincos over grid_size = init t_dim - 1
+            # (ast_models.py:468-474) added as an absolute prefix slice
             self.decoder_module = TransformerDecoder(
                 decoder_layer_num=2,
                 num_heads=4,
                 mlp_ratio=4.0,
+                qkv_bias=False,
+                ln_eps=1e-5,
+                seq_len=(self.input_tdim - 16) // 10 + 1,
                 add_pos_embed=True,
                 dtype=self.dtype,
             )
+            self.decoder_norm = nn.LayerNorm(epsilon=1e-5)
             cls_in = self.embed_dim
         elif self.context_block == "no":
             self.decoder_module = None
@@ -220,6 +240,20 @@ class AST_SED(nn.Module):
             raise ValueError(f"invalid context block {self.context_block!r}")
         self.classifier = nn.Dense(self.class_num)
 
+    def encode_frames(self, fbank: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        """fbank [B, F, T] -> frame embeddings [B, t_dim, C]: backbone tap,
+        out_norm, frequency pooling (``AST_SED.forward`` ast_models.py:490-522
+        == ``ASTWithSlide.encode`` :601-643)."""
+        out = self.backbone(fbank[:, None], train=train)
+        feat = out[f"layer{self.ast_feature_layer}_out"][:, 2:, :]
+        feat = self.out_norm(feat)
+        b, p, c = feat.shape
+        grid = feat.reshape(b, out["f_dim"], out["t_dim"], c)
+        if self.f_pool == "mean_pool":
+            return jnp.mean(grid, axis=1)
+        cols = grid.transpose(0, 2, 1, 3).reshape(b * out["t_dim"], out["f_dim"], c)
+        return self.f_pool_module(cols, deterministic=not train).reshape(b, out["t_dim"], c)
+
     def __call__(
         self,
         fbank: jnp.ndarray,  # [B, F, T]
@@ -227,18 +261,12 @@ class AST_SED(nn.Module):
         temp_w: float = 1.0,
         pad_mask: Optional[jnp.ndarray] = None,
     ) -> SEDOutput:
-        out = self.backbone(fbank[:, None], train=train)
-        feat = out[f"layer{self.ast_feature_layer}_out"][:, 2:, :]
-        feat = self.out_norm(feat)
-        b, p, c = feat.shape
-        grid = feat.reshape(b, out["f_dim"], out["t_dim"], c)
-        if self.f_pool == "mean_pool":
-            frames = jnp.mean(grid, axis=1)
-        else:
-            cols = grid.transpose(0, 2, 1, 3).reshape(b * out["t_dim"], out["f_dim"], c)
-            frames = self.f_pool_module(cols, deterministic=not train).reshape(b, out["t_dim"], c)
-        frames = interpolate_time(frames, self.decode_ratio, "linear")
+        frames = self.encode_frames(fbank, train=train)
+        if self.context_block == "local_gru_decoder":
+            frames = interpolate_time(frames, self.decode_ratio, "nearest")
         h = self.decoder_module(frames, deterministic=not train) if self.decoder_module else frames
+        if self.context_block == "transformer":
+            h = self.decoder_norm(h)
         logits = self.classifier(h)
         sed = jax.nn.sigmoid(logits / temp_w)
         if pad_mask is not None:
@@ -274,68 +302,77 @@ class AST_AT(nn.Module):
         return jax.nn.sigmoid(out["globals"])
 
 
-class ASTWithSlide(nn.Module):
-    """AST_SED with sliding-window overlap-add encoding
-    (reference ``ASTWithSlide``, ``ast_models.py:562-658``): fbank
-    windows run through the backbone + f-pool independently and are
-    overlap-added into the output frame grid."""
+class ASTWithSlide(AST_SED):
+    """AST_SED with sliding-window overlap-add encoding (reference
+    ``ASTWithSlide``, ``ast_models.py:562-658``).
 
-    class_num: int = 10
-    decode_ratio: int = 10
-    ast_feature_layer: int = 10
-    embed_dim: int = 768
-    depth: int = 12
-    num_heads: int = 12
-    input_fdim: int = 128
-    input_tdim: int = 1024
+    Reference scheme: each fbank window runs through backbone + f-pool
+    at PATCH resolution (``encode``, no interpolation), windows are
+    overlap-added into a ``round(T * scale)`` frame grid and averaged by
+    visit count, the grid is cropped to its first 100 frames
+    (``forward`` :594, hardcoded), then nearest-interpolated x
+    ``decode_ratio`` and decoded by the GRU. ``scale`` is the
+    reference's hardcoded ``101/1024`` patch-per-frame ratio (:572),
+    exposed as a field so small-geometry tests can keep full coverage.
+
+    TPU-first deviation (documented): the reference loops windows
+    sequentially on-device; here all windows are one batched backbone
+    call and the overlap-add is a single scatter-add — identical
+    numerics, one MXU-friendly kernel. Requires static full-width
+    windows: ``(T - win_width) % step == 0`` (the reference's own 1024 /
+    256 / 16 satisfies it; other combinations would give the torch code
+    ragged tail windows).
+    """
+
     win_width: int = 256
     step: int = 16
-    dtype: jnp.dtype = jnp.float32
+    scale: float = 101.0 / 1024.0
 
-    def setup(self):
-        self.backbone = AST(
-            embed_dim=self.embed_dim,
-            depth=self.depth,
-            num_heads=self.num_heads,
-            input_fdim=self.input_fdim,
-            input_tdim=self.win_width,
-            tap_layers=(self.ast_feature_layer,),
-            dtype=self.dtype,
-        )
-        self.out_norm = nn.LayerNorm(epsilon=1e-5)
-        self.decoder_module = BiGRUDecoder(hidden_dim=self.embed_dim, num_layers=2, dtype=self.dtype)
-        self.classifier = nn.Dense(self.class_num)
-
-    def _encode_window(self, fbank_win: jnp.ndarray, train: bool) -> jnp.ndarray:
-        out = self.backbone(fbank_win[:, None], train=train)
-        feat = self.out_norm(out[f"layer{self.ast_feature_layer}_out"][:, 2:, :])
-        b, p, c = feat.shape
-        grid = feat.reshape(b, out["f_dim"], out["t_dim"], c)
-        frames = jnp.mean(grid, axis=1)
-        return interpolate_time(frames, self.decode_ratio, "linear")
-
-    def __call__(
+    def __call__(  # type: ignore[override]
         self,
         fbank: jnp.ndarray,  # [B, F, T]
         train: bool = False,
         temp_w: float = 1.0,
         pad_mask: Optional[jnp.ndarray] = None,
     ) -> SEDOutput:
-        from transformer4sed_tpu.models.slide import slide_window_encode
+        if self.context_block not in ("gru", "local_gru_decoder"):
+            raise ValueError("ASTWithSlide decodes with the GRU (rnn_decode)")
+        b, f, t = fbank.shape
+        win, step = self.win_width, self.step
+        if (t - win) % step != 0:
+            raise ValueError(
+                f"T={t} not compatible with win={win}, step={step}: static "
+                "full-width windows require (T - win) % step == 0"
+            )
+        starts = list(range(0, t + step - win, step))
+        w = len(starts)
+        wins = jnp.stack(
+            [jax.lax.slice_in_dim(fbank, s, s + win, axis=2) for s in starts], axis=1
+        ).reshape(b * w, f, win)
+        frames = self.encode_frames(wins, train=train)  # [B*W, t_w, C]
+        t_w, c = frames.shape[1], frames.shape[2]
+        frames = frames.reshape(b, w * t_w, c)
 
-        t = fbank.shape[-1]
-        # output grid scaled so a full-width window fills its span exactly
-        emb_len = ((self.win_width - 16) // 10 + 1) * self.decode_ratio * t // self.win_width
-        x = slide_window_encode(
-            lambda w: self._encode_window(w, train),
-            fbank,
-            emb_len=emb_len,
-            win_width=self.win_width,
-            step=self.step,
-        )
+        # overlap-add at patch resolution (reference :581-591): window i
+        # writes rows [round(start_i*scale), min(P, ...+t_w)); clipped
+        # writes land in a dump slot P. Python round() == torch round().
+        p = round(t * self.scale)
+        idx = np.full((w, t_w), p, np.int32)
+        for i, s in enumerate(starts):
+            left = round(s * self.scale)
+            for j in range(t_w):
+                if left + j < p:
+                    idx[i, j] = left + j
+        idx_flat = jnp.asarray(idx.reshape(-1))
+        emb = jnp.zeros((b, p + 1, c), frames.dtype).at[:, idx_flat, :].add(frames)
+        acc = jnp.zeros((p + 1,), frames.dtype).at[idx_flat].add(1.0)
+        emb = emb[:, :p] / acc[:p][None, :, None]
+
+        x = emb[:, : min(100, p)]  # reference crop :594
+        x = interpolate_time(x, self.decode_ratio, "nearest")  # rnn_decode :645-652
         h = self.decoder_module(x, deterministic=not train)
         logits = self.classifier(h)
-        sed = jax.nn.sigmoid(logits / temp_w)
+        sed = jax.nn.sigmoid(logits / temp_w)  # no temperature upstream; 1.0 == parity
         if pad_mask is not None:
             pm = pad_mask[:, : sed.shape[1]]
             sed = jnp.where(pm[:, :, None], 0.0, sed)

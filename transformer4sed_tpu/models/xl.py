@@ -401,8 +401,12 @@ class TransformerDecoder(nn.Module):
     """Vanilla ViT-block decoder with (unused-in-forward) abs pos table.
 
     The reference computes a sincos/learnable table but never adds it in
-    ``forward`` (``src/models/transformer_decoder.py:46-51``); we keep
-    an ``add_pos_embed`` switch, default False for parity.
+    ``forward`` (``src/models/transformer_decoder.py:46-51`` even
+    references an undefined ``self.linear_pos`` — the path is dead
+    upstream); we keep an ``add_pos_embed`` switch, default False for
+    parity. Blocks are built with a PLAIN ``nn.LayerNorm`` norm_layer
+    and timm's Block defaults (``transformer_decoder.py:32-35``) ->
+    qkv_bias False, LN eps 1e-5.
     """
 
     decoder_layer_num: int = 2
@@ -411,6 +415,8 @@ class TransformerDecoder(nn.Module):
     seq_len: int = 1000
     attn_drop: float = 0.0
     add_pos_embed: bool = False
+    qkv_bias: bool = False
+    ln_eps: float = 1e-5
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -426,6 +432,8 @@ class TransformerDecoder(nn.Module):
                 num_heads=self.num_heads,
                 mlp_ratio=self.mlp_ratio,
                 attn_drop=self.attn_drop,
+                qkv_bias=self.qkv_bias,
+                ln_eps=self.ln_eps,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
             )(x, deterministic=deterministic)

@@ -254,10 +254,17 @@ def _dense_nobias(sd, prefix):
 
 def _vit_block(sd, prefix, lora=False, lora_alpha=1.0, lora_merged=True):
     lk = dict(lora=lora, lora_alpha=lora_alpha, lora_merged=lora_merged)
+    # timm Block defaults to qkv_bias=False (e.g. the AST frequency /
+    # decoder blocks, ast_models.py:449/:464) -> no qkv.bias key
+    qkv = (
+        _dense(sd, f"{prefix}.attn.qkv", **lk)
+        if f"{prefix}.attn.qkv.bias" in sd
+        else _dense_nobias(sd, f"{prefix}.attn.qkv")
+    )
     return {
         "norm1": _ln(sd, f"{prefix}.norm1"),
         "attn": {
-            "qkv": _dense(sd, f"{prefix}.attn.qkv", **lk),
+            "qkv": qkv,
             "proj": _dense(sd, f"{prefix}.attn.proj", **lk),
         },
         "norm2": _ln(sd, f"{prefix}.norm2"),
@@ -867,6 +874,8 @@ _CONVERTER_INIT_KWARGS = {
     "DASM_HTSAT": ("num_heads", "f_pool_heads"),
     "HTSAT_CNN": (),
     "CLAP_SED": (),
+    "AST_SED": (),
+    "ASTWithSlide": (),
 }
 
 
@@ -904,6 +913,8 @@ def convert_torch_checkpoint(
         "DASM_HTSAT": lambda s: convert_dasm(s, **kwargs),
         "HTSAT_CNN": lambda s: convert_htsat_cnn(s),
         "CLAP_SED": lambda s: convert_clap_sed(s),
+        "AST_SED": lambda s: {"params": convert_ast_sed(s), "batch_stats": {}},
+        "ASTWithSlide": lambda s: {"params": convert_ast_sed(s), "batch_stats": {}},
     }
     if model_name not in converters:
         raise ValueError(
@@ -953,6 +964,87 @@ def _conformer_block(sd, prefix):
         "feed_forward_2": _dense(sd, f"{prefix}.feed_forward.3"),
         "norm_final": _ln(sd, f"{prefix}.norm_final"),
     }
+
+
+def _gru(sd: Mapping[str, np.ndarray], prefix: str) -> Dict:
+    """torch ``nn.GRU(bidirectional=True)`` -> flax BiGRUDecoder params.
+
+    torch packs gates ``[r; z; n]`` with separate ``b_ih``/``b_hh``
+    (per layer x direction); flax GRUCell keeps biasless ``hr``/``hz``
+    denses, so ``b_hh``'s r/z thirds fold into the input biases
+    (additive inside the sigmoid) while ``b_hn`` stays on ``hn`` (it
+    sits INSIDE the reset-gate product). Cell order matches
+    BiGRUDecoder's construction: l0 fwd, l0 bwd, l1 fwd, l1 bwd
+    (mapping numerics pinned by tests/test_torch_parity.py::
+    TestBiGRUDecoderParity).
+    """
+    params: Dict = {}
+    cell = 0
+    layer = 0
+    while f"{prefix}.weight_ih_l{layer}" in sd:
+        for direction in ("", "_reverse"):
+            wih = sd[f"{prefix}.weight_ih_l{layer}{direction}"]
+            whh = sd[f"{prefix}.weight_hh_l{layer}{direction}"]
+            bih = sd[f"{prefix}.bias_ih_l{layer}{direction}"]
+            bhh = sd[f"{prefix}.bias_hh_l{layer}{direction}"]
+            wr, wz, wn = np.split(wih, 3, axis=0)
+            ur, uz, un = np.split(whh, 3, axis=0)
+            br, bz, bn = np.split(bih, 3)
+            cr, cz, cn = np.split(bhh, 3)
+            params[f"GRUCell_{cell}"] = {
+                "ir": {"kernel": wr.T, "bias": br + cr},
+                "iz": {"kernel": wz.T, "bias": bz + cz},
+                "in": {"kernel": wn.T, "bias": bn},
+                "hr": {"kernel": ur.T},
+                "hz": {"kernel": uz.T},
+                "hn": {"kernel": un.T, "bias": cn},
+            }
+            cell += 1
+        layer += 1
+    return params
+
+
+def convert_ast_sed(sd: Mapping[str, np.ndarray]) -> Dict:
+    """torch AST_SED / ASTWithSlide state_dict -> flax param tree.
+
+    Reference naming (``ast_models.py:395-559``): the ASTModel under
+    ``patch_transformer.`` (handled by :func:`convert_ast`), then
+    ``out_norm``, the frequency-pool pieces (``linear_emb`` +
+    ``frequency_transformer.{i}`` + ``frequency_transformer_norm``) when
+    f_pool is the frequency transformer, the context net (``GRU.*`` for
+    gru/local_gru_decoder, ``transformer_decoder.{i}`` +
+    ``decoder_norm`` for transformer — the fixed sincos
+    ``decoder_pos_embed`` buffer is recomputed at trace time), and
+    ``classifier``. Variant auto-detected from the keys.
+    """
+    ast_sd = {
+        k[len("patch_transformer.") :]: v
+        for k, v in sd.items()
+        if k.startswith("patch_transformer.")
+    }
+    params: Dict = {"backbone": convert_ast(ast_sd)}
+    if "out_norm.weight" in sd:  # Identity when ast_feature_layer == 'frame'
+        params["out_norm"] = _ln(sd, "out_norm")
+    if "linear_emb.weight" in sd:
+        fp: Dict = {"linear_emb": _dense(sd, "linear_emb")}
+        i = 0
+        while f"frequency_transformer.{i}.norm1.weight" in sd:
+            fp[f"blocks_{i}"] = _vit_block(sd, f"frequency_transformer.{i}")
+            i += 1
+        fp["norm"] = _ln(sd, "frequency_transformer_norm")
+        params["f_pool_module"] = fp
+    if "GRU.weight_ih_l0" in sd:
+        params["decoder_module"] = _gru(sd, "GRU")
+    elif "transformer_decoder.0.norm1.weight" in sd:
+        dec: Dict = {}
+        i = 0
+        while f"transformer_decoder.{i}.norm1.weight" in sd:
+            dec[f"blocks_{i}"] = _vit_block(sd, f"transformer_decoder.{i}")
+            i += 1
+        params["decoder_module"] = dec
+        params["decoder_norm"] = _ln(sd, "decoder_norm")
+    params["classifier"] = _dense(sd, "classifier")
+    return params
 
 
 def convert_ast(sd: Mapping[str, np.ndarray]) -> Dict:
