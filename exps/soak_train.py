@@ -110,11 +110,15 @@ def main():
               f"total {total[-1]:.4f}  {times[-1]:.2f}s "
               f"({args.chunk * b / times[-1]:.1f} clips/s)", flush=True)
     warm = times[1:] if len(times) > 1 else times
+    spread = max(warm) / min(warm) - 1
     print(f"\nsoak {args.steps} steps @ B={b}: strong loss {first_strong:.4f} -> "
           f"{last_strong:.4f} ({first_strong / max(last_strong, 1e-9):.1f}x), "
           f"chunk time {min(warm):.2f}-{max(warm):.2f}s "
-          f"(spread {(max(warm) / min(warm) - 1) * 100:.1f}%)")
+          f"(spread {spread * 100:.1f}%)")
     assert last_strong < first_strong, "strong loss failed to decrease over the soak"
+    # regression gate: warm-chunk wall time must stay flat — drift means a
+    # recompile, memory creep, or host-side leak (r4 measured 0.2%)
+    assert spread < 0.10, f"per-chunk wall time drifted {spread * 100:.1f}% (>10%)"
 
 
 if __name__ == "__main__":
