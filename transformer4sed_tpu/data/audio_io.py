@@ -5,10 +5,12 @@ librosa.load at the codec sample rate, downmix to mono, zero-pad or
 truncate to ``audio_len * sr`` samples, and build a frame-level pad
 mask (True where frames are padding). librosa is not available in this
 image; the hot path is the native C++ core (``native/wav_core.cpp``:
-RIFF decode + windowed-sinc resample, GIL-free, batch thread pool) with
-a scipy.io.wavfile + resample_poly fallback. Other containers must be
-pre-converted (the reference repo ships a resample CLI for the same
-reason — ``src/utils/resample.py``).
+RIFF *and* FLAC decode + windowed-sinc resample, GIL-free, batch thread
+pool) with a scipy.io.wavfile / pure-Python FLAC (``data/flac.py``)
+fallback, dispatched on magic bytes. FLAC covers AudioSet-strong's
+common wire format; other containers (mp3/ogg) must be pre-converted
+(the reference repo ships a resample CLI for the same reason —
+``src/utils/resample.py``).
 """
 
 from __future__ import annotations
@@ -33,6 +35,12 @@ def to_mono(wav: np.ndarray, rand_ch: bool = False, rng: np.random.Generator | N
 
 
 def _decode_wav(path: str) -> Tuple[np.ndarray, int]:
+    with open(path, "rb") as f:
+        magic = f.read(4)
+    if magic == b"fLaC":
+        from transformer4sed_tpu.data.flac import decode_flac
+
+        return decode_flac(path)
     from scipy.io import wavfile
 
     sr, data = wavfile.read(path)

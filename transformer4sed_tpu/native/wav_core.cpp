@@ -9,7 +9,14 @@
 // scipy implementation in data/audio_io.py when no toolchain exists.
 //
 // Supported containers: RIFF WAVE with PCM u8/s16/s24/s32 and IEEE
-// float32/float64 payloads (chunk walker skips LIST/fact/etc).
+// float32/float64 payloads (chunk walker skips LIST/fact/etc), and
+// native FLAC (dispatched on the 'fLaC' magic): STREAMINFO + frame
+// decode with constant / verbatim / fixed / LPC subframes, rice and
+// rice2 partitioned residuals, wasted bits, and left-side / right-side
+// / mid-side stereo decorrelation — the full lossless subset the
+// format defines (AudioSet-strong clips in the wild ship as flac;
+// the reference ingests them via librosa/ffmpeg,
+// src/preprocess/feats_extraction.py:7-16).
 // Resampler: Hann-windowed sinc interpolation with a 512-samples-per-
 // zero-crossing lookup table (16 zero crossings each side, scaled by
 // min(1, target/orig) for anti-aliasing on downsample) — the resampy
@@ -77,6 +84,260 @@ uint16_t rd_u16(const uint8_t* p) {
   return static_cast<uint16_t>(p[0]) | (static_cast<uint16_t>(p[1]) << 8);
 }
 
+// ---------------------------------------------------------------------------
+// FLAC decode (spec: RFC 9639 / xiph FLAC format). MSB-first bit reader.
+// ---------------------------------------------------------------------------
+
+struct BitReader {
+  const uint8_t* p;
+  size_t n;        // bytes available
+  size_t bit = 0;  // absolute bit cursor
+  bool ok = true;
+
+  bool ensure(size_t k) {
+    if (bit + k > n * 8) {
+      ok = false;
+      return false;
+    }
+    return true;
+  }
+  uint64_t bits(int k) {  // k in [0, 57], MSB-first
+    if (k == 0) return 0;
+    if (!ensure(static_cast<size_t>(k))) return 0;
+    const size_t byte = bit >> 3;
+    const int off = static_cast<int>(bit & 7);
+    bit += static_cast<size_t>(k);
+    const int need = off + k;
+    const int nb = (need + 7) / 8;
+    uint64_t acc = 0;
+    for (int i = 0; i < nb; ++i) acc = (acc << 8) | p[byte + i];
+    acc >>= nb * 8 - need;
+    return acc & ((k >= 64) ? ~0ULL : ((1ULL << k) - 1));
+  }
+  int64_t sbits(int k) {  // two's complement
+    const uint64_t v = bits(k);
+    if (k == 0) return 0;
+    if (v & (1ULL << (k - 1))) return static_cast<int64_t>(v) - (1LL << k);
+    return static_cast<int64_t>(v);
+  }
+  uint32_t unary() {  // count of 0 bits before the next 1 bit
+    uint32_t q = 0;
+    while (ok) {
+      if (!ensure(1)) return 0;
+      const uint32_t b = (p[bit >> 3] >> (7 - (bit & 7))) & 1u;
+      ++bit;
+      if (b) return q;
+      if (++q > (1u << 24)) {  // runaway guard on corrupt streams
+        ok = false;
+        return 0;
+      }
+    }
+    return 0;
+  }
+  void align() { bit = (bit + 7) & ~static_cast<size_t>(7); }
+};
+
+int flac_residual(BitReader* br, uint32_t n, int order, std::vector<int64_t>* res) {
+  res->assign(n - static_cast<uint32_t>(order), 0);
+  const uint32_t method = static_cast<uint32_t>(br->bits(2));
+  if (method > 1) return 4;
+  const int pbits = method == 0 ? 4 : 5;
+  const uint32_t escape = method == 0 ? 0xFu : 0x1Fu;
+  const uint32_t po = static_cast<uint32_t>(br->bits(4));
+  const uint32_t nparts = 1u << po;
+  // blocksize must split evenly and the first partition (which drops the
+  // `order` warmup samples) must not underflow
+  if ((n >> po) << po != n || (n >> po) < static_cast<uint32_t>(order)) return 4;
+  size_t idx = 0;
+  for (uint32_t part = 0; part < nparts; ++part) {
+    const uint32_t take = (n >> po) - (part == 0 ? static_cast<uint32_t>(order) : 0u);
+    const uint32_t param = static_cast<uint32_t>(br->bits(pbits));
+    if (param == escape) {
+      const int raw = static_cast<int>(br->bits(5));
+      for (uint32_t i = 0; i < take; ++i) (*res)[idx++] = raw ? br->sbits(raw) : 0;
+    } else {
+      for (uint32_t i = 0; i < take; ++i) {
+        const uint64_t q = br->unary();
+        const uint64_t v = (q << param) | br->bits(static_cast<int>(param));
+        (*res)[idx++] = static_cast<int64_t>(v >> 1) ^ -static_cast<int64_t>(v & 1);
+      }
+    }
+    if (!br->ok) return 4;
+  }
+  return 0;
+}
+
+int flac_subframe(BitReader* br, uint32_t n, int bps, std::vector<int64_t>* out,
+                  std::vector<int64_t>* res) {
+  out->assign(n, 0);
+  if (br->bits(1) != 0) return 4;  // padding bit
+  const uint32_t type = static_cast<uint32_t>(br->bits(6));
+  int wasted = 0;
+  if (br->bits(1)) wasted = 1 + static_cast<int>(br->unary());
+  bps -= wasted;
+  if (bps <= 0 || bps > 33) return 4;
+
+  if (type == 0) {  // CONSTANT
+    const int64_t v = br->sbits(bps);
+    for (auto& s : *out) s = v;
+  } else if (type == 1) {  // VERBATIM
+    for (uint32_t i = 0; i < n; ++i) (*out)[i] = br->sbits(bps);
+  } else if (type >= 8 && type <= 12) {  // FIXED, order 0..4
+    const int order = static_cast<int>(type) - 8;
+    if (static_cast<uint32_t>(order) > n) return 4;
+    for (int i = 0; i < order; ++i) (*out)[i] = br->sbits(bps);
+    if (flac_residual(br, n, order, res)) return 4;
+    int64_t* s = out->data();
+    for (uint32_t i = static_cast<uint32_t>(order); i < n; ++i) {
+      int64_t pred;
+      switch (order) {
+        case 0: pred = 0; break;
+        case 1: pred = s[i - 1]; break;
+        case 2: pred = 2 * s[i - 1] - s[i - 2]; break;
+        case 3: pred = 3 * s[i - 1] - 3 * s[i - 2] + s[i - 3]; break;
+        default: pred = 4 * s[i - 1] - 6 * s[i - 2] + 4 * s[i - 3] - s[i - 4];
+      }
+      s[i] = pred + (*res)[i - static_cast<uint32_t>(order)];
+    }
+  } else if (type >= 32) {  // LPC, order 1..32
+    const int order = static_cast<int>(type & 31u) + 1;
+    if (static_cast<uint32_t>(order) > n) return 4;
+    for (int i = 0; i < order; ++i) (*out)[i] = br->sbits(bps);
+    const int prec = static_cast<int>(br->bits(4)) + 1;
+    if (prec == 16) return 4;  // 0b1111 is invalid per spec
+    const int shift = static_cast<int>(br->sbits(5));
+    if (shift < 0) return 4;
+    int64_t coef[32];
+    for (int i = 0; i < order; ++i) coef[i] = br->sbits(prec);
+    if (flac_residual(br, n, order, res)) return 4;
+    int64_t* s = out->data();
+    for (uint32_t i = static_cast<uint32_t>(order); i < n; ++i) {
+      int64_t acc = 0;  // <= 33 + 15 + 5 bits — no overflow in 64
+      for (int j = 0; j < order; ++j) acc += coef[j] * s[i - 1 - static_cast<uint32_t>(j)];
+      s[i] = (acc >> shift) + (*res)[i - static_cast<uint32_t>(order)];
+    }
+  } else {
+    return 4;
+  }
+  if (wasted)
+    for (auto& s : *out) s = static_cast<int64_t>(static_cast<uint64_t>(s) << wasted);
+  return br->ok ? 0 : 4;
+}
+
+int decode_flac(const std::vector<uint8_t>& buf, WavData* out) {
+  if (buf.size() < 42 || std::memcmp(buf.data(), "fLaC", 4) != 0) return 2;
+  size_t pos = 4;
+  int sample_rate = 0, channels = 0, bps = 0;
+  uint64_t total = 0;
+  bool have_si = false, last = false;
+  while (!last) {
+    if (pos + 4 > buf.size()) return 4;
+    const uint8_t h = buf[pos];
+    last = (h & 0x80u) != 0;
+    const uint32_t type = h & 0x7Fu;
+    const uint32_t len = (static_cast<uint32_t>(buf[pos + 1]) << 16) |
+                         (static_cast<uint32_t>(buf[pos + 2]) << 8) | buf[pos + 3];
+    pos += 4;
+    if (pos + len > buf.size()) return 4;
+    if (type == 0 && len >= 34) {  // STREAMINFO
+      const uint8_t* s = &buf[pos];
+      sample_rate = (static_cast<int>(s[10]) << 12) | (static_cast<int>(s[11]) << 4) |
+                    (s[12] >> 4);
+      channels = ((s[12] >> 1) & 0x7) + 1;
+      bps = (((s[12] & 1) << 4) | (s[13] >> 4)) + 1;
+      total = (static_cast<uint64_t>(s[13] & 0xF) << 32) |
+              (static_cast<uint64_t>(s[14]) << 24) | (static_cast<uint64_t>(s[15]) << 16) |
+              (static_cast<uint64_t>(s[16]) << 8) | s[17];
+      have_si = true;
+    }
+    pos += len;
+  }
+  if (!have_si || sample_rate <= 0 || channels < 1 || channels > 8 || bps < 4 || bps > 32)
+    return 3;
+  out->channels = channels;
+  out->sample_rate = sample_rate;
+  out->samples.clear();
+  if (total) out->samples.reserve(static_cast<size_t>(total) * static_cast<size_t>(channels));
+  const double norm = 1.0 / static_cast<double>(1ULL << (bps - 1));
+
+  std::vector<std::vector<int64_t>> ch(static_cast<size_t>(channels));
+  std::vector<int64_t> res;
+  while (pos + 2 <= buf.size()) {
+    if (buf[pos] != 0xFF || (buf[pos + 1] & 0xFC) != 0xF8) return 4;
+    BitReader br{buf.data() + pos, buf.size() - pos};
+    br.bits(16);  // sync(14) + reserved + blocking strategy
+    const uint32_t bs_code = static_cast<uint32_t>(br.bits(4));
+    const uint32_t sr_code = static_cast<uint32_t>(br.bits(4));
+    const uint32_t ca = static_cast<uint32_t>(br.bits(4));
+    const uint32_t ss_code = static_cast<uint32_t>(br.bits(3));
+    br.bits(1);  // reserved
+    {            // UTF-8 coded frame/sample number
+      const uint32_t b0 = static_cast<uint32_t>(br.bits(8));
+      if (b0 >= 0x80u) {
+        int ones = 0;
+        while (ones < 8 && (b0 & (0x80u >> ones))) ++ones;
+        if (ones < 2 || ones > 7) return 4;
+        for (int i = 0; i < ones - 1; ++i) br.bits(8);
+      }
+    }
+    uint32_t blocksize;
+    if (bs_code == 0) return 4;
+    else if (bs_code == 1) blocksize = 192;
+    else if (bs_code <= 5) blocksize = 576u << (bs_code - 2);
+    else if (bs_code == 6) blocksize = static_cast<uint32_t>(br.bits(8)) + 1;
+    else if (bs_code == 7) blocksize = static_cast<uint32_t>(br.bits(16)) + 1;
+    else blocksize = 256u << (bs_code - 8);
+    if (sr_code == 12) br.bits(8);
+    else if (sr_code == 13 || sr_code == 14) br.bits(16);
+    else if (sr_code == 15) return 4;
+    int frame_bps = bps;
+    if (ss_code == 1) frame_bps = 8;
+    else if (ss_code == 2) frame_bps = 12;
+    else if (ss_code == 4) frame_bps = 16;
+    else if (ss_code == 5) frame_bps = 20;
+    else if (ss_code == 6) frame_bps = 24;
+    else if (ss_code == 7) frame_bps = 32;
+    else if (ss_code == 3) return 4;
+    br.bits(8);  // header CRC-8 (structure-validated stream; not re-checked)
+    if (ca > 10) return 4;
+    const int nch = ca < 8 ? static_cast<int>(ca) + 1 : 2;
+    if (nch != channels || blocksize > (1u << 16) || blocksize == 0) return 4;
+
+    for (int c = 0; c < nch; ++c) {
+      int sbps = frame_bps;
+      if ((ca == 8 && c == 1) || (ca == 9 && c == 0) || (ca == 10 && c == 1)) sbps += 1;
+      if (flac_subframe(&br, blocksize, sbps, &ch[static_cast<size_t>(c)], &res)) return 4;
+    }
+    if (!br.ok) return 4;
+    br.align();
+    br.bits(16);  // frame CRC-16
+    if (!br.ok) return 4;
+
+    if (ca == 8) {  // left/side -> right = left - side
+      for (uint32_t i = 0; i < blocksize; ++i) ch[1][i] = ch[0][i] - ch[1][i];
+    } else if (ca == 9) {  // side/right -> left = right + side
+      for (uint32_t i = 0; i < blocksize; ++i) ch[0][i] = ch[1][i] + ch[0][i];
+    } else if (ca == 10) {  // mid/side
+      for (uint32_t i = 0; i < blocksize; ++i) {
+        const int64_t side = ch[1][i];
+        const int64_t mid = (ch[0][i] << 1) | (side & 1);
+        ch[0][i] = (mid + side) >> 1;
+        ch[1][i] = (mid - side) >> 1;
+      }
+    }
+    for (uint32_t i = 0; i < blocksize; ++i)
+      for (int c = 0; c < channels; ++c)
+        out->samples.push_back(
+            static_cast<float>(static_cast<double>(ch[static_cast<size_t>(c)][i]) * norm));
+    pos += br.bit >> 3;
+    if (total && out->samples.size() >=
+                     static_cast<size_t>(total) * static_cast<size_t>(channels))
+      break;
+  }
+  if (total) out->samples.resize(static_cast<size_t>(total) * static_cast<size_t>(channels));
+  return 0;
+}
+
 int decode_wav(const char* path, WavData* out) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return 1;
@@ -85,7 +346,7 @@ int decode_wav(const char* path, WavData* out) {
     std::fseek(f, 0, SEEK_END);
     const long sz = std::ftell(f);
     std::fseek(f, 0, SEEK_SET);
-    if (sz < 44) { std::fclose(f); return 2; }
+    if (sz < 12) { std::fclose(f); return 2; }
     buf.resize(static_cast<size_t>(sz));
     if (std::fread(buf.data(), 1, buf.size(), f) != buf.size()) {
       std::fclose(f);
@@ -93,7 +354,9 @@ int decode_wav(const char* path, WavData* out) {
     }
     std::fclose(f);
   }
-  if (std::memcmp(buf.data(), "RIFF", 4) != 0 || std::memcmp(buf.data() + 8, "WAVE", 4) != 0)
+  if (std::memcmp(buf.data(), "fLaC", 4) == 0) return decode_flac(buf, out);
+  if (buf.size() < 44 || std::memcmp(buf.data(), "RIFF", 4) != 0 ||
+      std::memcmp(buf.data() + 8, "WAVE", 4) != 0)
     return 2;
 
   uint16_t fmt_code = 0, channels = 0, bits = 0;
