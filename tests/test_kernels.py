@@ -255,7 +255,7 @@ class TestXLPallasBackward:
         )
         grads = _xl_backward(
             qu, qv, k, v, p, out, lse, g, sm,
-            block_q=32, block_k=32, block_kv=32, group=8,
+            block_q=32, block_k=32, group=8,
             band_widths=widths, interpret=True,
         )
         for name, ours, want in zip(("dqu", "dqv", "dk", "dv", "dp"), grads, ref):
@@ -313,7 +313,7 @@ class TestXLOddLengths:
         ref = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(qu, qv, k, v, p)
         grads = _xl_backward(
             qu, qv, k, v, p, out, lse, g, 0.25,
-            block_q=32, block_k=32, block_kv=32, group=8, interpret=True,
+            block_q=32, block_k=32, group=8, interpret=True,
         )
         for name, ours, want in zip(("dqu", "dqv", "dk", "dv", "dp"), grads, ref):
             np.testing.assert_allclose(

@@ -473,6 +473,10 @@ def _flash_backward(q, k, v, o, lse, g, sm_scale, block_q=256, interpret=False):
 # and backward kernels below slice head lanes the same way, so neither
 # direction ever materialises a [B, H, N, d] transpose in HBM. Layouts
 # the lane-blocking cannot cover fall back to the [B, H, N, d] pair.
+# The backward is ONE fused kernel (r4): each (b, head-pair, q-block)
+# program recomputes the score strip once and emits dq directly plus
+# dk/dv contributions into f32 accumulators revisited across q-blocks —
+# 5 matmuls per head per strip vs 7 for the former dq + dkv kernel pair.
 
 
 def _flash_nhd_kernel(q_ref, k_ref, v_ref, o_ref, *, d, seq_len, sm_scale):
@@ -613,16 +617,25 @@ def _flash_nhd_forward_lse(q, k, v, heads, sm_scale, block_q=256, interpret=Fals
     return out[:, :t], lse.reshape(b, heads, t_pad)
 
 
-def _nhd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *, d, seq_len, sm_scale):
+def _nhd_dqkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                     dq_ref, dk_ref, dv_ref, *, d, seq_len, sm_scale):
+    """One (b, head-pair, q-block) program: the score strip [bq, T_pad]
+    is recomputed ONCE and yields dq (direct block write) AND this
+    block's dk/dv contributions, accumulated into full-[T_pad] f32
+    outputs the grid revisits across q-blocks (q innermost). Fusing the
+    former separate dq / dkv kernels halves the score+dp recompute:
+    5 matmuls per head per strip instead of 7."""
     bq = q_ref.shape[0]
     t_pad = k_ref.shape[0]
     lanes = q_ref.shape[1]
     col = jax.lax.broadcasted_iota(jnp.int32, (bq, t_pad), 1)
+    first = pl.program_id(2) == 0
     for j in range(lanes // d):
-        qh = q_ref[:, j * d : (j + 1) * d]
-        kh = k_ref[:, j * d : (j + 1) * d]
-        vh = v_ref[:, j * d : (j + 1) * d]
-        doh = do_ref[:, j * d : (j + 1) * d]
+        sl = slice(j * d, (j + 1) * d)
+        qh = q_ref[:, sl]
+        kh = k_ref[:, sl]
+        vh = v_ref[:, sl]
+        doh = do_ref[:, sl]
         lse = lse_ref[j, :].reshape(-1, 1)
         delta = delta_ref[j, :].reshape(-1, 1)
         s = jnp.dot(qh, kh.T, preferred_element_type=jnp.float32) * sm_scale
@@ -630,37 +643,28 @@ def _nhd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, *, d
         p = jnp.exp(s - lse)
         dp = jnp.dot(doh, vh.T, preferred_element_type=jnp.float32)
         ds = (p * (dp - delta)).astype(qh.dtype)
-        dq_ref[:, j * d : (j + 1) * d] = (
+        dq_ref[:, sl] = (
             jnp.dot(ds, kh, preferred_element_type=jnp.float32) * sm_scale
         ).astype(dq_ref.dtype)
+        # dv_j += p^T @ do, dk_j += ds^T @ q (padded q rows have do=0 ->
+        # ds=0 and contribute nothing)
+        dv_c = jax.lax.dot_general(
+            p.astype(doh.dtype), doh, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dk_c = jax.lax.dot_general(
+            ds, qh, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) * sm_scale
 
+        @pl.when(first)
+        def _():
+            dv_ref[:, sl] = dv_c
+            dk_ref[:, sl] = dk_c
 
-def _nhd_dkv_kernel(
-    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref, *, d, seq_len, sm_scale
-):
-    t_pad = q_ref.shape[0]
-    bkv = k_ref.shape[0]
-    lanes = q_ref.shape[1]
-    kv_start = pl.program_id(2) * bkv
-    col = jax.lax.broadcasted_iota(jnp.int32, (t_pad, bkv), 1) + kv_start
-    for j in range(lanes // d):
-        qh = q_ref[:, j * d : (j + 1) * d]
-        kh = k_ref[:, j * d : (j + 1) * d]
-        vh = v_ref[:, j * d : (j + 1) * d]
-        doh = do_ref[:, j * d : (j + 1) * d]
-        lse = lse_ref[j, :].reshape(-1, 1)
-        delta = delta_ref[j, :].reshape(-1, 1)
-        s = jnp.dot(qh, kh.T, preferred_element_type=jnp.float32) * sm_scale  # [t_pad, bkv]
-        s = jnp.where(col < seq_len, s, _NEG_INF)
-        p = jnp.exp(s - lse)
-        dv_ref[:, j * d : (j + 1) * d] = jnp.dot(
-            p.astype(doh.dtype).T, doh, preferred_element_type=jnp.float32
-        ).astype(dv_ref.dtype)
-        dp = jnp.dot(doh, vh.T, preferred_element_type=jnp.float32)
-        ds = (p * (dp - delta)).astype(qh.dtype)
-        dk_ref[:, j * d : (j + 1) * d] = (
-            jnp.dot(ds.T, qh, preferred_element_type=jnp.float32) * sm_scale
-        ).astype(dk_ref.dtype)
+        @pl.when(jnp.logical_not(first))
+        def _():
+            dv_ref[:, sl] += dv_c
+            dk_ref[:, sl] += dk_c
 
 
 def _flash_nhd_backward(q, k, v, o, lse, g, heads, sm_scale, block_q=256, interpret=False):
@@ -687,11 +691,10 @@ def _flash_nhd_backward(q, k, v, o, lse, g, heads, sm_scale, block_q=256, interp
     qkv_blk = lambda bi, hi, qi: (bi, qi, hi)
     qkv_full = lambda bi, hi, qi: (bi, 0, hi)
     vec_blk = lambda bi, hi, qi: (bi, hi, 0, qi)
-    vec_full = lambda bi, hi, qi: (bi, hi, 0, 0)
     grid = (b, c // lane_block, t_pad // block_q)
 
-    dq = pl.pallas_call(
-        functools.partial(_nhd_dq_kernel, d=d, seq_len=t, sm_scale=sm_scale),
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_nhd_dqkv_kernel, d=d, seq_len=t, sm_scale=sm_scale),
         grid=grid,
         in_specs=[
             pl.BlockSpec((None, block_q, lane_block), qkv_blk, memory_space=pltpu.VMEM),
@@ -700,34 +703,21 @@ def _flash_nhd_backward(q, k, v, o, lse, g, heads, sm_scale, block_q=256, interp
             pl.BlockSpec((None, block_q, lane_block), qkv_blk, memory_space=pltpu.VMEM),
             pl.BlockSpec((None, None, hpb, block_q), vec_blk, memory_space=pltpu.VMEM),
             pl.BlockSpec((None, None, hpb, block_q), vec_blk, memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((None, block_q, lane_block), qkv_blk, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, t_pad, c), q.dtype),
-        interpret=interpret,
-    )(qp, kp, vp, gp, lse4, delta)
-
-    dk, dv = pl.pallas_call(
-        functools.partial(_nhd_dkv_kernel, d=d, seq_len=t, sm_scale=sm_scale),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((None, t_pad, lane_block), qkv_full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, block_q, lane_block), qkv_blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, block_q, lane_block), qkv_blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, t_pad, lane_block), qkv_full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, hpb, t_pad), vec_full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, hpb, t_pad), vec_full, memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((None, block_q, lane_block), qkv_blk, memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, block_q, lane_block), qkv_blk, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, t_pad, lane_block), qkv_full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, t_pad, lane_block), qkv_full, memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((b, t_pad, c), k.dtype),
-            jax.ShapeDtypeStruct((b, t_pad, c), v.dtype),
+            jax.ShapeDtypeStruct((b, t_pad, c), q.dtype),
+            # dk/dv accumulate across q-blocks — keep f32 until the final cast
+            jax.ShapeDtypeStruct((b, t_pad, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, t_pad, c), jnp.float32),
         ),
         interpret=interpret,
     )(qp, kp, vp, gp, lse4, delta)
-    return dq[:, :t], dk[:, :t], dv[:, :t]
+    return dq[:, :t], dk[:, :t].astype(k.dtype), dv[:, :t].astype(v.dtype)
 
 
 def _split_heads(x, heads):

@@ -242,14 +242,20 @@ def _xl_row_lse_kernel(
 
 def _xl_bwd_dq_kernel(
     qu_ref, qv_ref, k_ref, v_ref, p_ref, do_ref, lse_ref, delta_ref,
-    dqu_ref, dqv_ref, dp_ref,
+    dqu_ref, dqv_ref, dp_ref, dk_ref, dv_ref,
     *, seq_len: int, sm_scale: float, pad_lo: int, group: int,
     band_widths: Optional[tuple],
 ):
-    """One (h, b, q-block) program: dQu, dQv for the block, plus this
-    block's contribution to dP accumulated into a per-head [p_len, d]
-    output that the grid revisits (h is the slowest grid dim, so all
-    (b, q-block) steps for a head are consecutive).
+    """One (h, b, q-block) program: dQu, dQv for the block, this block's
+    dP contribution accumulated into a per-head [p_len, d] output the
+    grid revisits (h is the slowest grid dim, so all (b, q-block) steps
+    for a head are consecutive) — AND, fused since r4, the block's
+    dK/dV contributions accumulated into full-[T_pad] f32 outputs
+    revisited across q-blocks. The former separate dK/dV kernel
+    re-derived the full content+BD score strip per kv block (the single
+    most expensive recompute in the backward); here the [bq, T_pad]
+    strip is computed once and serves all five cotangents. dK flows only
+    through the content (AC) term — the BD term involves P, not K.
 
     The rel-shift backward is the exact inverse of the forward slab roll:
     dS rows are right-rolled by the same per-row residual shift, then one
@@ -284,6 +290,27 @@ def _xl_bwd_dq_kernel(
         jnp.dot(ds_lp, k_ref[:], preferred_element_type=jnp.float32) * sm_scale
     ).astype(dqu_ref.dtype)
 
+    # fused dK/dV: padded q rows carry do=0 -> ds=0, contribute nothing
+    first_q = pl.program_id(2) == 0
+    dv_c = jax.lax.dot_general(
+        a.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dk_c = jax.lax.dot_general(
+        ds_lp, qu_ref[:], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * sm_scale
+
+    @pl.when(first_q)
+    def _():
+        dv_ref[:] = dv_c
+        dk_ref[:] = dk_c
+
+    @pl.when(jnp.logical_not(first_q))
+    def _():
+        dv_ref[:] += dv_c
+        dk_ref[:] += dk_c
+
     strip_start0 = pl.multiple_of(pad_lo + (seq_len - 1) - (i0 + block_q - 1), 8)
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (group, strip_w), 0)
     shift_amount = (group - 1) - row_ids
@@ -305,59 +332,6 @@ def _xl_bwd_dq_kernel(
         ) * sm_scale  # [W, d]
         idx = pl.ds(strip_start0 + coarse, strip_w)
         dp_ref[idx, :] += contrib
-
-
-def _xl_bwd_dkv_kernel(
-    qu_ref, qv_ref, k_ref, v_ref, p_ref, do_ref, lse_ref, delta_ref,
-    dk_ref, dv_ref,
-    *, seq_len: int, sm_scale: float, pad_lo: int, group: int,
-    band_widths: Optional[tuple],
-):
-    """One (b, h, kv-block) program: dK, dV for the key/value block, with
-    the [T_pad, block_kv] score strip recomputed from the saved LSE. The
-    position strip for row-slab g of a kv block starts at
-    ``pad_lo + T + kv0 - r0 - G`` (aligned by the pad_lo congruence)."""
-    h_index = pl.program_id(1)
-    block_kv, d = k_ref.shape
-    kv0 = pl.program_id(2) * block_kv
-    qu, qv, do = qu_ref[:], qv_ref[:], do_ref[:]
-    t_pad = qu.shape[0]
-    n_bits = max(1, math.ceil(math.log2(group)))
-    strip_w = block_kv + group
-
-    content = jnp.dot(qu, k_ref[:].T, preferred_element_type=jnp.float32) * sm_scale
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (group, strip_w), 0)
-    shift_amount = (group - 1) - row_ids
-    slabs = []
-    for g in range(t_pad // group):
-        r0 = g * group
-        start = pl.multiple_of(pad_lo + seq_len + kv0 - r0 - group, 8)
-        strip = p_ref[pl.ds(start, strip_w), :]
-        prod = (
-            jnp.dot(qv[r0 : r0 + group], strip.T, preferred_element_type=jnp.float32)
-            * sm_scale
-        )
-        prod = _roll_rows_left(prod, shift_amount, strip_w, n_bits)
-        slabs.append(prod[:, :block_kv])
-    s = content + jnp.concatenate(slabs, axis=0)  # [T_pad, bkv]
-    valid = _valid_mask(seq_len, (t_pad, block_kv), 0, h_index, band_widths, col0=kv0)
-    s = jnp.where(valid, s, _NEG_INF)
-
-    lse = lse_ref[:].reshape(-1, 1)
-    delta = delta_ref[:].reshape(-1, 1)
-    a = jnp.exp(s - lse)  # [T_pad, bkv]
-    dv_ref[:] = jax.lax.dot_general(
-        a.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(dv_ref.dtype)
-    dov = jnp.dot(do, v_ref[:].T, preferred_element_type=jnp.float32)
-    ds = (a * (dov - delta)).astype(qu.dtype)
-    dk_ref[:] = (
-        jax.lax.dot_general(
-            ds, qu, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-        * sm_scale
-    ).astype(dk_ref.dtype)
 
 
 _ROW_KERNEL_MAX_T = 2048  # [bq, T_pad] f32 scores + strips must fit VMEM
@@ -483,7 +457,7 @@ def _xl_forward_lse(
 
 def _xl_backward(
     qu, qv, k, v, p, o, lse, g, sm_scale,
-    block_q=512, block_k=256, block_kv=512, group=128,
+    block_q=512, block_k=256, group=128,
     band_widths=None, interpret=False,
 ):
     """Fully-Pallas XL backward: (dqu, dqv, dk, dv, dp) from saved O+LSE."""
@@ -503,12 +477,15 @@ def _xl_backward(
         g_p.astype(jnp.float32) * o_p.astype(jnp.float32), axis=-1
     )[:, :, None, :]  # [B, H, 1, T_pad]
 
-    # dQu / dQv / dP — grid (h, b, qi): h slowest so the per-head dP block
-    # is revisited consecutively for accumulation
+    # ONE fused kernel — grid (h, b, qi): h slowest so the per-head dP
+    # block is revisited consecutively for accumulation; dK/dV accumulate
+    # across the (innermost) q-blocks per (h, b). The former separate
+    # dK/dV pass re-derived the full content+BD score strip per kv block;
+    # fusing halves the score recompute.
     qrow = lambda h_, b_, qi: (b_, h_, qi, 0)
     qfull = lambda h_, b_, qi: (b_, h_, 0, 0)
     qvec = lambda h_, b_, qi: (b_, h_, 0, qi)
-    dqu, dqv, dp = pl.pallas_call(
+    dqu, dqv, dp, dk, dv = pl.pallas_call(
         functools.partial(
             _xl_bwd_dq_kernel, seq_len=t, sm_scale=sm_scale, pad_lo=pad_lo,
             group=group, band_widths=band_widths,
@@ -528,6 +505,8 @@ def _xl_backward(
             pl.BlockSpec((None, None, block_q, d), qrow, memory_space=pltpu.VMEM),
             pl.BlockSpec((None, None, block_q, d), qrow, memory_space=pltpu.VMEM),
             pl.BlockSpec((None, p_len, d), lambda h_, b_, qi: (h_, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, t_pad, d), qfull, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, t_pad, d), qfull, memory_space=pltpu.VMEM),
         ),
         out_shape=(
             # cotangents must carry their own primal's dtype (qu/qv are
@@ -535,44 +514,17 @@ def _xl_backward(
             jax.ShapeDtypeStruct((b, h, t_pad, d), qu.dtype),
             jax.ShapeDtypeStruct((b, h, t_pad, d), qv.dtype),
             jax.ShapeDtypeStruct((h, p_len, d), jnp.float32),
-        ),
-        interpret=interpret,
-    )(qu_p, qv_p, k_p, v_p, p_padded, g_p, lse, delta)
-
-    # dK / dV — grid (b, h, kvi), full query rows per program
-    kvrow = lambda b_, h_, kvi: (b_, h_, kvi, 0)
-    kvfull = lambda b_, h_, kvi: (b_, h_, 0, 0)
-    kvvec = lambda b_, h_, kvi: (b_, h_, 0, 0)
-    dk, dv = pl.pallas_call(
-        functools.partial(
-            _xl_bwd_dkv_kernel, seq_len=t, sm_scale=sm_scale, pad_lo=pad_lo,
-            group=group, band_widths=band_widths,
-        ),
-        grid=(b, h, t_pad // block_kv),
-        in_specs=[
-            pl.BlockSpec((None, None, t_pad, d), kvfull, memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, t_pad, d), kvfull, memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, block_kv, d), kvrow, memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, block_kv, d), kvrow, memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, p_len, d), lambda b_, h_, kvi: (h_, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, t_pad, d), kvfull, memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, None, t_pad), kvvec, memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, None, t_pad), kvvec, memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((None, None, block_kv, d), kvrow, memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, block_kv, d), kvrow, memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((b, h, t_pad, d), k.dtype),
-            jax.ShapeDtypeStruct((b, h, t_pad, d), v.dtype),
+            # dK/dV accumulate across q-blocks — f32 until the final cast
+            jax.ShapeDtypeStruct((b, h, t_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, t_pad, d), jnp.float32),
         ),
         interpret=interpret,
     )(qu_p, qv_p, k_p, v_p, p_padded, g_p, lse, delta)
 
     unpad = lambda x: x[:, :, :t]
     dp_out = dp[:, pad_lo : pad_lo + n_pos].astype(p.dtype)
-    return unpad(dqu), unpad(dqv), unpad(dk), unpad(dv), dp_out
+    return (unpad(dqu), unpad(dqv), unpad(dk).astype(k.dtype),
+            unpad(dv).astype(v.dtype), dp_out)
 
 
 def _xla_xl_attention(qu, qv, k, v, p, sm_scale, band_widths=None):
