@@ -74,6 +74,108 @@ def flops_per_clip() -> float:
     return float(patch + enc + dec + interp_heads + at_adapter)
 
 
+def audioset_flops_per_clip(t_dec: int) -> float:
+    """Analytic forward FLOPs for one 10-s clip through the AudioSet-strong
+    supervised flagship (HTSAT_CNN: tiny Swin backbone spec 256 / patch 4 /
+    embed 96 / depths (2,2,6,2) / window 8, + 3-layer XL decoder at the
+    x10-interpolated grid, 447 classes). Matmul/attention terms only —
+    frontend FFT, interpolation and norms excluded (slight lower bound).
+
+    Swin block: qkv+proj 8ND^2 + mlp(x4) 16ND^2 + windowed scores/PV
+    4*N*M*D (M = window^2 = 64). XL decoder block at expand_rate 1:
+    (6+2+2+4) N D^2 dense + 4 N^2 D attention (same convention as
+    :func:`flops_per_clip`).
+    """
+    m = 64  # window^2
+    swin = 0.0
+    tokens, dim = 64 * 64, 96  # spec 256 / patch 4
+    for depth in (2, 2, 6, 2):
+        swin += depth * (24 * tokens * dim * dim + 4 * tokens * m * dim)
+        tokens, dim = tokens // 4, dim * 2  # PatchMerging
+    d = 768
+    dec = 3 * (14 * t_dec * d * d + 4 * t_dec * t_dec * d)
+    head = 2 * t_dec * d * 447
+    proj = 2 * (t_dec) * d * d  # transformer_projector at the interpolated grid
+    return float(swin + dec + head + proj)
+
+
+def measure_audioset_train(batch_size: int = 64, n_inner: int = 10, repeats: int = 3):
+    """AudioSet-strong supervised FULL train step (HTSAT frontend + aug +
+    HTSAT_CNN fwd/bwd + AdamW + BatchNorm stats, one jit) clips/s/chip,
+    DCE-proof via the scan methodology of :func:`measure_train`.
+
+    Matches the hot loop of the reference's
+    ``recipes/audioset_strong/base/htsat_cnn/train.py``. Returns
+    (step_ms, clips_per_sec, t_dec).
+    """
+    import optax
+
+    from transformer4sed_tpu.models.htsat import HTSATFrontend
+    from transformer4sed_tpu.models.htsat_heads import HTSAT_CNN
+    from transformer4sed_tpu.recipes import common
+    from transformer4sed_tpu.recipes.audioset_strong import (
+        SupervisedConfig,
+        make_supervised_step,
+    )
+    from transformer4sed_tpu.train.mlm import MLMState
+
+    cpu = jax.devices("cpu")[0]
+    dev = jax.devices()[0]
+    frontend = HTSATFrontend()
+    model = HTSAT_CNN(
+        class_num=447, decoder_dim=768, num_heads=12, decoder="transformerXL",
+        decoder_layer_num=3, dtype=jnp.bfloat16,
+    )
+    model_apply = common.make_model_apply(model, True)
+    with jax.default_device(cpu):
+        mel0 = frontend.normalize(frontend(np.zeros((1, 320000), np.float32)))
+        variables = model.init({"params": jax.random.PRNGKey(0)}, mel0)
+        out0, _ = model_apply(
+            variables["params"], mel0,
+            model_state={k: v for k, v in variables.items() if k != "params"},
+        )
+    t_dec = int(out0.strong.shape[-1])
+    params = jax.device_put(variables["params"], dev)
+    model_state = jax.device_put(
+        {k: v for k, v in variables.items() if k != "params"}, dev)
+
+    wav = jnp.asarray(
+        np.random.RandomState(3).randn(batch_size, 320000).astype(np.float32) * 0.1)
+    labels = jnp.asarray(
+        (np.random.RandomState(4).rand(batch_size, 447, t_dec) > 0.995).astype(np.float32))
+    batches = {
+        "wav": jax.device_put(jnp.broadcast_to(wav, (n_inner,) + wav.shape), dev),
+        "labels": jax.device_put(jnp.broadcast_to(labels, (n_inner,) + labels.shape), dev),
+    }
+    tx = optax.adamw(1e-4, weight_decay=1e-4)
+    state = jax.device_put(
+        MLMState(params=params, opt_state=tx.init(params),
+                 step=jnp.zeros((), jnp.int32), model_state=model_state), dev)
+    raw_step = make_supervised_step(model_apply, frontend, tx, SupervisedConfig())
+
+    @jax.jit
+    def forced(st, bts, k):
+        def body(s, inp):
+            b, kk = inp
+            s2, metrics = raw_step(s, b, kk)
+            return s2, metrics["loss_class_strong"]
+
+        keys = jax.random.split(k, n_inner)
+        final, losses = jax.lax.scan(body, st, (bts, keys))
+        return (losses[-1] + _force_scalar(final.params)
+                + _force_scalar(final.opt_state) + _force_scalar(final.model_state))
+
+    key = jax.device_put(jax.random.PRNGKey(0), dev)
+    float(forced(state, batches, key))  # compile + warm
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(forced(state, batches, key))
+        best = min(best, time.perf_counter() - t0)
+    dt = best / n_inner
+    return dt * 1000.0, batch_size / dt, t_dec
+
+
 def _force_scalar(tree):
     """Cheap scalar that data-depends on every leaf of ``tree`` — defeats
     XLA dead-code-eliminating the backward/optimizer/EMA when only the
@@ -238,6 +340,22 @@ def main():
             "train_batch": train_batch,
             "train_mfu": round(train_mfu, 4) if train_mfu is not None else None,
         }
+
+    # AudioSet-strong supervised training flagship (HTSAT_CNN, 447 classes)
+    # — the second driver-visible training metric (VERDICT r3 item 7).
+    # Train FLOPs/clip = 3x forward (fwd + ~2x bwd; no teacher).
+    if os.environ.get("T4S_BENCH_SKIP_AUDIOSET", "0") != "1":
+        as_batch = 64
+        as_ms, as_cps, t_dec = measure_audioset_train(as_batch)
+        as_fpc = audioset_flops_per_clip(t_dec)
+        as_mfu = (3.0 * as_fpc * as_cps / peak) if peak else None
+        train_fields.update({
+            "audioset_train_clips_per_sec_per_chip": round(as_cps, 2),
+            "audioset_train_step_ms": round(as_ms, 1),
+            "audioset_train_batch": as_batch,
+            "audioset_flops_per_clip": as_fpc,
+            "audioset_train_mfu": round(as_mfu, 4) if as_mfu is not None else None,
+        })
 
     print(
         json.dumps(

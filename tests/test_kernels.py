@@ -686,6 +686,51 @@ class TestXLNHDKernel:
         for a, b_ in zip(g1, g2):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-5)
 
+    @pytest.mark.parametrize("band", [None, (6, 10, 6, 10)])
+    @pytest.mark.parametrize("t", [100, 130])
+    def test_nhd_lse_forward_and_fused_backward(self, t, band):
+        """The fully heads-in-lanes differentiated path (r4): forward-
+        with-LSE output parity, then the fused nhd backward's six
+        cotangents (dq/dk/dv/dbu/dbv/dp) vs XLA autodiff of the
+        transposed reference — incl. ragged T and band masks."""
+        from transformer4sed_tpu.kernels.xl_attention import (
+            _xl_merge,
+            _xl_nhd_backward,
+            _xl_nhd_forward_lse,
+            _xl_split,
+            _xla_xl_attention,
+        )
+
+        b, h, d = 2, 4, 16
+        q, k, v, bu, bv, p = self._data(b, t, h, d, seed=3)
+        rng = np.random.RandomState(4)
+        g = jnp.asarray(rng.randn(b, t, h * d).astype(np.float32))
+        scale = d ** -0.5
+
+        def ref_fn(q, k, v, bu, bv, p):
+            qh = _xl_split(q, h)
+            return _xl_merge(_xla_xl_attention(
+                qh + bu[None, :, None], qh + bv[None, :, None],
+                _xl_split(k, h), _xl_split(v, h), p, scale, band))
+
+        out, lse = _xl_nhd_forward_lse(q, k, v, bu, bv, p, h, scale,
+                                       block_q=32, group=8,
+                                       band_widths=band, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref_fn(q, k, v, bu, bv, p)),
+                                   atol=3e-5)
+        assert lse.shape[:2] == (b, h) and lse.dtype == jnp.float32
+
+        dq, dk, dv, dbu, dbv, dp = _xl_nhd_backward(
+            q, k, v, bu, bv, p, out, lse, g, h, scale,
+            block_q=32, group=8, band_widths=band, interpret=True)
+        _, vjp = jax.vjp(ref_fn, q, k, v, bu, bv, p)
+        refs = vjp(g)
+        for name, ours, want in zip(("dq", "dk", "dv", "dbu", "dbv", "dp"),
+                                    (dq, dk, dv, dbu, dbv, dp), refs):
+            np.testing.assert_allclose(
+                np.asarray(ours), np.asarray(want), atol=1e-4,
+                err_msg=f"T={t} band={band} {name}")
+
     def test_bf16_cotangent_dtypes_match_primals(self):
         """bf16 regression: dq must come back in the primal dtype. A f32
         dq next to bf16 dk/dv breaks the VJP of the caller's qkv split

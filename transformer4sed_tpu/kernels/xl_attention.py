@@ -698,6 +698,286 @@ def _xl_nhd_forward(
     return out[:, :t]
 
 
+def _xl_row_nhd_lse_kernel(
+    q_ref, k_ref, v_ref, *rest,
+    seq_len: int, sm_scale: float, pad_lo: int, group: int,
+    band_widths: Optional[tuple], d: int,
+):
+    """The nhd row kernel, additionally emitting per-head LSE rows —
+    enables the fully heads-in-lanes differentiated path (the backward
+    recomputes scores from the saved LSE, FlashAttention-style)."""
+    block_q = q_ref.shape[0]
+    hpb = q_ref.shape[1] // d
+    p_refs = rest[:hpb]
+    bu_ref, bv_ref, o_ref, lse_ref = rest[hpb], rest[hpb + 1], rest[hpb + 2], rest[hpb + 3]
+    i0 = pl.program_id(2) * block_q
+    for j in range(hpb):
+        sl = slice(j * d, (j + 1) * d)
+        q = q_ref[:, sl]
+        qu = (q.astype(jnp.float32) + bu_ref[j].astype(jnp.float32)).astype(q.dtype)
+        qv = (q.astype(jnp.float32) + bv_ref[j].astype(jnp.float32)).astype(q.dtype)
+        s = _row_scores(
+            qu, qv, k_ref[:, sl], p_refs[j],
+            seq_len=seq_len, sm_scale=sm_scale, pad_lo=pad_lo, group=group,
+            band_widths=band_widths, i0=i0,
+            h_index=pl.program_id(1) * hpb + j,
+        )
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        l = jnp.sum(e, axis=-1, keepdims=True)
+        v = v_ref[:, sl]
+        acc = jnp.dot(e.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        o_ref[:, sl] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+        lse_ref[j, :] = (m + jnp.log(jnp.maximum(l, 1e-30)))[:, 0]
+
+
+def _xl_nhd_forward_lse(
+    q, k, v, bias_u, bias_v, p, num_heads, sm_scale,
+    block_q=512, group=128, band_widths=None, interpret=False,
+):
+    """[B, T, H*d] forward with in-kernel pos-bias adds, returning
+    (out [B, T, C], lse [B, H, T_pad] f32)."""
+    b, t, c = q.shape
+    d = c // num_heads
+    hpb = min(max(128 // d, 1), num_heads)
+    t_pad, pad_lo, pad_hi = _geometry(t, block_q, 256)
+
+    def pad_t(x):
+        return jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)))
+
+    p_padded = jnp.pad(p, ((0, 0), (pad_lo, pad_hi), (0, 0)))
+    p_len = p_padded.shape[1]
+    lane = hpb * d
+    grid = (b, num_heads // hpb, t_pad // block_q)
+
+    qspec = pl.BlockSpec(
+        (None, block_q, lane), lambda bi, hi, qi: (bi, qi, hi), memory_space=pltpu.VMEM
+    )
+    kvspec = pl.BlockSpec(
+        (None, t_pad, lane), lambda bi, hi, qi: (bi, 0, hi), memory_space=pltpu.VMEM
+    )
+    out, lse = pl.pallas_call(
+        functools.partial(
+            _xl_row_nhd_lse_kernel, seq_len=t, sm_scale=sm_scale, pad_lo=pad_lo,
+            group=group, band_widths=band_widths, d=d,
+        ),
+        grid=grid,
+        in_specs=[
+            qspec,
+            kvspec,
+            kvspec,
+            *[
+                pl.BlockSpec(
+                    (None, p_len, d),
+                    functools.partial(lambda bi, hi, qi, j: (hi * hpb + j, 0, 0), j=j),
+                    memory_space=pltpu.VMEM,
+                )
+                for j in range(hpb)
+            ],
+            pl.BlockSpec((hpb, 1, d), lambda bi, hi, qi: (hi, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hpb, 1, d), lambda bi, hi, qi: (hi, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            qspec,
+            pl.BlockSpec((None, None, hpb, block_q), lambda bi, hi, qi: (bi, hi, 0, qi),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, t_pad, c), q.dtype),
+            jax.ShapeDtypeStruct((b, num_heads // hpb, hpb, t_pad), jnp.float32),
+        ),
+        interpret=interpret,
+    )(pad_t(q), pad_t(k), pad_t(v), *([p_padded] * hpb),
+      bias_u.reshape(num_heads, 1, d), bias_v.reshape(num_heads, 1, d))
+    return out[:, :t], lse.reshape(b, num_heads, t_pad)
+
+
+def _xl_bwd_nhd_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, bu_ref, bv_ref, *rest,
+    seq_len: int, sm_scale: float, pad_lo: int, group: int,
+    band_widths: Optional[tuple], d: int,
+):
+    """Fused heads-in-lanes XL backward: one (head-pair, b, q-block)
+    program recomputes the score strip per head-lane slice and emits
+    dQu/dQv (direct block writes), dK/dV (f32 full-[T_pad] accumulators
+    revisited across q-blocks) and this block's dP contribution
+    (per-head [p_len, d] accumulators revisited across (b, q) — the
+    head-pair dim is slowest). Layout identical to the model's — no
+    [B, H, T, d] round trips."""
+    hpb = q_ref.shape[1] // d
+    p_refs = rest[:hpb]
+    dqu_ref, dqv_ref, dk_ref, dv_ref = rest[hpb : hpb + 4]
+    dp_refs = rest[hpb + 4 :]
+    block_q = q_ref.shape[0]
+    t_pad = k_ref.shape[0]
+    i0 = pl.program_id(2) * block_q
+    first_q = pl.program_id(2) == 0
+    first_bq = (pl.program_id(1) == 0) & first_q
+    n_bits = max(1, math.ceil(math.log2(group)))
+    strip_w = t_pad + group
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (group, strip_w), 0)
+    shift_amount = (group - 1) - row_ids
+    strip_start0 = pl.multiple_of(pad_lo + (seq_len - 1) - (i0 + block_q - 1), 8)
+
+    for j in range(hpb):
+        sl = slice(j * d, (j + 1) * d)
+
+        @pl.when(first_bq)
+        def _():
+            dp_refs[j][:] = jnp.zeros_like(dp_refs[j])
+
+        q = q_ref[:, sl]
+        qu = (q.astype(jnp.float32) + bu_ref[j].astype(jnp.float32)).astype(q.dtype)
+        qv = (q.astype(jnp.float32) + bv_ref[j].astype(jnp.float32)).astype(q.dtype)
+        s = _row_scores(
+            qu, qv, k_ref[:, sl], p_refs[j],
+            seq_len=seq_len, sm_scale=sm_scale, pad_lo=pad_lo, group=group,
+            band_widths=band_widths, i0=i0,
+            h_index=pl.program_id(0) * hpb + j,
+        )
+        lse = lse_ref[j, :].reshape(-1, 1)
+        delta = delta_ref[j, :].reshape(-1, 1)
+        a = jnp.exp(s - lse)  # [bq, T_pad]
+        do = do_ref[:, sl]
+        dov = jnp.dot(do, v_ref[:, sl].T, preferred_element_type=jnp.float32)
+        ds = a * (dov - delta)
+        ds_lp = ds.astype(q.dtype)
+        dqu_ref[:, sl] = (
+            jnp.dot(ds_lp, k_ref[:, sl], preferred_element_type=jnp.float32) * sm_scale
+        ).astype(dqu_ref.dtype)
+
+        # dQv + dP through the inverse slab roll (see _xl_bwd_dq_kernel)
+        for g in range(block_q // group):
+            coarse = block_q - (g + 1) * group
+            padded = jnp.pad(ds[g * group : (g + 1) * group], ((0, 0), (0, group)))
+            d_prod = _roll_rows_right(padded, shift_amount, n_bits)
+            d_prod_lp = d_prod.astype(q.dtype)
+            strip = p_refs[j][pl.ds(strip_start0 + coarse, strip_w), :]
+            dqv_ref[g * group : (g + 1) * group, sl] = (
+                jnp.dot(d_prod_lp, strip, preferred_element_type=jnp.float32) * sm_scale
+            ).astype(dqv_ref.dtype)
+            contrib = jax.lax.dot_general(
+                d_prod_lp, qv[g * group : (g + 1) * group],
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * sm_scale  # [W, d]
+            dp_refs[j][pl.ds(strip_start0 + coarse, strip_w), :] += contrib
+
+        # fused dK/dV (padded q rows carry do=0 -> ds=0, contribute nothing)
+        dv_c = jax.lax.dot_general(
+            a.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dk_c = jax.lax.dot_general(
+            ds_lp, qu, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ) * sm_scale
+
+        @pl.when(first_q)
+        def _():
+            dv_ref[:, sl] = dv_c
+            dk_ref[:, sl] = dk_c
+
+        @pl.when(jnp.logical_not(first_q))
+        def _():
+            dv_ref[:, sl] += dv_c
+            dk_ref[:, sl] += dk_c
+
+
+def _xl_nhd_backward(
+    q, k, v, bias_u, bias_v, p, o, lse, g, num_heads, sm_scale,
+    block_q=512, group=128, band_widths=None, interpret=False,
+):
+    """Fully heads-in-lanes XL backward from saved (o, lse [B, H, T_pad]).
+
+    Returns (dq, dk, dv, dbu, dbv, dp) in the model layout — dq combines
+    the dQu/dQv block outputs elementwise (the bias adds make q appear in
+    both branches); dbu/dbv are their (b, t) reductions.
+    """
+    b, t, c = q.shape
+    d = c // num_heads
+    hpb = min(max(128 // d, 1), num_heads)
+    lane = hpb * d
+    t_pad = lse.shape[-1]
+    # forward used _geometry(t, block_q, 256); recompute for strip coords
+    t_pad2, pad_lo, pad_hi = _geometry(t, block_q, 256)
+    assert t_pad2 == t_pad, (t_pad2, t_pad)
+    n_pos = p.shape[1]
+
+    def pad_t(x):
+        return jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)))
+
+    p_padded = jnp.pad(p, ((0, 0), (pad_lo, pad_hi), (0, 0)))
+    p_len = p_padded.shape[1]
+    qp, kp, vp, gp, op = pad_t(q), pad_t(k), pad_t(v), pad_t(g.astype(q.dtype)), pad_t(o)
+    delta = jnp.transpose(
+        (gp.astype(jnp.float32) * op.astype(jnp.float32))
+        .reshape(b, t_pad, num_heads, d).sum(-1),
+        (0, 2, 1),
+    ).reshape(b, num_heads // hpb, hpb, t_pad)
+    lse4 = lse.reshape(b, num_heads // hpb, hpb, t_pad)
+
+    # grid (head-pair, b, q-block): hi slowest so each dP accumulator is
+    # revisited consecutively over all (b, q) steps
+    qblk = pl.BlockSpec((None, block_q, lane), lambda hi, bi, qi: (bi, qi, hi),
+                        memory_space=pltpu.VMEM)
+    kvfull = pl.BlockSpec((None, t_pad, lane), lambda hi, bi, qi: (bi, 0, hi),
+                          memory_space=pltpu.VMEM)
+    vec = pl.BlockSpec((None, None, hpb, block_q), lambda hi, bi, qi: (bi, hi, 0, qi),
+                       memory_space=pltpu.VMEM)
+    bias_spec = pl.BlockSpec((hpb, 1, d), lambda hi, bi, qi: (hi, 0, 0),
+                             memory_space=pltpu.VMEM)
+    p_specs = [
+        pl.BlockSpec(
+            (None, p_len, d),
+            functools.partial(lambda hi, bi, qi, j: (hi * hpb + j, 0, 0), j=j),
+            memory_space=pltpu.VMEM,
+        )
+        for j in range(hpb)
+    ]
+    # one dP accumulator output per in-pair head j, [H//hpb, p_len, d]
+    # indexed by hi — every row written; interleaved back afterwards
+    dp_out_specs = [
+        pl.BlockSpec((None, p_len, d), lambda hi, bi, qi: (hi, 0, 0),
+                     memory_space=pltpu.VMEM)
+        for _ in range(hpb)
+    ]
+    dqu, dqv, dk, dv, *dps = pl.pallas_call(
+        functools.partial(
+            _xl_bwd_nhd_kernel, seq_len=t, sm_scale=sm_scale, pad_lo=pad_lo,
+            group=group, band_widths=band_widths, d=d,
+        ),
+        grid=(num_heads // hpb, b, t_pad // block_q),
+        in_specs=[qblk, kvfull, kvfull, qblk, vec, vec, bias_spec, bias_spec, *p_specs],
+        out_specs=(
+            qblk,
+            qblk,
+            kvfull,
+            kvfull,
+            *dp_out_specs,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, t_pad, c), q.dtype),
+            jax.ShapeDtypeStruct((b, t_pad, c), q.dtype),
+            # dK/dV accumulate across q-blocks — f32 until the final cast
+            jax.ShapeDtypeStruct((b, t_pad, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, t_pad, c), jnp.float32),
+            *[jax.ShapeDtypeStruct((num_heads // hpb, p_len, d), jnp.float32)] * hpb,
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, gp, lse4, delta,
+      bias_u.reshape(num_heads, 1, d), bias_v.reshape(num_heads, 1, d),
+      *([p_padded] * hpb))
+    # head hi*hpb+j lives in output j's row hi
+    dp_full = jnp.stack(dps, axis=1).reshape(num_heads, p_len, d)
+    dqu_f = dqu[:, :t].astype(jnp.float32)
+    dqv_f = dqv[:, :t].astype(jnp.float32)
+    dq = (dqu_f + dqv_f).astype(q.dtype)
+    dbu = dqu_f.reshape(b, t, num_heads, d).sum((0, 1)).astype(bias_u.dtype)
+    dbv = dqv_f.reshape(b, t, num_heads, d).sum((0, 1)).astype(bias_v.dtype)
+    dp_out = dp_full[:, pad_lo : pad_lo + n_pos].astype(p.dtype)
+    return dq, dk[:, :t].astype(k.dtype), dv[:, :t].astype(v.dtype), dbu, dbv, dp_out
+
+
 def _xl_split(x, h):
     b, t, c = x.shape
     return x.reshape(b, t, h, c // h).transpose(0, 2, 1, 3)
@@ -726,10 +1006,11 @@ def flash_xl_attention_nhd(
 ):
     """XL attention in the model's [B, T, H*d] layout.
 
-    No-grad forwards run the heads-in-lanes row kernel with the
-    pos-bias adds fused in-kernel; differentiated calls and unsupported
-    shapes fall back to the [B, H, T, d] path (transposes + the
-    fully-Pallas saved-O/LSE backward).
+    Both the no-grad forward AND the differentiated path (forward-with-
+    LSE + fused saved-O backward) run heads-in-lanes kernels with the
+    pos-bias adds fused in-kernel — no [B, H, T, d] transposes in either
+    direction (r4; previously only the no-grad forward). Shapes the lane
+    blocking cannot cover fall back to the transposed kernel pair.
     """
     if _on_tpu() and _xl_nhd_supported(q.shape[-1], num_heads, q.shape[1]):
         return _xl_nhd_forward(q, k, v, bias_u, bias_v, p, num_heads, sm_scale,
@@ -744,6 +1025,12 @@ def flash_xl_attention_nhd(
 
 
 def _nhd_xl_fwd(q, k, v, bias_u, bias_v, p, num_heads, sm_scale, band_widths):
+    if _on_tpu() and _xl_nhd_supported(q.shape[-1], num_heads, q.shape[1]):
+        # fully heads-in-lanes: residuals stay in the model layout
+        # (3-dim q; the backward dispatches on residual rank)
+        out, lse = _xl_nhd_forward_lse(q, k, v, bias_u, bias_v, p, num_heads,
+                                       sm_scale, band_widths=band_widths)
+        return out, ((q, k, v, bias_u, bias_v, p, out, lse),)
     qh = _xl_split(q, num_heads)
     kh = _xl_split(k, num_heads)
     vh = _xl_split(v, num_heads)
@@ -757,6 +1044,11 @@ def _nhd_xl_fwd(q, k, v, bias_u, bias_v, p, num_heads, sm_scale, band_widths):
 
 
 def _nhd_xl_bwd(num_heads, sm_scale, band_widths, res, g):
+    if len(res) == 1:  # heads-in-lanes residuals: transpose-free backward
+        q, k, v, bias_u, bias_v, p, o, lse = res[0]
+        return _xl_nhd_backward(q, k, v, bias_u, bias_v, p, o, lse,
+                                g.astype(q.dtype), num_heads, sm_scale,
+                                band_widths=band_widths)
     residuals, bias_u, bias_v = res
     dqu, dqv, dk, dv, dp = _bwd(sm_scale, band_widths, residuals, _xl_split(g, num_heads))
     # cotangent dtypes must match the primals: a float32 dq next to bf16
