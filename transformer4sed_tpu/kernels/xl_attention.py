@@ -963,6 +963,12 @@ def _xl_nhd_backward(
             jax.ShapeDtypeStruct((b, t_pad, c), jnp.float32),
             *[jax.ShapeDtypeStruct((num_heads // hpb, p_len, d), jnp.float32)] * hpb,
         ),
+        # the per-program f32 score/attn/ds strips ([block_q, t_pad] each)
+        # plus the hpb rolled-slab intermediates exceed Mosaic's default
+        # 16 MiB scoped-vmem stack at block_q=512, t_pad=1024 (measured
+        # 21.25 MiB); raise the cap rather than shrink block_q — the
+        # larger q block keeps the dK/dV revisit count down
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
     )(qp, kp, vp, gp, lse4, delta,
       bias_u.reshape(num_heads, 1, d), bias_v.reshape(num_heads, 1, d),
