@@ -112,17 +112,14 @@ class SupervisedConfig:
     model_kwargs: Dict[str, Any] = field(default_factory=dict)
 
 
-def make_supervised_step(model_apply: Callable, frontend, optimizer, cfg: SupervisedConfig):
-    """Supervised strong-label step (PaSST_CNN / HTSAT_CNN on AudioSet-strong).
+def make_supervised_preprocess(frontend, cfg: SupervisedConfig):
+    """Frontend + aug chain of the supervised step, exposed for the
+    segment profilers (`exps/profile_audioset_segments.py`) so they time
+    the exact production ops. Returns ``(mel, labels)`` with mel in the
+    model's native layout."""
 
-    ``model_apply(params, mel, train, rngs, model_state, **kw)`` must
-    return ``(SEDOutput, updated_model_state-or-None)`` — model_state
-    carries BatchNorm running stats for HTSAT-style backbones.
-    """
-    loss_fn_cls = L.loss_function_factory(cfg.loss_name, cfg.loss_kwargs)
-
-    def loss_fn(params, model_state, batch, key):
-        kmel, kshift, kmix, kmixp, ktrans, kfwd = jax.random.split(key, 6)
+    def preprocess(batch, key):
+        kmel, kshift, kmix, kmixp, ktrans = jax.random.split(key, 5)
         mel = frontend(batch["wav"], key=kmel, training=True)
         mel = frontend.normalize(mel)
         # HTSAT-style frontends emit [B, 1, T, F]; the augmentation
@@ -152,12 +149,38 @@ def make_supervised_step(model_apply: Callable, frontend, optimizer, cfg: Superv
         )
         if is_4d:
             mel = mel.transpose(0, 2, 1)[:, None]
+        return mel, labels
+
+    return preprocess
+
+
+def make_supervised_loss_fn(model_apply: Callable, frontend, cfg: SupervisedConfig):
+    """Loss of the supervised step (preprocess + forward), module-level
+    for the segment profilers."""
+    loss_fn_cls = L.loss_function_factory(cfg.loss_name, cfg.loss_kwargs)
+    preprocess = make_supervised_preprocess(frontend, cfg)
+
+    def loss_fn(params, model_state, batch, key):
+        kpre, kfwd = jax.random.split(key)
+        mel, labels = preprocess(batch, kpre)
         rngs = {k: jax.random.fold_in(kfwd, i) for i, k in enumerate(("patchout", "dropout", "mlm"))}
         out, new_ms = model_apply(
             params, mel, train=True, rngs=rngs, model_state=model_state, **cfg.model_kwargs
         )
         loss_strong = loss_fn_cls(out.strong, labels)
         return loss_strong, ({"loss_class_strong": loss_strong}, new_ms)
+
+    return loss_fn
+
+
+def make_supervised_step(model_apply: Callable, frontend, optimizer, cfg: SupervisedConfig):
+    """Supervised strong-label step (PaSST_CNN / HTSAT_CNN on AudioSet-strong).
+
+    ``model_apply(params, mel, train, rngs, model_state, **kw)`` must
+    return ``(SEDOutput, updated_model_state-or-None)`` — model_state
+    carries BatchNorm running stats for HTSAT-style backbones.
+    """
+    loss_fn = make_supervised_loss_fn(model_apply, frontend, cfg)
 
     def step(state, batch, key):
         (_, (metrics, new_ms)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
