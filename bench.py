@@ -35,6 +35,10 @@ _CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".xla_cache")
 jax.config.update("jax_compilation_cache_dir", _CACHE)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+# DCE-defeating scalar (exps/profile_train2.py methodology) — the shared
+# definition lives with the other profiling primitives
+from transformer4sed_tpu.utils.profiling import force_scalar as _force_scalar  # noqa: E402
+
 # peak dense bf16 FLOP/s per chip, by device_kind substring
 _PEAK_FLOPS = {
     "v5 lite": 197e12,  # v5e
@@ -99,25 +103,17 @@ def audioset_flops_per_clip(t_dec: int) -> float:
     return float(swin + dec + head + proj)
 
 
-def measure_audioset_train(batch_size: int = 64, n_inner: int = 10, repeats: int = 3):
-    """AudioSet-strong supervised FULL train step (HTSAT frontend + aug +
-    HTSAT_CNN fwd/bwd + AdamW + BatchNorm stats, one jit) clips/s/chip,
-    DCE-proof via the scan methodology of :func:`measure_train`.
-
-    Matches the hot loop of the reference's
-    ``recipes/audioset_strong/base/htsat_cnn/train.py``. Returns
-    (step_ms, clips_per_sec, t_dec).
+def audioset_bench_setup():
+    """HTSAT_CNN supervised-flagship construction (CPU init, params on
+    the accelerator) — ONE definition of the benchmarked configuration,
+    shared by :func:`measure_audioset_train` and
+    ``exps/profile_audioset_segments.py`` so the profiler always
+    explains exactly the model the driver measures. Returns
+    (frontend, model, model_apply, params, model_state, t_dec).
     """
-    import optax
-
     from transformer4sed_tpu.models.htsat import HTSATFrontend
     from transformer4sed_tpu.models.htsat_heads import HTSAT_CNN
     from transformer4sed_tpu.recipes import common
-    from transformer4sed_tpu.recipes.audioset_strong import (
-        SupervisedConfig,
-        make_supervised_step,
-    )
-    from transformer4sed_tpu.train.mlm import MLMState
 
     cpu = jax.devices("cpu")[0]
     dev = jax.devices()[0]
@@ -138,6 +134,28 @@ def measure_audioset_train(batch_size: int = 64, n_inner: int = 10, repeats: int
     params = jax.device_put(variables["params"], dev)
     model_state = jax.device_put(
         {k: v for k, v in variables.items() if k != "params"}, dev)
+    return frontend, model, model_apply, params, model_state, t_dec
+
+
+def measure_audioset_train(batch_size: int = 64, n_inner: int = 10, repeats: int = 3):
+    """AudioSet-strong supervised FULL train step (HTSAT frontend + aug +
+    HTSAT_CNN fwd/bwd + AdamW + BatchNorm stats, one jit) clips/s/chip,
+    DCE-proof via the scan methodology of :func:`measure_train`.
+
+    Matches the hot loop of the reference's
+    ``recipes/audioset_strong/base/htsat_cnn/train.py``. Returns
+    (step_ms, clips_per_sec, t_dec).
+    """
+    import optax
+
+    from transformer4sed_tpu.recipes.audioset_strong import (
+        SupervisedConfig,
+        make_supervised_step,
+    )
+    from transformer4sed_tpu.train.mlm import MLMState
+
+    dev = jax.devices()[0]
+    frontend, model, model_apply, params, model_state, t_dec = audioset_bench_setup()
 
     wav = jnp.asarray(
         np.random.RandomState(3).randn(batch_size, 320000).astype(np.float32) * 0.1)
@@ -176,11 +194,6 @@ def measure_audioset_train(batch_size: int = 64, n_inner: int = 10, repeats: int
     return dt * 1000.0, batch_size / dt, t_dec
 
 
-def _force_scalar(tree):
-    """Cheap scalar that data-depends on every leaf of ``tree`` — defeats
-    XLA dead-code-eliminating the backward/optimizer/EMA when only the
-    loss is returned (exps/profile_train2.py methodology)."""
-    return sum(jnp.sum(x[(0,) * x.ndim]) for x in jax.tree_util.tree_leaves(tree))
 
 
 def measure_train(model, frontend, params, batch_size: int = 24, n_inner: int = 10,

@@ -26,7 +26,6 @@ from __future__ import annotations
 import argparse
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -38,27 +37,15 @@ _CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))
 jax.config.update("jax_compilation_cache_dir", _CACHE)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-
-def force_scalar(tree):
-    return sum(jnp.sum(x[(0,) * x.ndim]) for x in jax.tree_util.tree_leaves(tree))
-
-
-def timeit(fn, *args, repeats=3):
-    float(fn(*args))
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        float(fn(*args))
-        best = min(best, time.perf_counter() - t0)
-    return best * 1000.0
+from transformer4sed_tpu.utils.profiling import force_scalar, timeit_ms as timeit  # noqa: E402
 
 
 def main():
     import optax
 
-    from transformer4sed_tpu.models.htsat import HTSATFrontend
-    from transformer4sed_tpu.models.htsat_heads import HTSAT_CNN
-    from transformer4sed_tpu.recipes import common
+    # the benchmarked configuration is DEFINED in bench.py — import it so
+    # this profiler always explains exactly the driver-visible metric
+    from bench import audioset_bench_setup
     from transformer4sed_tpu.recipes.audioset_strong import (
         SupervisedConfig,
         make_supervised_loss_fn,
@@ -73,31 +60,11 @@ def main():
     args = ap.parse_args()
     inner = args.inner
 
-    dtype = jnp.bfloat16
-    cpu = jax.devices("cpu")[0]
     dev = jax.devices()[0]
-
-    frontend = HTSATFrontend()
-    model = HTSAT_CNN(
-        class_num=447, decoder_dim=768, num_heads=12, decoder="transformerXL",
-        decoder_layer_num=3, dtype=dtype,
-    )
-    model_apply = common.make_model_apply(model, True)
+    frontend, model, model_apply, params, model_state, t_out = audioset_bench_setup()
     cfg = SupervisedConfig()
     loss_fn = make_supervised_loss_fn(model_apply, frontend, cfg)
     tx = optax.adamw(1e-4, weight_decay=1e-4)
-
-    with jax.default_device(cpu):
-        mel0 = frontend.normalize(frontend(np.zeros((1, 320000), np.float32)))
-        variables = model.init({"params": jax.random.PRNGKey(0)}, mel0)
-        out0, _ = model_apply(
-            variables["params"], mel0,
-            model_state={k: v for k, v in variables.items() if k != "params"},
-        )
-    t_out = out0.strong.shape[-1]
-    params = jax.device_put(variables["params"], dev)
-    model_state = jax.device_put(
-        {k: v for k, v in variables.items() if k != "params"}, dev)
 
     def scan_jit(body):
         # HTSATFrontend takes no key, so a constant closed-over batch

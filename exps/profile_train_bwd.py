@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -33,19 +32,7 @@ _CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))
 jax.config.update("jax_compilation_cache_dir", _CACHE)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-
-def force_scalar(tree):
-    return sum(jnp.sum(x[(0,) * x.ndim]) for x in jax.tree_util.tree_leaves(tree))
-
-
-def timeit(fn, *args, repeats=3):
-    float(fn(*args))
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        float(fn(*args))
-        best = min(best, time.perf_counter() - t0)
-    return best * 1000.0
+from transformer4sed_tpu.utils.profiling import force_scalar, timeit_ms as timeit  # noqa: E402
 
 
 def main():

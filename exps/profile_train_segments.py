@@ -47,9 +47,7 @@ _CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))
 jax.config.update("jax_compilation_cache_dir", _CACHE)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-
-def force_scalar(tree):
-    return sum(jnp.sum(x[(0,) * x.ndim]) for x in jax.tree_util.tree_leaves(tree))
+from transformer4sed_tpu.utils.profiling import force_scalar, timeit_ms as timeit  # noqa: E402
 
 
 def build(model):
@@ -64,16 +62,6 @@ def build(model):
         params = model.init({"params": jax.random.PRNGKey(0)}, mel0)["params"]
     opt = optax.chain(optax.clip_by_global_norm(20.0), optax.adamw(1e-4))
     return frontend, params, opt
-
-
-def timeit(fn, *args, repeats=3):
-    float(fn(*args))  # compile + warm
-    best = float("inf")
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        float(fn(*args))
-        best = min(best, time.perf_counter() - t0)
-    return best * 1000.0
 
 
 def make_batch(b, dev):

@@ -401,10 +401,15 @@ class TestMalformedFlac:
         sig = _signal(500, seed=6)
         blob = encode_flac(sig, 32000, blocksize=256, kind="fixed2")
         rng = np.random.RandomState(0)
+        # every truncation loses samples STREAMINFO promised, so both
+        # decoders must fail LOUDLY — a cut right after the metadata
+        # (cut=42 here) used to decode to silence with exit code 0
         for cut in (4, 10, 42, 60, len(blob) // 2, len(blob) - 3):
             p = tmp_path / f"cut{cut}.flac"
             p.write_bytes(blob[:cut])
-            assert self._load(p) in (0, 1, 2, 3, 4)
+            assert self._load(p) in (2, 3, 4), f"cut={cut} must be an error"
+            with pytest.raises(ValueError):
+                decode_flac(str(p))
         for trial in range(30):
             b = bytearray(blob)
             for _ in range(6):

@@ -132,10 +132,14 @@ def decode_flac_bytes(buf: bytes) -> Tuple[np.ndarray, int]:
         raise ValueError("not a FLAC stream")
     pos, last, info = 4, False, None
     while not last:
+        if pos + 4 > len(buf):
+            raise ValueError("truncated FLAC stream")
         h = buf[pos]
         last = bool(h & 0x80)
         typ, length = h & 0x7F, int.from_bytes(buf[pos + 1 : pos + 4], "big")
         pos += 4
+        if pos + length > len(buf):
+            raise ValueError("truncated FLAC stream")
         if typ == 0 and length >= 34:
             s = buf[pos : pos + 34]
             sr = (s[10] << 12) | (s[11] << 4) | (s[12] >> 4)
@@ -210,6 +214,13 @@ def decode_flac_bytes(buf: bytes) -> Tuple[np.ndarray, int]:
 
     samples = np.concatenate(out, axis=0) if out else np.zeros((0, channels), np.int64)
     if total:
+        # STREAMINFO promised `total` samples; a stream cut at a frame
+        # boundary otherwise decodes clean-but-short (e.g. a partial
+        # download of an AudioSet clip would train as silence).
+        if samples.shape[0] < total:
+            raise ValueError(
+                f"truncated FLAC stream: decoded {samples.shape[0]} of {total} samples"
+            )
         samples = samples[:total]
     data = (samples.astype(np.float64) * norm).astype(np.float32)
     return (data[:, 0] if channels == 1 else data), sr

@@ -363,6 +363,17 @@ class ASTWithSlide(AST_SED):
             for j in range(t_w):
                 if left + j < p:
                     idx[i, j] = left + j
+        # geometry is static, so uncovered rows are detectable at trace
+        # time — upstream silently divides 0/0 into NaN there; fail loud
+        # instead (consistent with the ragged-window guard above)
+        visits = np.bincount(idx.reshape(-1), minlength=p + 1)[:p]
+        if (visits == 0).any():
+            bad = np.where(visits == 0)[0]
+            raise ValueError(
+                f"slide geometry leaves {bad.size} of {p} grid rows uncovered "
+                f"(first: {bad[:5].tolist()}) for win={win}, step={step}, "
+                f"scale={self.scale} — the overlap-add would divide by zero"
+            )
         idx_flat = jnp.asarray(idx.reshape(-1))
         emb = jnp.zeros((b, p + 1, c), frames.dtype).at[:, idx_flat, :].add(frames)
         acc = jnp.zeros((p + 1,), frames.dtype).at[idx_flat].add(1.0)

@@ -334,7 +334,14 @@ int decode_flac(const std::vector<uint8_t>& buf, WavData* out) {
                      static_cast<size_t>(total) * static_cast<size_t>(channels))
       break;
   }
-  if (total) out->samples.resize(static_cast<size_t>(total) * static_cast<size_t>(channels));
+  if (total) {
+    const size_t want = static_cast<size_t>(total) * static_cast<size_t>(channels);
+    // STREAMINFO promised `total` samples; a stream cut at a frame
+    // boundary decodes clean-but-short — padding it with zeros would
+    // silently turn a partial download into silence.
+    if (out->samples.size() < want) return 4;
+    out->samples.resize(want);
+  }
   return 0;
 }
 

@@ -202,8 +202,17 @@ def _assert_contiguous_rows(sharding, global_shape) -> None:
     ``make_array_from_process_local_data`` would place the local rows at
     whatever positions the local devices own — and the train step's
     static strong/weak/unlabeled source masks would silently select the
-    wrong clips. Checked once per (mesh, batch-shape)."""
-    key = (id(sharding.mesh), global_shape[0], jax.process_index())
+    wrong clips. Checked once per (mesh layout, batch-shape) — keyed by
+    the mesh's actual device layout, not ``id(mesh)``, so a new mesh
+    reusing a dead mesh's address can never skip the check."""
+    mesh = sharding.mesh
+    key = (
+        tuple(mesh.devices.flat),
+        mesh.devices.shape,
+        mesh.axis_names,
+        global_shape[0],
+        jax.process_index(),
+    )
     if key in _checked_contiguous:
         return
     rows = set()

@@ -90,6 +90,21 @@ def model_init_kwargs(config: Dict, name: Optional[str] = None) -> Dict:
       requires_grad flag is an optimizer concern, read by
       :func:`optimizer_from_config`.
     """
+    kwargs = _normalized_model_section(config, name)
+    lora_config = kwargs.pop("lora_config", None)
+    if lora_config:
+        kwargs.setdefault("lora_rank", lora_config.get("r", 0))
+        kwargs.setdefault("lora_alpha", lora_config.get("lora_alpha", 1.0))
+    return kwargs
+
+
+def _normalized_model_section(config: Dict, name: Optional[str] = None) -> Dict:
+    """The ``<ModelName>`` section flattened across every reference
+    layout (init_kwargs nesting, passt_sed_param/cnn_param nesting) —
+    the single place that knows the nesting conventions, shared by
+    :func:`model_init_kwargs` and :func:`lora_ckpt_merged` so a new
+    layout added here is seen by every consumer. ``lora_config`` is
+    left in place for the caller to interpret."""
     section = dict(config.get(name or config.get("model_name", "PaSST_SED"), {}))
     if "init_kwargs" in section:
         kwargs = dict(section["init_kwargs"])
@@ -103,10 +118,6 @@ def model_init_kwargs(config: Dict, name: Optional[str] = None) -> Dict:
             cnn_param = dict(cnn_param)
             kwargs["cnn_name"] = cnn_param.pop("cnn_name", "base")
             kwargs["cnn_param"] = cnn_param
-    lora_config = kwargs.pop("lora_config", None)
-    if lora_config:
-        kwargs.setdefault("lora_rank", lora_config.get("r", 0))
-        kwargs.setdefault("lora_alpha", lora_config.get("lora_alpha", 1.0))
     return kwargs
 
 
@@ -129,13 +140,7 @@ def lora_ckpt_merged(config: Dict, cli_choice: Optional[str] = None) -> bool:
         if cli_choice not in ("merged", "unmerged"):
             raise ValueError(f"--lora_ckpt must be merged|unmerged, got {cli_choice!r}")
         return cli_choice == "merged"
-    name = config.get("model_name", "PaSST_SED")
-    section = dict(config.get(name, {}))
-    if "init_kwargs" in section:
-        section = dict(section["init_kwargs"])
-    if "passt_sed_param" in section:
-        section = {**dict(section["passt_sed_param"]), **section}
-    lora_config = section.get("lora_config") or {}
+    lora_config = _normalized_model_section(config).get("lora_config") or {}
     return bool(lora_config.get("merged_checkpoint", True))
 
 

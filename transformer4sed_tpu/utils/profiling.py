@@ -28,6 +28,35 @@ def trace(log_dir: str):
         jax.profiler.stop_trace()
 
 
+def force_scalar(tree):
+    """Cheap traced scalar that data-depends on EVERY leaf of ``tree``.
+
+    Returning only a loss from a jitted train step lets XLA dead-code-
+    eliminate the backward/optimizer/EMA (the loss does not depend on
+    them) — the measurement trap documented in PARITY.md. Summing one
+    element of each leaf forces the whole chain live at negligible cost
+    (``exps/profile_train2.py`` methodology; used by ``bench.py`` and
+    every ``exps/profile_*`` study).
+    """
+    return sum(jnp.sum(x[(0,) * x.ndim]) for x in jax.tree_util.tree_leaves(tree))
+
+
+def timeit_ms(fn, *args, repeats: int = 3) -> float:
+    """Best-of-``repeats`` wall time of ``float(fn(*args))`` in ms.
+
+    The ``float()`` is the device fence (``block_until_ready`` is
+    unreliable under the axon tunnel); the first call compiles + warms
+    and is not timed; min over repeats rejects host-side noise.
+    """
+    float(fn(*args))  # compile + warm
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best * 1000.0
+
+
 def fence(tree) -> float:
     """Force execution of a pytree; returns a scalar checksum."""
     leaves = [x for x in jax.tree_util.tree_leaves(tree) if hasattr(x, "dtype")]
