@@ -217,6 +217,11 @@ def decode_flac_bytes(buf: bytes) -> Tuple[np.ndarray, int]:
         # STREAMINFO promised `total` samples; a stream cut at a frame
         # boundary otherwise decodes clean-but-short (e.g. a partial
         # download of an AudioSet clip would train as silence).
+        # Limitation (inherent to FLAC, shared by the C++ decoder in
+        # native/wav_core.cpp): when STREAMINFO total_samples == 0
+        # ("unknown"), a stream cut exactly at a frame boundary still
+        # decodes clean-but-short with no error — callers padding to a
+        # fixed clip length should expect short reads for such streams.
         if samples.shape[0] < total:
             raise ValueError(
                 f"truncated FLAC stream: decoded {samples.shape[0]} of {total} samples"

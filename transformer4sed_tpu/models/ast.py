@@ -364,15 +364,20 @@ class ASTWithSlide(AST_SED):
                 if left + j < p:
                     idx[i, j] = left + j
         # geometry is static, so uncovered rows are detectable at trace
-        # time — upstream silently divides 0/0 into NaN there; fail loud
-        # instead (consistent with the ragged-window guard above)
-        visits = np.bincount(idx.reshape(-1), minlength=p + 1)[:p]
+        # time. Upstream's AST slide divides without an isnan fix
+        # (ast_models.py:591 — unlike encoder_slide_window.py:34-35,
+        # which zero-fills), so an uncovered row *inside* the :100 crop
+        # is NaN upstream; we fail loud instead (deviation #8,
+        # PARITY.md). Rows at/after the crop are discarded upstream and
+        # harmless, so they are exempt.
+        crop = min(100, p)
+        visits = np.bincount(idx.reshape(-1), minlength=p + 1)[:crop]
         if (visits == 0).any():
             bad = np.where(visits == 0)[0]
             raise ValueError(
-                f"slide geometry leaves {bad.size} of {p} grid rows uncovered "
-                f"(first: {bad[:5].tolist()}) for win={win}, step={step}, "
-                f"scale={self.scale} — the overlap-add would divide by zero"
+                f"slide geometry leaves {bad.size} of the first {crop} grid rows "
+                f"uncovered (first: {bad[:5].tolist()}) for win={win}, step={step}, "
+                f"scale={self.scale} — upstream's overlap-add would produce NaN rows"
             )
         idx_flat = jnp.asarray(idx.reshape(-1))
         emb = jnp.zeros((b, p + 1, c), frames.dtype).at[:, idx_flat, :].add(frames)

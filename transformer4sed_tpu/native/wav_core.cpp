@@ -339,6 +339,9 @@ int decode_flac(const std::vector<uint8_t>& buf, WavData* out) {
     // STREAMINFO promised `total` samples; a stream cut at a frame
     // boundary decodes clean-but-short — padding it with zeros would
     // silently turn a partial download into silence.
+    // Limitation (inherent to FLAC, shared by data/flac.py): when
+    // STREAMINFO total_samples == 0 ("unknown"), a frame-boundary cut
+    // still decodes clean-but-short with no error.
     if (out->samples.size() < want) return 4;
     out->samples.resize(want);
   }

@@ -210,7 +210,8 @@ def _assert_contiguous_rows(sharding, global_shape) -> None:
         tuple(mesh.devices.flat),
         mesh.devices.shape,
         mesh.axis_names,
-        global_shape[0],
+        str(sharding.spec),  # a different PartitionSpec on the same mesh/shape
+        global_shape[0],  # maps rows differently and must be re-validated
         jax.process_index(),
     )
     if key in _checked_contiguous:
