@@ -12,7 +12,49 @@ import os
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
 import jax  # noqa: E402
+import pytest  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", False)
+
+# ---------------------------------------------------------------------------
+# Fast tier (`pytest -m fast`): a sub-10-minute subset that touches every
+# package module — tiny-shape forwards for every model family, one step
+# per trainer family, codec/eval/data/kernel unit tests — for
+# per-commit runs on hosts where the full suite (~1-2 h) is
+# unaffordable. Policy: fast tier per commit; full suite per round-end
+# and before any kernel/trainer-touching commit lands (CLAUDE.md).
+# Curated per-FILE: everything in these files is unit-scale.
+_FAST_FILES = {
+    "test_ast.py",
+    "test_augment.py",
+    "test_clap.py",
+    "test_cnn_lora.py",
+    "test_core.py",
+    "test_dasm.py",
+    "test_data.py",
+    "test_eval.py",
+    "test_flac.py",
+    "test_frontend.py",
+    "test_htsat.py",
+    "test_meta_assets.py",
+    "test_models.py",
+    "test_multihost.py",
+    "test_native_psds.py",
+    "test_native_wav.py",
+    "test_partition.py",
+    "test_pmam.py",
+    "test_postprocess_utils.py",
+    "test_psds_brute.py",
+    "test_sebbs.py",
+    "test_train.py",
+    "test_utils.py",
+    "test_xl_blocked.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if os.path.basename(str(item.fspath)) in _FAST_FILES:
+            item.add_marker(pytest.mark.fast)
