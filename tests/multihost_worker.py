@@ -212,12 +212,82 @@ def main(argv=None):
         err_msg="checkpoint roundtrip changed the params",
     )
 
+    # ---- BatchNorm family: supervised HTSAT_CNN step (batch_stats) -------
+    # The mean-teacher phase above is LayerNorm-only; the AudioSet
+    # supervised families thread BN running stats through the step, and
+    # global-batch BN is the classic silent-divergence class across
+    # process layouts. Runs 3 supervised steps (Swin bn0 + CNN-branch
+    # BatchNorm) on the global mesh from deterministic global batches and
+    # records the per-step batch_stats norm trajectory; the spawn test
+    # asserts 1-process and 2-process trajectories agree. Matches
+    # /root/reference/recipes/audioset_strong/base/htsat_cnn/train.py.
+    import optax
+
+    from transformer4sed_tpu.models.htsat import HTSATFrontend
+    from transformer4sed_tpu.models.htsat_heads import HTSAT_CNN
+    from transformer4sed_tpu.recipes.audioset_strong import (
+        SupervisedConfig,
+        make_supervised_step,
+    )
+    from transformer4sed_tpu.train.mlm import MLMState
+
+    h_frontend = HTSATFrontend(n_mels=32)
+    h_model = HTSAT_CNN(
+        class_num=N_CLASSES, decoder_dim=32, num_heads=4, decoder="transformerXL",
+        decoder_layer_num=1, decoder_pos_emd_len=256, htsat_config="tiny",
+        htsat_kwargs=dict(spec_size=128, patch_size=4, patch_stride=(4, 4),
+                          num_classes=N_CLASSES, embed_dim=32, depths=(1, 1, 2, 1),
+                          num_heads=(2, 2, 4, 4), window_size=2, mel_bins=32),
+        cnn_param=dict(nb_filters=[8, 8], pooling=[[1, 8], [1, 4]],
+                       normalization="batch", activation="glu"),
+    )
+    h_apply = common.make_model_apply(h_model, True)
+    rng = np.random.RandomState(11)
+    bn_batch = 2 * jax.device_count()
+    wav_g = (rng.randn(bn_batch, 32000) * 0.1).astype(np.float32)
+    h_mel0 = h_frontend.normalize(h_frontend(jnp.asarray(wav_g[:1])))
+    h_vars = h_model.init({"params": jax.random.PRNGKey(5)}, h_mel0)
+    h_out0, _ = h_apply(
+        h_vars["params"], h_mel0,
+        model_state={k: v for k, v in h_vars.items() if k != "params"},
+    )
+    labels_g = (rng.rand(bn_batch, N_CLASSES, int(h_out0.strong.shape[-1])) > 0.8
+                ).astype(np.float32)
+    h_tx = optax.adamw(1e-3)
+    h_step = shard_train_step(
+        make_supervised_step(h_apply, h_frontend, h_tx, SupervisedConfig()),
+        mesh, donate_state=False,
+    )
+    h_state = MLMState(
+        params=h_vars["params"], opt_state=h_tx.init(h_vars["params"]),
+        step=jnp.zeros((), jnp.int32),
+        model_state={k: v for k, v in h_vars.items() if k != "params"},
+    )
+    # per-process contiguous local rows (the make_global_batch contract)
+    if a.nprocs > 1:
+        local = bn_batch // a.nprocs
+        sl = slice(a.pid * local, (a.pid + 1) * local)
+    else:
+        sl = slice(None)
+    sup_losses, bn_norms = [], []
+    for i in range(3):
+        dev = common.put_train_batch(
+            {"wav": wav_g[sl], "labels": labels_g[sl]}, mesh
+        )
+        h_state, h_metrics = h_step(h_state, dev, jax.random.fold_in(key, 100 + i))
+        loss = float(h_metrics["loss_class_strong"])
+        assert np.isfinite(loss), f"non-finite supervised loss at step {i}"
+        sup_losses.append(loss)
+        bn_norms.append(tree_norm(h_state.model_state))
+
     result = {
         "pid": a.pid,
         "process_count": int(jax.process_count()),
         "device_count": int(jax.device_count()),
         "is_primary": bool(is_primary()),
         "losses": losses,
+        "sup_losses": sup_losses,
+        "bn_norms": bn_norms,
         "step_indices": step_indices,
         "p_norm": tree_norm(state.params),
         "t_norm": tree_norm(state.teacher_params),

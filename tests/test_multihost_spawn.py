@@ -116,6 +116,26 @@ class TestTwoProcessExecution:
                 err_msg=f"{k} diverged (optimizer/EMA not layout-invariant)",
             )
 
+    def test_batchnorm_supervised_trajectory_matches(self, spawn_results):
+        # BN family (HTSAT_CNN supervised step, batch_stats threaded):
+        # global-batch BN statistics must be process-layout-invariant —
+        # the silent-divergence class torch-DP per-replica stats hit
+        np.testing.assert_allclose(
+            spawn_results["p0"]["sup_losses"], spawn_results["p1"]["sup_losses"],
+            rtol=1e-6,
+        )
+        np.testing.assert_allclose(
+            spawn_results["p0"]["sup_losses"], spawn_results["single"]["sup_losses"],
+            rtol=2e-3, atol=1e-5,
+            err_msg="supervised BN-model trajectory diverged across process layouts",
+        )
+        np.testing.assert_allclose(
+            spawn_results["p0"]["bn_norms"], spawn_results["single"]["bn_norms"],
+            rtol=1e-4,
+            err_msg="batch_stats trajectory diverged — SPMD BN is not "
+                    "computing global-batch statistics across processes",
+        )
+
     def test_process_sharded_sampler_covers_global_batches(self, spawn_results):
         # contiguous per-process chunks reassemble each global batch of
         # the single-process run, in order (ProcessShardedBatchSampler +
