@@ -89,6 +89,15 @@ class CNN(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        # per-layer geometry lists must cover every conv layer (the
+        # reference asserts equal lengths, base.py:61; fail with the
+        # config fix instead of an IndexError mid-trace)
+        for name in ("kernel_size", "padding", "stride", "pooling"):
+            if len(getattr(self, name)) < len(self.nb_filters):
+                raise ValueError(
+                    f"cnn_param.{name} has {len(getattr(self, name))} entries for "
+                    f"{len(self.nb_filters)} nb_filters — provide one per conv layer"
+                )
         h = jnp.transpose(x, (0, 2, 3, 1))  # -> NHWC
         for i, filters in enumerate(self.nb_filters):
             h = nn.Conv(

@@ -300,6 +300,12 @@ class DASM(nn.Module):
 
     def _project_queries(self, query, query_type, train: bool):
         if query is None:
+            if self.query_projector:
+                raise ValueError(
+                    "query_projector=True DASM needs external query tensors "
+                    "every call (dataset.text_query/audio_query banks); there "
+                    "is no learnable at_query to fall back to"
+                )
             return self.at_query  # learnable
         if not self.query_projector:
             # learnable-query model given an external tensor (e.g. a slice

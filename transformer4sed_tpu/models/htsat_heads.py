@@ -288,6 +288,11 @@ class DASM_HTSAT(nn.Module):
         # (tests/test_reference_live_models.py)
         proj_act = lambda proj, q: fast_gelu(proj(q))  # noqa: E731
         if query is None:
+            if self.query_projector:
+                raise ValueError(
+                    "query_projector=True DASM_HTSAT needs external query "
+                    "tensors every call; there is no learnable at_query"
+                )
             return self.at_query
         if isinstance(query, (list, tuple)):
             projected = [proj_act(proj, q) for proj, q in zip(self.query_projectors, query)]

@@ -78,7 +78,18 @@ def load_pretrained(model, frontend, config, args, logger):
 
     if model_init_kwargs(config).get("mlm"):
         rngs["mlm"] = jax.random.PRNGKey(1)
-    variables = model.init(rngs, mel)
+    init_kwargs = {}
+    if getattr(model, "query_projector", False):
+        # external-query DASM (open_vocab/closed_set configs): the query
+        # projectors only materialise when a query tensor flows through
+        # init — shape-only zeros stand in for the real banks here
+        qd = model.query_dim
+        init_kwargs["query"] = (
+            jnp.zeros((model.class_num, qd))
+            if isinstance(qd, int)
+            else [jnp.zeros((model.class_num, d)) for d in qd]
+        )
+    variables = model.init(rngs, mel, **init_kwargs)
     params = variables["params"]
     model_state = {k: v for k, v in variables.items() if k != "params"}
     if args.pretrained_ckpt:
@@ -387,8 +398,18 @@ def main(argv=None):
         elif stage == "dasm_train":
             from transformer4sed_tpu.recipes.dasm_recipe import DASMTrainer
 
+            # external query tensors for query_projector models (the
+            # reference loads these as buffers at init,
+            # detect_any_sound.py:124-165): one bank per modality
+            banks = [
+                np.load(config["dataset"][k])
+                for k in ("text_query", "audio_query")
+                if config["dataset"].get(k)
+            ] if getattr(model, "query_projector", False) else []
+            qb = banks if len(banks) > 1 else (banks[0] if banks else None)
             trainer = DASMTrainer(
-                model, frontend, config, codec, train_loader, val_loader, logger, **base
+                model, frontend, config, codec, train_loader, val_loader, logger,
+                query_bank=qb, **base,
             )
         else:
             if type_map is None:

@@ -212,7 +212,42 @@ class DASMTrainer(SupervisedTrainer):
     loss (CE over (C+1)-way logits or BCE) added to the strong BCE.
 
     Built on ``SupervisedTrainer``; only the train step differs.
+
+    ``query_bank``: for ``query_projector`` models, the external query
+    tensors the reference loads as buffers at init
+    (``detect_any_sound.py:124-165``) — one ``[C, d]`` array per
+    modality (list => random modality per query during training via the
+    'query' rng, text/first modality at eval). None => learnable
+    ``at_query`` models.
     """
+
+    def __init__(self, *args, query_bank=None, **kwargs):
+        self.query_bank = (
+            [jnp.asarray(b) for b in query_bank]
+            if isinstance(query_bank, (list, tuple))
+            else (jnp.asarray(query_bank) if query_bank is not None else None)
+        )
+        super().__init__(*args, **kwargs)
+        if getattr(self.model, "query_projector", False) and self.query_bank is None:
+            raise ValueError(
+                "query_projector DASM needs dataset.text_query/audio_query "
+                "banks for closed-set training"
+            )
+        if self.query_bank is not None:
+            # eval with the full bank (first/text modality when multi-modal)
+            val_kwargs = self.config.get(self.model_name, {}).get("val_kwargs", {})
+            model_apply = self.model_apply
+            bank = self.query_bank
+
+            @jax.jit
+            def eval_fn(p, ms, m, pm):
+                out, _ = model_apply(
+                    p, m, train=False, pad_mask=pm, model_state=ms,
+                    query=bank, **val_kwargs,
+                )
+                return out
+
+            self._eval_fn = eval_fn
 
     def _dasm_config(self, common_mask=None) -> DASMTrainConfig:
         tr = self.config["training"]
@@ -228,8 +263,14 @@ class DASMTrainer(SupervisedTrainer):
         )
 
     def _build_train_step(self):
-        return make_dasm_step(
+        step = make_dasm_step(
             self.model_apply, self.frontend, self.optimizer, self._dasm_config()
+        )
+        if self.query_bank is None:
+            return step
+        bank = self.query_bank
+        return lambda state, batch, key: step(
+            state, batch, key, extra_kwargs={"query": bank}
         )
 
 
@@ -252,9 +293,9 @@ class OVDASMTrainer(DASMTrainer):
             raise ValueError("OVDASMTrainer requires common_mask")
         self.common_mask = np.asarray(common_mask, dtype=bool)
         # external query bank [C, query_dim] (query_projector models);
-        # None -> learnable queries sliced from params
-        self.query_bank = query_bank
-        super().__init__(*args, **kwargs)
+        # None -> learnable queries sliced from params. Forwarded through
+        # DASMTrainer.__init__ (which owns the attribute + sanity check).
+        super().__init__(*args, query_bank=query_bank, **kwargs)
 
     def _build_train_step(self):
         cfg = self._dasm_config(common_mask=tuple(bool(b) for b in self.common_mask))
