@@ -547,11 +547,44 @@ def install() -> None:
             def __init__(self, *args, **kwargs):
                 raise RuntimeError("torchmetrics stub: not usable in live tests")
 
+        class MultilabelF1Score:
+            """Functional torchmetrics parity: thresholded multilabel F1,
+            macro-averaged, zero-division -> 0 per class (the semantics
+            the reference validation relies on, finetune/train.py:277-287).
+            Used LIVE by the eval-system oracle, so implemented for real."""
+
+            def __init__(self, num_labels, average="macro",
+                         compute_on_step=False, threshold=0.5, **kwargs):
+                assert average == "macro", average
+                self.threshold = threshold
+                self.tp = torch.zeros(num_labels, dtype=torch.float64)
+                self.fp = torch.zeros(num_labels, dtype=torch.float64)
+                self.fn = torch.zeros(num_labels, dtype=torch.float64)
+
+            def to(self, device):
+                return self
+
+            def __call__(self, preds, target):
+                p = preds >= self.threshold
+                t = target.bool()
+                self.tp += (p & t).sum(0).double()
+                self.fp += (p & ~t).sum(0).double()
+                self.fn += (~p & t).sum(0).double()
+
+            def compute(self):
+                denom = 2 * self.tp + self.fp + self.fn
+                f1 = torch.where(denom > 0, 2 * self.tp / denom.clamp(min=1), torch.zeros_like(denom))
+                return f1.mean()
+
         tm.Metric = _UnusedMetric
         tm.AveragePrecision = _UnusedMetric
         cls_mod = _module("torchmetrics.classification")
         tm.classification = cls_mod
         cls_mod.MultilabelAveragePrecision = _UnusedMetric
+        cls_mod.MultilabelF1Score = MultilabelF1Score
+        f_beta = _module("torchmetrics.classification.f_beta")
+        cls_mod.f_beta = f_beta
+        f_beta.MultilabelF1Score = MultilabelF1Score
 
     if "psds_eval" not in sys.modules:
         pe = _module("psds_eval")

@@ -576,3 +576,445 @@ class TestAudioSetSupervisedTrainerLive:
                              model_state=state.model_state, temp_w=1.0)
         np.testing.assert_allclose(
             np.asarray(out.strong), strong_ref.numpy(), atol=5e-3)
+
+
+# ---------------------------------------------------------------------------
+# recipes/desed/finetune/train.py — validation() and test() as a SYSTEM, live
+# ---------------------------------------------------------------------------
+
+
+def _append_shim(monkeypatch):
+    """pandas 3 removed DataFrame.append (the reference targets 1.x)."""
+    import pandas as pd
+
+    monkeypatch.setattr(
+        pd.DataFrame, "append",
+        lambda self, other, ignore_index=False: pd.concat(
+            [self, other], ignore_index=ignore_index),
+        raising=False)
+
+
+def _df_to_clip_scores(df, labels):
+    from transformer4sed_tpu.eval.scores import ClipScores
+
+    return ClipScores(
+        scores=df[list(labels)].to_numpy(),
+        timestamps=np.concatenate(
+            [df["onset"].to_numpy(), df["offset"].to_numpy()[-1:]]),
+        event_classes=tuple(labels))
+
+
+class _PsdsCapture:
+    """Capture-and-delegate stand-in for the reference's
+    ``compute_psds_from_scores`` (``src/evaluation_measures.py:299-341``,
+    a thin forward to sed_scores_eval.intersection_based.psds): records
+    the score buffer + the exact PSDS parameters the reference passes,
+    then computes the value through OUR native sweep (triple-pinned
+    equal to sed_scores_eval by tests/test_psds_brute.py) with the SAME
+    parameters/defaults our trainer uses — so equal buffers imply equal
+    PSDS values on both sides."""
+
+    def __init__(self, labels):
+        self.labels = labels
+        self.calls = []
+
+    def __call__(self, scores, ground_truth_file, durations_file,
+                 dtc_threshold=0.5, gtc_threshold=0.5, cttc_threshold=0.3,
+                 alpha_ct=0, alpha_st=0, max_efpr=100, num_jobs=4,
+                 save_dir=None):
+        from transformer4sed_tpu.eval.psds import compute_psds_from_scores
+        from transformer4sed_tpu.recipes import common
+
+        kw = dict(dtc_threshold=dtc_threshold, gtc_threshold=gtc_threshold,
+                  cttc_threshold=cttc_threshold, alpha_ct=alpha_ct,
+                  alpha_st=alpha_st, max_efpr=max_efpr)
+        self.calls.append(({k: v.copy() for k, v in scores.items()}, dict(kw)))
+        conv = {k: _df_to_clip_scores(v, self.labels) for k, v in scores.items()}
+        gt = common.load_ground_truth(ground_truth_file)
+        dur = common.load_durations(durations_file)
+        kw["cttc_threshold"] = 0.3 if cttc_threshold is None else cttc_threshold
+        val, single = compute_psds_from_scores(conv, gt, dur, num_jobs=1, **kw)
+        return val, single
+
+
+class _SedEvalCapture:
+    """Capture-and-delegate for ``log_sedeval_metrics``
+    (``src/evaluation_measures.py:256-292``): records the decoded event
+    DataFrame and computes event/segment F1 through OUR host metrics
+    (collar semantics pinned in tests/test_eval.py)."""
+
+    def __init__(self, labels):
+        self.labels = labels
+        self.frames = []
+
+    def __call__(self, predictions, ground_truth, save_dir=None,
+                 return_class_wise=False):
+        from transformer4sed_tpu.eval.sed_f1 import event_based_f1
+        from transformer4sed_tpu.recipes import common
+
+        self.frames.append(predictions.copy())
+        if predictions.empty:
+            return 0.0, 0.0, 0.0, 0.0
+        pred_events = {}
+        for r in predictions.itertuples():
+            stem = str(r.filename).rsplit(".", 1)[0]
+            pred_events.setdefault(stem, []).append(
+                (float(r.onset), float(r.offset), str(r.event_label)))
+        gt = common.load_ground_truth(ground_truth)
+        for stem in gt:
+            pred_events.setdefault(stem, [])
+        ef = event_based_f1(pred_events, gt, self.labels)
+        # segment F1 is not consumed by the validation/test log paths
+        # under comparison (only event macro is) — return zeros for it
+        return ef["macro_f1"], ef["micro_f1"], 0.0, 0.0
+
+
+class TestEvalSystemLive:
+    """The reference ``Trainer.validation``/``test`` run LIVE as systems
+    (``recipes/desed/finetune/train.py:274-398,409-522``) against
+    ``MATSEDTrainer.validation``/``test`` with converter-shared weights:
+    per-clip postprocessed score DataFrames, decoded 0.5-threshold event
+    tables, the PSDS parameter sets, and the resulting PSDS/F1 numbers
+    must all match — for the median AND max filter paths and the
+    finetune2 ``encoder_win`` sliding-window validation (VERDICT r4
+    item 1: the last system seam previously pinned only piecewise)."""
+
+    D, C, B = 192, 10, 3
+    N_SAMPLES = 320000
+    LABELS = [f"c{i}" for i in range(10)]
+
+    @pytest.fixture(scope="class")
+    def rig(self, tmp_path_factory):
+        from transformer4sed_tpu.utils.torch_import import convert_torch_checkpoint
+
+        ref_train = load("recipes.desed.finetune.train")
+        ref_mod = load("src.models.passt.passt_sed")
+
+        def build(seed):
+            torch.manual_seed(seed)
+            net = ref_mod.PaSST_SED(
+                embed_dim=self.D, decoder_dim=self.D, passt_feature_layer=10,
+                decoder="transformerXL", decoder_layer_num=1,
+                decoder_pos_emd_len=1000, load_pretrained_model=False,
+                class_num=self.C, at_adapter=True)
+            net.mel_trans.fmin_aug_range = 1
+            net.mel_trans.fmax_aug_range = 1
+            return net
+
+        net, ema_net = build(70), build(71)  # student != teacher
+        init_kwargs = dict(
+            class_num=self.C, embed_dim=self.D, decoder_dim=self.D,
+            backbone_depth=12, backbone_num_heads=12, decoder_num_heads=12,
+            at_adapter_heads=12, passt_feature_layer=10,
+            decoder="transformerXL", decoder_layer_num=1,
+            decoder_pos_emd_len=1000, at_adapter=True)
+        params = {}
+        for tag, n in (("s", net), ("t", ema_net)):
+            sd = {k: np.copy(v.detach().numpy()) for k, v in n.state_dict().items()}
+            params[tag], _ = convert_torch_checkpoint(
+                sd, "PaSST_SED", init_kwargs=init_kwargs)
+
+        # mini val split on disk (GT events + durations)
+        root = tmp_path_factory.mktemp("eval_sys")
+        rng = np.random.RandomState(72)
+        wav_np = (rng.randn(self.B, self.N_SAMPLES) * 0.1).astype(np.float32)
+        labels_np = np.zeros((self.B, self.C, 1000), np.float32)
+        gt_rows, dur_rows, names = [], [], []
+        for i in range(self.B):
+            name = f"v{i}.wav"
+            names.append(name)
+            on, off = 1.0 + i, 4.0 + i
+            cls = i % self.C
+            labels_np[i, cls, int(on * 100):int(off * 100)] = 1.0
+            gt_rows.append((name, on, off, self.LABELS[cls]))
+            dur_rows.append((name, 10.0))
+        import pandas as pd
+
+        val_tsv = root / "val.tsv"
+        val_dur = root / "dur.tsv"
+        pd.DataFrame(gt_rows, columns=["filename", "onset", "offset", "event_label"]).to_csv(
+            val_tsv, sep="\t", index=False)
+        pd.DataFrame(dur_rows, columns=["filename", "duration"]).to_csv(
+            val_dur, sep="\t", index=False)
+        return {
+            "ref_train": ref_train, "net": net, "ema_net": ema_net,
+            "params": params, "init_kwargs": init_kwargs, "wav": wav_np,
+            "labels": labels_np, "names": names, "val_folder": str(root),
+            "val_tsv": str(val_tsv), "val_dur": str(val_dur),
+        }
+
+    def _ref_config(self, rig, val_kwargs, filter_type="median"):
+        return {
+            "training": {"weak_mask": True, "median_window": [7] * self.C,
+                         "filter_type": filter_type,
+                         "psds_folders": [None, None]},
+            "feature": {"pred_len": 1000},
+            "dataset": {"val_folder": rig["val_folder"],
+                        "val_tsv": rig["val_tsv"], "val_dur": rig["val_dur"],
+                        "test_tsv": rig["val_tsv"], "test_dur": rig["val_dur"]},
+            "generals": {"predict": False, "test_on_public_eval": False},
+            "PaSST_SED": {"val_kwargs": dict(val_kwargs)},
+        }
+
+    def _ref_trainer(self, rig, config, loader):
+        ref_train = rig["ref_train"]
+        return ref_train.Trainer(
+            optimizer=None, my_logger=_dummy_logger(), net=rig["net"],
+            ema_net=rig["ema_net"], scheduler=None,
+            encoder=load("src.codec.encoder").Encoder(
+                list(self.LABELS), audio_len=10.0, frame_len=1024,
+                frame_hop=320, net_pooling=1, sr=32000),
+            train_loader=None, val_loader=loader, test_loader=loader,
+            config=config, device=torch.device("cpu"))
+
+    def _ref_loader(self, rig):
+        paths = [f"{rig['val_folder']}/{n}" for n in rig["names"]]
+        pad_mask = torch.zeros(self.B, 1000, dtype=torch.bool)
+        return [(t(rig["wav"]), t(rig["labels"]), pad_mask, 0,
+                 list(rig["names"]), paths)]
+
+    def _our_trainer(self, rig, val_kwargs, monkeypatch, capture):
+        """MATSEDTrainer over the same split, with the production decode
+        helpers wrapped to record the per-clip buffers they produce."""
+        from transformer4sed_tpu.core.codec import LabelCodec
+        from transformer4sed_tpu.models.passt_sed import PaSST_SED
+        from transformer4sed_tpu.recipes import matsed
+        from transformer4sed_tpu.utils.logging import Logger
+
+        real_bdp = matsed.batched_decode_preds
+        real_dpb = matsed.decode_pred_batch
+
+        def rec_bdp(*args, **kwargs):
+            raw, post = real_bdp(*args, **kwargs)
+            capture.setdefault("bdp", []).append((raw, post))
+            return raw, post
+
+        def rec_dpb(*args, **kwargs):
+            out = real_dpb(*args, **kwargs)
+            capture.setdefault("dpb", []).append(out)
+            return out
+
+        monkeypatch.setattr(matsed, "batched_decode_preds", rec_bdp)
+        monkeypatch.setattr(matsed, "decode_pred_batch", rec_dpb)
+
+        config = {
+            "model_name": "PaSST_SED",
+            "generals": {"seed": 0, "val_interval": 1},
+            "feature": {"pred_len": 1000},
+            "dataset": {"val_tsv": rig["val_tsv"], "val_dur": rig["val_dur"],
+                        "val_folder": rig["val_folder"]},
+            "training": {
+                "batch_size": [1, 1, 1, 1], "weak_mask": True,
+                "median_window": [7] * self.C,
+                "scheduler": {"n_epochs": 1, "n_epochs_cut": 1, "exponent": -1,
+                              "lr_warmup_epochs": 0, "lr_warmup_rate": 0.1},
+                "transform": {"n_transform": 0, "choice": [0, 0, 0, 0]},
+            },
+            "PaSST_SED": {"val_kwargs": dict(val_kwargs),
+                          "test_kwargs": dict(val_kwargs),
+                          "train_stu_kwargs": {}, "train_tch_kwargs": {}},
+            "opt": {"param_groups": {
+                "encoder": {"lr": 1e-4, "weight_decay": 1e-4, "freeze_layer": 0, "step_lr": 1},
+                "decoder": {"lr": 1e-3, "weight_decay": 1e-4},
+                "head": {"lr": 1e-3, "weight_decay": 1e-4}}},
+            "backbone_depth": 12,
+        }
+        codec = LabelCodec(self.LABELS, audio_len=10.0, frame_len=1024,
+                           frame_hop=320, net_pooling=1, sr=32000)
+        batch = {"wav": rig["wav"], "label": rig["labels"],
+                 "pad_mask": np.zeros((self.B, 1000), bool),
+                 "filename": list(rig["names"])}
+        model = PaSST_SED(**rig["init_kwargs"])
+        trainer = matsed.MATSEDTrainer(
+            model, _neutral_frontend(), config, codec,
+            train_loader=[batch], val_loader=[batch], test_loader=[batch],
+            logger=Logger(), init_params=rig["params"]["s"],
+            init_model_state={})
+        # the reference teacher is a DIFFERENTLY seeded net
+        trainer.state = trainer.state.replace(teacher_params=rig["params"]["t"])
+        return trainer
+
+    def _assert_scores_close(self, ref_buffer, our_scores, atol, msg):
+        assert set(ref_buffer) == set(our_scores), msg
+        for audio_id, ref_df in ref_buffer.items():
+            ours = our_scores[audio_id]
+            np.testing.assert_allclose(
+                ours.scores, ref_df[list(self.LABELS)].to_numpy(),
+                atol=atol, err_msg=f"{msg}: {audio_id} score frames diverged")
+            np.testing.assert_allclose(
+                ours.timestamps,
+                np.concatenate([ref_df["onset"].to_numpy(),
+                                ref_df["offset"].to_numpy()[-1:]]),
+                atol=1e-9, err_msg=f"{msg}: {audio_id} timestamps diverged")
+
+    def _assert_events_close(self, ref_df, our_rows, msg, atol=0.05):
+        """Event tables from near-equal scores: identical (file, label)
+        multisets; onsets/offsets within ``atol`` seconds (threshold
+        crossings of near-equal filtered scores jitter by <= a frame
+        or two; anything larger is a decode-glue bug)."""
+        ref_events = sorted(
+            (str(r.filename).rsplit(".", 1)[0], str(r.event_label),
+             float(r.onset), float(r.offset))
+            for r in ref_df.itertuples())
+        ours = sorted(
+            (fn.rsplit(".", 1)[0], lab, float(on), float(off))
+            for fn, lab, on, off in our_rows)
+        assert [e[:2] for e in ref_events] == [e[:2] for e in ours], (
+            f"{msg}: event (file, label) multisets differ:\n"
+            f"ref={ref_events}\nours={ours}")
+        for r, o in zip(ref_events, ours):
+            assert abs(r[2] - o[2]) <= atol and abs(r[3] - o[3]) <= atol, (
+                f"{msg}: event boundary diverged: ref={r} ours={o}")
+
+    def test_validation_system(self, rig, monkeypatch):
+        _append_shim(monkeypatch)
+        ref_train = rig["ref_train"]
+        psds_cap = _PsdsCapture(self.LABELS)
+        sed_cap = _SedEvalCapture(self.LABELS)
+        monkeypatch.setattr(ref_train, "compute_psds_from_scores", psds_cap)
+        monkeypatch.setattr(ref_train, "log_sedeval_metrics", sed_cap)
+
+        config = self._ref_config(rig, {"temp_w": 0.5})
+        trainer = self._ref_trainer(rig, config, self._ref_loader(rig))
+        logger = trainer.my_logger
+        stu_psds1, tch_psds1 = trainer.validation(epoch=0)
+        ref_scalars = logger.tensorboard_writer.scalars
+
+        # the reference passed the published PSDS parameter sets
+        assert psds_cap.calls[0][1]["dtc_threshold"] == 0.7  # psds1 student
+        assert psds_cap.calls[1][1]["alpha_ct"] == 0.5       # psds2 student
+        assert psds_cap.calls[1][1]["cttc_threshold"] == 0.3
+
+        capture = {}
+        ours = self._our_trainer(rig, {"temp_w": 0.5}, monkeypatch, capture)
+        results = ours.validation(0)
+
+        # numbers: PSDS1/2 for student AND teacher, event F1, weak F1
+        np.testing.assert_allclose(results["psds1/s"], stu_psds1, atol=5e-3)
+        np.testing.assert_allclose(results["psds1/t"], tch_psds1, atol=5e-3)
+        np.testing.assert_allclose(
+            results["psds2/s"], ref_scalars["validation/psds2/s"], atol=5e-3)
+        np.testing.assert_allclose(
+            results["psds2/t"], ref_scalars["validation/psds2/t"], atol=5e-3)
+        np.testing.assert_allclose(
+            results["event_f1/s"], ref_scalars["validation/event-based F1/s"],
+            atol=5e-2)  # quantized by per-event matches; tables pinned below
+        np.testing.assert_allclose(
+            results["weak_f1/s"], ref_scalars["validation/weak f1/s"], atol=1e-6)
+        np.testing.assert_allclose(
+            results["weak_f1/t"], ref_scalars["validation/weak f1/t"], atol=1e-6)
+
+        # per-clip POSTPROCESSED score DataFrames (the PSDS inputs):
+        # reference buffers are the first args of its psds1 calls
+        # (student: call 0, teacher: call 2); ours were recorded from the
+        # production batched_decode_preds (student batch then teacher batch)
+        ref_stu_buffer = psds_cap.calls[0][0]
+        ref_tch_buffer = psds_cap.calls[2][0]
+        our_stu_post = capture["bdp"][0][1]
+        our_tch_post = capture["bdp"][1][1]
+        self._assert_scores_close(ref_stu_buffer, our_stu_post, 5e-3, "student val scores")
+        self._assert_scores_close(ref_tch_buffer, our_tch_post, 5e-3, "teacher val scores")
+
+        # decoded 0.5-threshold event tables (the sed_eval F1 inputs)
+        self._assert_events_close(sed_cap.frames[0], capture["dpb"][0][0.5],
+                                  "student val events")
+        self._assert_events_close(sed_cap.frames[1], capture["dpb"][1][0.5],
+                                  "teacher val events")
+
+    @pytest.mark.parametrize("filter_type", ["median", "max"])
+    def test_test_system(self, rig, monkeypatch, filter_type):
+        _append_shim(monkeypatch)
+        ref_train = rig["ref_train"]
+        psds_cap = _PsdsCapture(self.LABELS)
+        sed_cap = _SedEvalCapture(self.LABELS)
+        monkeypatch.setattr(ref_train, "compute_psds_from_scores", psds_cap)
+        monkeypatch.setattr(ref_train, "log_sedeval_metrics", sed_cap)
+
+        config = self._ref_config(rig, {"temp_w": 0.5}, filter_type=filter_type)
+        trainer = self._ref_trainer(rig, config, self._ref_loader(rig))
+        trainer.test()
+
+        capture = {}
+        ours = self._our_trainer(rig, {"temp_w": 0.5}, monkeypatch, capture)
+        our_results = ours.test(filter_type=filter_type)
+
+        # final PSDS numbers: ours reports the TEACHER (the model the
+        # reference's published numbers track and BestModels selects).
+        # The capture delegated the reference's values to the same native
+        # sweep, so re-derive them from the captured buffers+parameters:
+        # calls are [stud psds1, stud psds2, tch psds1, tch psds2]
+        from transformer4sed_tpu.eval.psds import compute_psds_from_scores
+        from transformer4sed_tpu.recipes import common as rcommon
+
+        ref_vals = []
+        for buf, kw in psds_cap.calls:
+            conv = {k: _df_to_clip_scores(v, self.LABELS) for k, v in buf.items()}
+            kw = dict(kw)
+            kw["cttc_threshold"] = kw["cttc_threshold"] or 0.3
+            val, _ = compute_psds_from_scores(
+                conv, rcommon.load_ground_truth(rig["val_tsv"]),
+                rcommon.load_durations(rig["val_dur"]), num_jobs=1, **kw)
+            ref_vals.append(val)
+        np.testing.assert_allclose(our_results["psds1"], ref_vals[2], atol=5e-3)
+        np.testing.assert_allclose(our_results["psds2"], ref_vals[3], atol=5e-3)
+
+        # teacher postprocessed score buffer vs our production test decode
+        # (our test stage calls batched_decode_preds once, teacher batch)
+        _, our_post = capture["bdp"][0]
+        self._assert_scores_close(psds_cap.calls[2][0], our_post, 5e-3,
+                                  f"teacher test post scores ({filter_type})")
+
+        # student-side coverage through our production collection path
+        # (our test stage itself reports teacher-only); _collect_scores
+        # filters with the median path, so pin it on the median case and
+        # the 0.5-threshold student event table with it
+        if filter_type == "median":
+            stu_scores, stu_rows, _, _ = ours._collect_scores(
+                ours.state.params, "test_kwargs")
+            self._assert_scores_close(psds_cap.calls[0][0], stu_scores, 5e-3,
+                                      "student test post scores")
+            self._assert_events_close(sed_cap.frames[0], stu_rows,
+                                      "student test events")
+
+    def test_validation_encoder_win_system(self, rig, monkeypatch):
+        """finetune2 sliding-window validation: ``encoder_win=True,
+        win_param=[512, 31]`` (config/mat-sed/base/finetune2.yaml
+        val_kwargs) through BOTH full validation systems."""
+        _append_shim(monkeypatch)
+        ref_train = rig["ref_train"]
+        psds_cap = _PsdsCapture(self.LABELS)
+        sed_cap = _SedEvalCapture(self.LABELS)
+        monkeypatch.setattr(ref_train, "compute_psds_from_scores", psds_cap)
+        monkeypatch.setattr(ref_train, "log_sedeval_metrics", sed_cap)
+
+        # upstream hardcodes the slide accumulator to out_dim=768
+        # (passt_sed.py:269 builds PasstWithSlide without out_dim,
+        # encoder_slide_window.py:10 defaults 768) — crashes for any
+        # other decoder_dim. Route the REFERENCE onto its intended path
+        # at this test's D=192 (scaffolding, not a behavior change).
+        ref_win = load("src.models.passt.passt_win")
+        monkeypatch.setattr(
+            ref_win.PasstWithSlide, "__init__",
+            lambda self, net, win_param=(512, 29): ref_win.EncoderSlideWindow.__init__(
+                self, net, list(win_param), out_dim=net.decoder_dim))
+
+        val_kwargs = {"temp_w": 0.5, "encoder_win": True,
+                      "win_param": [512, 31], "mix_rate": 0.5}
+        config = self._ref_config(rig, val_kwargs)
+        trainer = self._ref_trainer(rig, config, self._ref_loader(rig))
+        stu_psds1, tch_psds1 = trainer.validation(epoch=0)
+
+        capture = {}
+        ours = self._our_trainer(rig, val_kwargs, monkeypatch, capture)
+        results = ours.validation(0)
+
+        np.testing.assert_allclose(results["psds1/s"], stu_psds1, atol=5e-3)
+        np.testing.assert_allclose(results["psds1/t"], tch_psds1, atol=5e-3)
+        # slide-window overlap-add accumulates ~17 windowed forwards per
+        # clip; per-frame error stays averaging-bounded (slightly wider)
+        self._assert_scores_close(psds_cap.calls[0][0], capture["bdp"][0][1],
+                                  8e-3, "student encoder_win val scores")
+        self._assert_scores_close(psds_cap.calls[2][0], capture["bdp"][1][1],
+                                  8e-3, "teacher encoder_win val scores")
+        self._assert_events_close(sed_cap.frames[0], capture["dpb"][0][0.5],
+                                  "student encoder_win val events")
