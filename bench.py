@@ -78,29 +78,106 @@ def flops_per_clip() -> float:
     return float(patch + enc + dec + interp_heads + at_adapter)
 
 
-def audioset_flops_per_clip(t_dec: int) -> float:
-    """Analytic forward FLOPs for one 10-s clip through the AudioSet-strong
-    supervised flagship (HTSAT_CNN: tiny Swin backbone spec 256 / patch 4 /
-    embed 96 / depths (2,2,6,2) / window 8, + 3-layer XL decoder at the
-    x10-interpolated grid, 447 classes). Matmul/attention terms only —
-    frontend FFT, interpolation and norms excluded (slight lower bound).
-
-    Swin block: qkv+proj 8ND^2 + mlp(x4) 16ND^2 + windowed scores/PV
-    4*N*M*D (M = window^2 = 64). XL decoder block at expand_rate 1:
-    (6+2+2+4) N D^2 dense + 4 N^2 D attention (same convention as
-    :func:`flops_per_clip`).
-    """
+def _swin_tiny_flops() -> float:
+    """HTSAT tiny Swin backbone FLOPs (spec 256 / patch 4 / embed 96 /
+    depths (2,2,6,2) / window 8). Swin block: qkv+proj 8ND^2 + mlp(x4)
+    16ND^2 + windowed scores/PV 4*N*M*D (M = window^2 = 64)."""
     m = 64  # window^2
     swin = 0.0
     tokens, dim = 64 * 64, 96  # spec 256 / patch 4
     for depth in (2, 2, 6, 2):
         swin += depth * (24 * tokens * dim * dim + 4 * tokens * m * dim)
         tokens, dim = tokens // 4, dim * 2  # PatchMerging
+    return swin
+
+
+def audioset_flops_per_clip(t_dec: int) -> float:
+    """Analytic forward FLOPs for one 10-s clip through the AudioSet-strong
+    supervised flagship (HTSAT_CNN: tiny Swin backbone + 3-layer XL
+    decoder at the x10-interpolated grid, 447 classes). Matmul/attention
+    terms only — frontend FFT, interpolation and norms excluded (slight
+    lower bound).
+
+    XL decoder block at expand_rate 1: (6+2+2+4) N D^2 dense + 4 N^2 D
+    attention (same convention as :func:`flops_per_clip`).
+    """
     d = 768
     dec = 3 * (14 * t_dec * d * d + 4 * t_dec * t_dec * d)
     head = 2 * t_dec * d * 447
     proj = 2 * (t_dec) * d * d  # transformer_projector at the interpolated grid
-    return float(swin + dec + head + proj)
+    return float(_swin_tiny_flops() + dec + head + proj)
+
+
+def dasm_flops_per_clip(t_dec: int, t_at: int, n_q: int = 447) -> float:
+    """Analytic forward FLOPs for one 10-s clip through DASM_HTSAT
+    open-vocab scoring (447 queries; the ACM MM 2025 flagship,
+    reference ``recipes/audioset_strong/detect_any_sound/``). Terms
+    follow ``models/htsat_heads.py:DASM_HTSAT.__call__``: tiny Swin
+    backbone; transformer/at projectors; ``decoder_layer_num=2`` XL SED
+    decoder on the x10 grid (t_dec); 2 cross-attention-first AT-decoder
+    layers (queries x t_at pre-interp frames, expand_rate 1); sed_head +
+    3-layer mask-embedding MLP + score einsum. Matmul/attention only.
+    """
+    d = 768
+    proj = 2 * t_dec * d * d + 2 * t_at * d * d  # transformer/at projectors
+    xl = 2 * (14 * t_dec * d * d + 4 * t_dec * t_dec * d)
+    at_layer = (16 * n_q * d * d     # cross q/out + self qkv/out projections
+                + 4 * t_at * d * d   # cross k/v projections
+                + 4 * n_q * t_at * d  # cross scores + PV
+                + 4 * n_q * n_q * d  # self scores + PV
+                + 4 * n_q * d * d)   # ffn at expand_rate 1
+    heads = (2 * t_dec * d * d       # sed_head
+             + 6 * n_q * d * d       # mask_embedding MLP (3 layers)
+             + 4 * n_q * d * d       # at_head MLP (2 layers)
+             + 2 * n_q * t_dec * d)  # strong-score einsum
+    return float(_swin_tiny_flops() + proj + xl + 2 * at_layer + heads)
+
+
+def measure_dasm_ov(batch_size: int = 64, repeats: int = 3, iters: int = 10):
+    """DASM_HTSAT open-vocabulary scoring throughput: wav -> HTSAT mel ->
+    Swin backbone -> 447-query AT decoder + XL SED decoder -> strong
+    scores, one jit (the ``exps/profile_htsat.py`` configuration, kept
+    identical so its segment profile keeps explaining this number).
+    Returns (forward_ms, clips_per_sec, t_dec, t_at).
+    """
+    from transformer4sed_tpu.models.htsat import HTSATFrontend
+    from transformer4sed_tpu.models.htsat_heads import DASM_HTSAT
+
+    cpu = jax.devices("cpu")[0]
+    dev = jax.devices()[0]
+    frontend = HTSATFrontend()
+    dasm = DASM_HTSAT(
+        class_num=447, decoder_dim=768, num_heads=12, decoder="transformerXL",
+        decoder_layer_num=2, decoder_pos_emd_len=1024, htsat_config="tiny",
+        at_decoder_layer=2, dtype=jnp.bfloat16,
+    )
+    with jax.default_device(cpu):
+        mel0 = frontend.normalize(frontend(np.zeros((1, 320000), np.float32)))
+        dvars = dasm.init({"params": jax.random.PRNGKey(0)}, mel0)
+        out0 = dasm.apply(dvars, mel0, temp_w=0.5)
+    t_dec = int(out0.strong.shape[-1])
+    t_at = t_dec // dasm.backbone_upsample_ratio  # pre-interp frame count
+    dvars = jax.device_put(dvars, dev)
+    wav = jax.device_put(jnp.asarray(
+        np.random.RandomState(5).randn(batch_size, 320000).astype(np.float32) * 0.1), dev)
+
+    @jax.jit
+    def score(v, w):
+        mel = frontend.normalize(frontend(w))
+        out = dasm.apply(v, mel, temp_w=0.5)
+        return out.strong, out.strong.sum()
+
+    _, fence = score(dvars, wav)
+    float(fence)  # compile + warm
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            _, fence = score(dvars, wav)
+        float(fence)
+        best = min(best, time.perf_counter() - t0)
+    dt = best / iters
+    return dt * 1000.0, batch_size / dt, t_dec, t_at
 
 
 def audioset_bench_setup():
@@ -368,6 +445,22 @@ def main():
             "audioset_train_batch": as_batch,
             "audioset_flops_per_clip": as_fpc,
             "audioset_train_mfu": round(as_mfu, 4) if as_mfu is not None else None,
+        })
+
+    # DASM_HTSAT open-vocabulary scoring (447 queries) — the reference's
+    # third published system (ACM MM 2025, detect_any_sound/) made
+    # driver-visible (VERDICT r4 item 6).
+    if os.environ.get("T4S_BENCH_SKIP_DASM", "0") != "1":
+        dasm_batch = 64
+        dasm_ms, dasm_cps, dasm_t, dasm_t_at = measure_dasm_ov(dasm_batch)
+        dasm_fpc = dasm_flops_per_clip(dasm_t, dasm_t_at)
+        dasm_mfu = (dasm_fpc * dasm_cps / peak) if peak else None
+        train_fields.update({
+            "dasm_ov_clips_per_sec_per_chip": round(dasm_cps, 2),
+            "dasm_ov_forward_ms": round(dasm_ms, 1),
+            "dasm_ov_batch": dasm_batch,
+            "dasm_ov_flops_per_clip": dasm_fpc,
+            "dasm_ov_mfu": round(dasm_mfu, 4) if dasm_mfu is not None else None,
         })
 
     print(
