@@ -54,7 +54,28 @@ _FAST_FILES = {
 }
 
 
+# Heaviest individual tests inside otherwise-fast files (each 30-90 s on
+# this host, measured 2026-08-20 with --durations): excluded from the
+# per-commit tier; they still run in the full suite. The surfaces they
+# cover keep cheaper fast-tier representatives (e.g. the supervised-BN
+# SPMD test covers the mesh path; one step per trainer family remains).
+_FAST_EXCLUDE = (
+    "test_clap.py::TestCommonOnlyClapTrainer::test_full_cycle",
+    "test_clap.py::TestClapOpenset::test_openset_eval_with_batch_stats",
+    "test_partition.py::TestCrossLayoutEquivalence",
+    "test_train.py::TestMultiStep::test_scan_equals_sequential",
+    "test_meta_assets.py::TestVendoredTablesDriveCLI",
+    "test_train.py::TestMeanTeacherStep::test_batchnorm_model_state_threaded",
+    "test_train.py::TestBF16ModelLevel::test_mean_teacher_step_bf16",
+    "test_train.py::TestMeshPath::test_eight_device_mesh_step",
+    "test_train.py::TestGradAccumulation::test_mean_teacher_ema_and_ramp_gated_on_apply",
+    "test_train.py::TestMeanTeacherStep::test_empty_weak_span_builds_and_runs",
+)
+
+
 def pytest_collection_modifyitems(config, items):
     for item in items:
-        if os.path.basename(str(item.fspath)) in _FAST_FILES:
+        if os.path.basename(str(item.fspath)) in _FAST_FILES and not any(
+            ex in item.nodeid for ex in _FAST_EXCLUDE
+        ):
             item.add_marker(pytest.mark.fast)
