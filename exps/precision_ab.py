@@ -29,6 +29,7 @@ TPU; compiles the f32 train step fresh — run in background).
 """
 
 import argparse
+import functools
 import json
 import os
 import sys
@@ -135,7 +136,9 @@ def main():
         # params are f32 regardless of compute dtype (flax param_dtype
         # default), so ONE init serves both arms
         params = models["f32"].init({"params": jax.random.PRNGKey(0)}, mel0)["params"]
-    params = jax.device_put(params, dev)
+    # host master copy: each arm device_puts its OWN buffers (the donated
+    # chunk step frees its input state's buffers, shared init included)
+    params = jax.tree_util.tree_map(np.asarray, params)
 
     b = args.batch
     s = w = b // 3
@@ -143,7 +146,18 @@ def main():
     opt = optax.chain(optax.clip_by_global_norm(20.0), optax.adamw(1e-4))
 
     batches = jax.device_put(make_train_data(b, args.chunk), dev)
-    batch0 = jax.tree_util.tree_map(lambda x: x[0], batches)
+    # grad probes run next to the full f32 state + the batch stack; at
+    # B=24 the probe's fwd+bwd peak OOMs a 16 GB chip, so probe at half
+    # batch (same [s|w|u] composition) — grad agreement is what's
+    # measured, not throughput
+    pb = b // 2
+    ps = pw = pb // 3
+    probe_cfg = MeanTeacherConfig(strong_num=ps, weak_num=pw, unlabel_num=pb - 2 * ps)
+    base = jax.device_get(jax.tree_util.tree_map(lambda x: x[0], batches))
+    rows = np.concatenate([np.arange(0, ps), np.arange(s, s + pw),
+                           np.arange(s + w, s + w + (pb - 2 * ps))])
+    batch0 = jax.device_put(
+        jax.tree_util.tree_map(lambda x: x[rows], base), dev)
     val_wav, gt, durations = make_val_data()
     val_wav = jax.device_put(val_wav, dev)
 
@@ -159,13 +173,16 @@ def main():
         step = make_mean_teacher_step(apply_of(model), frontend, opt, cfg)
         multi = make_multi_step(step, args.chunk)
 
-        @jax.jit
+        # donate the carried state: each chunk reuses the previous
+        # chunk's buffers in place (the f32 arm would otherwise OOM next
+        # to the bf16 arm's leftovers + the 1.5 GB batch stack)
+        @functools.partial(jax.jit, donate_argnums=(0,))
         def run_chunk(st, bts, k, multi=multi):
             final, metrics = multi(st, bts, k)
             return final, metrics["loss_class_strong"], metrics["loss_total"]
 
-        loss_fn = make_loss_fn(apply_of(model), cfg)
-        preprocess = make_preprocess(frontend, cfg)
+        loss_fn = make_loss_fn(apply_of(model), probe_cfg)
+        preprocess = make_preprocess(frontend, probe_cfg)
 
         @jax.jit
         def grad_at(st, batch, k, loss_fn=loss_fn, preprocess=preprocess, model=model):
@@ -197,7 +214,8 @@ def main():
     cosines, norm_ratios = [], []
     for name in ("bf16", "f32"):
         run_chunk = chunk_fns[name]
-        state = jax.device_put(create_mean_teacher_state(params, opt), dev)
+        arm_params = jax.device_put(params, dev)
+        state = create_mean_teacher_state(arm_params, opt)
         losses_strong, losses_total, times = [], [], []
         for c in range(n_chunks):
             t0 = time.perf_counter()
@@ -224,9 +242,15 @@ def main():
         results[name] = {
             "strong": np.concatenate(losses_strong),
             "total": np.concatenate(losses_total),
-            "state": state,
+            # offload to host + free the device state: only the param
+            # trees are needed later (eval forwards / PSDS), and keeping
+            # a full arm state (params+teacher+opt ~2 GB) resident OOMs
+            # the other arm's larger program
+            "params": jax.device_get(state.params),
+            "teacher_params": jax.device_get(state.teacher_params),
             "step_s": (min(times) if times else dt) / args.chunk,
         }
+        del state
 
     # ---- loss-trajectory delta -------------------------------------------
     f32_t, bf16_t = results["f32"]["total"], results["bf16"]["total"]
@@ -238,8 +262,8 @@ def main():
 
     # ---- eval-mode forwards ------------------------------------------------
     # (a) same params, different compute dtype (pure compute error)
-    p_ref = results["f32"]["state"].params
-    t_ref = results["f32"]["state"].teacher_params
+    p_ref = results["f32"]["params"]
+    t_ref = results["f32"]["teacher_params"]
     s32, _ = fwd_fns["f32"](p_ref, val_wav)
     s16, _ = fwd_fns["bf16"](p_ref, val_wav)
     stu_compute_err = float(jnp.abs(s32 - s16).max())
@@ -250,9 +274,9 @@ def main():
           f"student {stu_compute_err:.5f}  teacher {tch_compute_err:.5f}")
 
     # (b) cross-trajectory: both final param sets through the f32 forward
-    sB, _ = fwd_fns["f32"](results["bf16"]["state"].params, val_wav)
+    sB, _ = fwd_fns["f32"](results["bf16"]["params"], val_wav)
     traj_fwd_err = float(jnp.abs(s32 - sB).max())
-    tB, _ = fwd_fns["f32"](results["bf16"]["state"].teacher_params, val_wav)
+    tB, _ = fwd_fns["f32"](results["bf16"]["teacher_params"], val_wav)
     traj_tch_err = float(jnp.abs(t32 - tB).max())
     print(f"cross-trajectory final forward max|Δ| (f32 eval of both arms): "
           f"student {traj_fwd_err:.5f}  teacher {traj_tch_err:.5f}")
@@ -269,7 +293,7 @@ def main():
     for name in ("f32", "bf16"):
         # each arm scored through ITS OWN production forward (the policy
         # under test: the bf16 arm serves in bf16)
-        strong, _ = fwd_fns[name](results[name]["state"].params, val_wav)
+        strong, _ = fwd_fns[name](results[name]["params"], val_wav)
         strong = np.asarray(strong, np.float32)
         _, post = batched_decode_preds(strong, filenames, codec, filter=7,
                                        filter_type="median")
