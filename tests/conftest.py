@@ -73,9 +73,22 @@ _FAST_EXCLUDE = (
 )
 
 
+# Cheap individual tests from otherwise-slow files, opted IN by nodeid
+# substring: the shipped-config geometry gates are seconds each
+# (jax.eval_shape only) and catch config/model-kwargs regressions at
+# commit time; their e2e siblings stay full-suite-only.
+_FAST_EXTRA = (
+    "test_shipped_configs.py::TestHTSATCNNConfig::test_full_size_schema_and_geometry",
+    "test_shipped_configs.py::TestPaSSTCNNConfig::test_full_size_schema_and_geometry",
+    "test_shipped_configs.py::TestClapConfig::test_full_size_schema_and_geometry",
+    "test_shipped_configs.py::TestDASMClosedSetConfig::test_full_size_schema_and_geometry",
+)
+
+
 def pytest_collection_modifyitems(config, items):
     for item in items:
-        if os.path.basename(str(item.fspath)) in _FAST_FILES and not any(
+        in_fast_file = os.path.basename(str(item.fspath)) in _FAST_FILES and not any(
             ex in item.nodeid for ex in _FAST_EXCLUDE
-        ):
+        )
+        if in_fast_file or any(ex in item.nodeid for ex in _FAST_EXTRA):
             item.add_marker(pytest.mark.fast)
