@@ -98,6 +98,28 @@ def main():
 
     res_fwd = analyze("forward", fwd, params, model_state, wav)
 
+    # DASM_HTSAT open-vocab scoring (the third flagship, 12.8% MFU):
+    # same falsifiability standard for its bandwidth-bound reading
+    from bench import measure_dasm_ov  # noqa: F401  (kept same config source)
+    from transformer4sed_tpu.models.htsat import HTSATFrontend
+    from transformer4sed_tpu.models.htsat_heads import DASM_HTSAT
+
+    h_frontend = HTSATFrontend()
+    dasm = DASM_HTSAT(
+        class_num=447, decoder_dim=768, num_heads=12, decoder="transformerXL",
+        decoder_layer_num=2, decoder_pos_emd_len=1024, htsat_config="tiny",
+        at_decoder_layer=2, dtype=jnp.bfloat16,
+    )
+    with jax.default_device(jax.devices("cpu")[0]):
+        mel0 = h_frontend.normalize(h_frontend(np.zeros((1, 320000), np.float32)))
+        dvars = dasm.init({"params": jax.random.PRNGKey(0)}, mel0)
+
+    def dasm_score(v, w):
+        mel = h_frontend.normalize(h_frontend(w))
+        return dasm.apply(v, mel, temp_w=0.5).strong
+
+    res_dasm = analyze("dasm_ov_forward", dasm_score, dvars, wav)
+
     analytic = audioset_flops_per_clip(t_dec) * b
     print(json.dumps({
         "batch": b,
@@ -106,6 +128,7 @@ def main():
         "peak_flops": peak,
         "train_step": res_step,
         "forward": res_fwd,
+        "dasm_ov_forward": res_dasm,
         "analytic_fwd_flops": analytic,
         "xla_vs_analytic_fwd_flops": res_fwd["flops"] / analytic if analytic else None,
     }, default=float))
