@@ -273,6 +273,35 @@ def measure_audioset_train(batch_size: int = 64, n_inner: int = 10, repeats: int
 
 
 
+def measure_streaming(model, frontend, params, hop_seconds: float = 2.0,
+                      audio_seconds: float = 60.0):
+    """Online streaming scorer (recipes.stream.StreamingScorer): push a
+    long waveform in and measure the real-time factor and per-window
+    forward latency at B=1 (the serving regime ``exps/profile_stream.py``
+    profiles — made driver-visible in r5). Returns
+    (rtf, ms_per_window, hop_seconds)."""
+    from transformer4sed_tpu.core.codec import LabelCodec
+    from transformer4sed_tpu.recipes.stream import StreamingScorer
+
+    codec = LabelCodec(
+        labels=tuple(f"c{i}" for i in range(model.class_num)), audio_len=10.0,
+        frame_len=1024, frame_hop=320, sr=32000,
+    )
+    scorer = StreamingScorer(
+        model, frontend, params, codec, hop_seconds=hop_seconds,
+        median_filter=7, model_kwargs={"temp_w": 0.5},
+    )
+    sr = codec.sr
+    wav = np.random.RandomState(6).randn(int(audio_seconds * sr)).astype(np.float32) * 0.05
+    scorer.push(wav[: int(12 * sr)])  # warm up / compile the window forward
+    t0 = time.perf_counter()
+    scorer.push(wav[int(12 * sr):])
+    scorer.flush()
+    dt = time.perf_counter() - t0
+    n_hops = max(int((audio_seconds - 12) / hop_seconds), 1)
+    return (audio_seconds - 12) / dt, dt / n_hops * 1000.0, hop_seconds
+
+
 def measure_train(model, frontend, params, batch_size: int = 24, n_inner: int = 10,
                   n_samples: int = 320000, repeats: int = 3, cfg_overrides=None):
     """Full mean-teacher train step (frontend + aug + student fwd/bwd +
@@ -445,6 +474,16 @@ def main():
             "audioset_train_batch": as_batch,
             "audioset_flops_per_clip": as_fpc,
             "audioset_train_mfu": round(as_mfu, 4) if as_mfu is not None else None,
+        })
+
+    # Online streaming scorer (serving regime, B=1 windows): real-time
+    # factor on one chip — the last measured flagship made driver-visible.
+    if os.environ.get("T4S_BENCH_SKIP_STREAM", "0") != "1":
+        rtf, ms_win, hop_s = measure_streaming(model, frontend, params)
+        train_fields.update({
+            "stream_rtf": round(rtf, 1),
+            "stream_ms_per_window": round(ms_win, 1),
+            "stream_hop_seconds": hop_s,
         })
 
     # DASM_HTSAT open-vocabulary scoring (447 queries) — the reference's
